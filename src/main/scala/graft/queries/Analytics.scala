@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import QueryUtil._
+
+/** General analytics over the TPC-H-ish testdata — the north-star
+  * extension tier of SURVEY.md §7.3 step 8: aggregation, multi-way
+  * joins, windows, rollup, semi/anti joins, as-of join.
+  *
+  * Scale notes (100 TB design intent):
+  *  - fact tables (`lineitem`, `orders`, `events`) are only ever
+  *    scanned with pushed filters + pruned columns and aggregated with
+  *    map-side partial aggregation (groupBy on a declarative plan);
+  *  - dimension tables (`region nation customer supplier part`) are
+  *    broadcast — no shuffle of the fact side for dim joins;
+  *  - top-k is TakeOrderedAndProject (no global sort of the fact);
+  *  - windows partition by high-cardinality keys (custkey/event) so
+  *    state per partition stays bounded.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: the flagship scan+aggregate. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avgDec(col("l_quantity")).as("avg_qty"),
+        avgDec(col("l_extendedprice")).as("avg_price"),
+        avgDec(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join + per-order revenue + top-10. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join, local-supplier revenue per nation.
+    * Customer and supplier must share the nation (the classic
+    * co-location predicate); all dims broadcast. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** TPC-H Q6-style: pure filter + single-row aggregate. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24.0))
+      .agg(sumDec(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** ROLLUP over (order year, priority): grouping-sets surface. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .rollup(col("o_year"), col("o_orderpriority"))
+      .agg(sumDec(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first("o_year"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Top-3 orders per customer — window rank (per-group top-k). */
+  def qTopkPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(asc("o_custkey"), asc("rnk"))
+  }
+
+  /** Running total of spend per customer — cumulative window. */
+  def qRunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double"))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy(asc("o_custkey"), asc("o_orderkey"))
+  }
+
+  /** Customers with no orders — anti join (NOT EXISTS). */
+  def qCustomersNoOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Suppliers that shipped in 1997 — semi join (EXISTS). */
+  def qActiveSuppliers(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+
+  /** Exact distinct counts per market segment (join + count distinct). */
+  def qSegmentDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+
+  /** As-of join: latest order per (event.user_id = o_custkey) at or
+    * before the event timestamp. Spark lacks a native as-of join; the
+    * composition is equi-join on the key + range predicate + window
+    * rank — the equi key keeps it a hash join (no nested loop), and the
+    * per-event window picks the most recent match deterministically. */
+  def qAsofEventOrder(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    ev.join(ord, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q_rollup_year_priority" -> (qRollup _),
+    "q_topk_per_customer" -> (qTopkPerCustomer _),
+    "q_running_total" -> (qRunningTotal _),
+    "q_customers_no_orders" -> (qCustomersNoOrders _),
+    "q_active_suppliers" -> (qActiveSuppliers _),
+    "q_segment_distinct" -> (qSegmentDistinct _),
+    "q_asof_event_order" -> (qAsofEventOrder _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSumDec("l_quantity")} AS sum_qty,
+         |  ${sqlSumDec("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlAvgDec("l_quantity")} AS avg_qty,
+         |  ${sqlAvgDec("l_extendedprice")} AS avg_price,
+         |  ${sqlAvgDec("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT ${sqlSumDec("l_extendedprice * l_discount")} AS revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.07
+         |  AND l_quantity < 24.0""".stripMargin,
+    "q_rollup_year_priority" ->
+      s"""SELECT year(o_orderdate) AS o_year, o_orderpriority,
+         |  ${sqlSumDec("o_totalprice")} AS sum_price,
+         |  count(*) AS n_orders,
+         |  CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+         |ORDER BY gid ASC, o_year ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey ASC, rnk ASC""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_active_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_segment_distinct" ->
+      s"""SELECT c_mktsegment,
+         |  count(DISTINCT o_custkey) AS n_customers,
+         |  count(*) AS n_orders,
+         |  ${sqlSumDec("o_totalprice")} AS sum_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+    "q_asof_event_order" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Helpers shared by the oracle-verified query catalog.
+  *
+  * Cross-engine numeric parity strategy (Spark vs the driver's DuckDB
+  * oracle): per-row scalar arithmetic stays in DOUBLE (IEEE-754, bit
+  * identical in both engines for the same expression shape), each term
+  * is then cast to DECIMAL(18,6) *inside* the aggregate so the sum is
+  * exact integer arithmetic (order-independent — safe under Spark's
+  * nondeterministic partial-aggregation order), and the final result is
+  * cast back to DOUBLE (a deterministic nearest-double conversion).
+  * Averages are `round(sum_double / count, 6)` — never the engines' own
+  * AVG, whose internal accumulation order differs between engines.
+  */
+object QueryUtil {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a double expression → double. */
+  def sumDec(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Order-independent average, rounded for cross-engine stability. */
+  def avgDec(c: Column): Column =
+    round(sumDec(c) / count(lit(1)), 6)
+
+  /** SQL fragment mirroring [[sumDec]] for the DuckDB oracle. */
+  def sqlSumDec(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** SQL fragment mirroring [[avgDec]]. */
+  def sqlAvgDec(e: String): String =
+    s"round(${sqlSumDec(e)} / count(*), 6)"
+}
