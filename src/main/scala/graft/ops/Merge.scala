@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Set-based MERGE emulation — the core semantic translation of the
+  * reference's per-row upsert loops (SURVEY.md §2.5 J4-J6, cf.
+  * `pipelines/staffing-roster-pipeline.py:269-284`,
+  * `pipelines/projects-pipeline.py:271-335`).
+  *
+  * One full-outer shuffle join on the business key replaces N+1
+  * per-row SELECT/INSERT/UPDATE round-trips. At cluster scale this is
+  * a single hash-partitioned exchange of each side (or a broadcast if
+  * the staged batch is small — the common case for incremental loads);
+  * change detection (J6's no-op skip) marks unchanged rows so sinks
+  * can skip rewriting them.
+  */
+object Merge {
+
+  val ActionCol = "_action"
+
+  /** Full-outer merge of `staged` into `current` on `keys`.
+    *
+    * Output: key columns (coalesced), every column of
+    * `current.columns ∪ staged.columns` (staged value wins wherever
+    * the staged row exists — including staged NULLs, matching the
+    * reference's UPDATE-to-NULL behavior), plus `_action` ∈
+    * {insert, update, noop, keep}:
+    *   - insert: key only in staged
+    *   - keep:   key only in current
+    *   - noop:   both, and all `compareCols` null-safe-equal (J6's
+    *             change detection, `projects-pipeline.py:257-260`)
+    *   - update: both, something changed
+    */
+  def merge(staged: DataFrame, current: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val st = staged.alias("st")
+    val cu = current.alias("cu")
+    val cond = keys.map(k => col(s"st.$k") === col(s"cu.$k"))
+      .reduce(_ && _)
+    val joined = st.join(cu, cond, "full_outer")
+
+    val stExists = col(s"st.${keys.head}").isNotNull
+    val cuExists = col(s"cu.${keys.head}").isNotNull
+    val unchanged = compareCols
+      .map(c => col(s"st.$c") <=> col(s"cu.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val action = when(!cuExists, lit("insert"))
+      .when(!stExists, lit("keep"))
+      .when(unchanged, lit("noop"))
+      .otherwise(lit("update"))
+
+    val stCols = staged.columns.toSet
+    val cuCols = current.columns.toSet
+    val outCols: Seq[Column] =
+      keys.map(k => coalesce(col(s"st.$k"), col(s"cu.$k")).as(k)) ++
+      (staged.columns.filterNot(keys.contains).map { c =>
+        if (cuCols.contains(c))
+          when(stExists, col(s"st.$c")).otherwise(col(s"cu.$c")).as(c)
+        else col(s"st.$c").as(c)
+      }) ++
+      (current.columns.filterNot(c => keys.contains(c) || stCols.contains(c))
+        .map(c => col(s"cu.$c").as(c)))
+    joined.select(outCols :+ action.as(ActionCol): _*)
+  }
+
+  /** Deterministic serial-id assignment for merge inserts, replacing
+    * the reference's `INSERT ... RETURNING id` (SURVEY.md §7.4): new
+    * rows get `max(existing id) + row_number()` ordered by the
+    * business key. The max comes in via a broadcast cross join (no
+    * driver collect); the row_number over inserts is a narrow window
+    * — acceptable because an incremental batch's *insert subset* is
+    * small relative to the table even at scale. */
+  def assignIds(merged: DataFrame, idCol: String, orderKey: String)
+      : DataFrame = {
+    val maxId = merged.agg(
+      coalesce(max(col(idCol)), lit(0L)).cast("long").as("_max_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(ActionCol) === "insert").orderBy(col(orderKey))
+    merged.crossJoin(broadcast(maxId))
+      .withColumn(idCol,
+        when(col(ActionCol) === "insert",
+          col("_max_id") + row_number().over(w))
+          .otherwise(col(idCol)))
+      .drop("_max_id")
+  }
+}

@@ -1,0 +1,458 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ops.{Availability, Melt, Merge, Normalize}
+import QueryUtil._
+
+/** Reference-parity operator queries (SURVEY.md §2): each reference
+  * operator re-expressed set-based over the driver testdata, so the
+  * DuckDB oracle reads byte-identical inputs. Sheet-shaped staging
+  * frames are derived deterministically from the testdata tables
+  * (FIXTURES.md §B note) — the derivation CASE logic is mirrored 1:1
+  * in the oracle SQL.
+  */
+object Parity {
+
+  // ---- shared staged "projects" frame (drives R2/J3/J7/J8) ----------
+  // project_id = o_orderkey; 5 role FKs derived from o_custkey with
+  // deterministic NULL injection (role column missing on some rows).
+  private def projFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("project_id"),
+      col("o_custkey").as("em_id"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise((col("o_custkey") + 1) % 150).as("sm_id"),
+      when(col("o_orderkey") % 5 === 0, lit(null).cast("long"))
+        .otherwise((col("o_custkey") + 2) % 150).as("pm_id"),
+      when(col("o_orderkey") % 3 === 0, lit(null).cast("long"))
+        .otherwise((col("o_custkey") + 3) % 150).as("sc1_id"),
+      when(col("o_orderkey") % 2 === 0, lit(null).cast("long"))
+        .otherwise((col("o_custkey") + 4) % 150).as("sc2_id"))
+
+  private val projSql =
+    """proj AS (SELECT o_orderkey AS project_id, o_custkey AS em_id,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (o_custkey + 1) % 150 END AS sm_id,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (o_custkey + 2) % 150 END AS pm_id,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (o_custkey + 3) % 150 END AS sc1_id,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (o_custkey + 4) % 150 END AS sc2_id
+      |  FROM orders)""".stripMargin
+
+  private val roleCols = Seq(
+    "EM" -> "em_id", "SM" -> "sm_id", "PM" -> "pm_id",
+    "SC" -> "sc1_id", "SC" -> "sc2_id")
+
+  // ---- F1/F2/A1: validation split + summary -------------------------
+  def pValidationSplit(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 11 === 3, lit("")).otherwise(col("c_name"))
+        .as("name"),
+      when(col("c_custkey") % 13 === 5, lit(null).cast("string"))
+        .otherwise(concat(lit("u"), col("c_custkey").cast("string"),
+          lit("@x.com"))).as("email"),
+      col("c_mktsegment").as("curr_role"),
+      when(col("c_custkey") % 7 === 0, lit("   "))
+        .otherwise(concat(lit("nid"), col("c_custkey").cast("string")))
+        .as("netid"))
+    staged
+      .withColumn("_invalid_reason", Normalize.missingReason(Seq(
+        "Name" -> col("name"), "Email" -> col("email"),
+        "NetID" -> col("netid"))))
+      .groupBy(col("_invalid_reason").as("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("reason"))
+  }
+
+  private val pValidationSplitSql =
+    """WITH staged AS (SELECT c_custkey,
+      |  CASE WHEN c_custkey % 11 = 3 THEN '' ELSE c_name END AS name,
+      |  CASE WHEN c_custkey % 13 = 5 THEN CAST(NULL AS VARCHAR)
+      |       ELSE 'u' || c_custkey || '@x.com' END AS email,
+      |  c_mktsegment AS curr_role,
+      |  CASE WHEN c_custkey % 7 = 0 THEN '   '
+      |       ELSE 'nid' || c_custkey END AS netid
+      |  FROM customer),
+      |reasons AS (SELECT
+      |  CASE WHEN nullif(concat_ws(', ',
+      |      CASE WHEN coalesce(trim(name), '') = '' THEN 'Name' END,
+      |      CASE WHEN coalesce(trim(email), '') = '' THEN 'Email' END,
+      |      CASE WHEN coalesce(trim(netid), '') = '' THEN 'NetID' END), '')
+      |    IS NOT NULL THEN 'missing: ' || nullif(concat_ws(', ',
+      |      CASE WHEN coalesce(trim(name), '') = '' THEN 'Name' END,
+      |      CASE WHEN coalesce(trim(email), '') = '' THEN 'Email' END,
+      |      CASE WHEN coalesce(trim(netid), '') = '' THEN 'NetID' END), '')
+      |  END AS reason FROM staged)
+      |SELECT reason, count(*) AS n FROM reasons GROUP BY reason
+      |ORDER BY reason ASC NULLS FIRST""".stripMargin
+
+  // ---- parse_boolean truth table ------------------------------------
+  def pParseBoolean(s: SparkSession, d: String): DataFrame = {
+    val bucket = col("c_custkey") % 10
+    val raw = when(bucket === 0, lit("yes")).when(bucket === 1, lit("True"))
+      .when(bucket === 2, lit("1")).when(bucket === 3, lit("no"))
+      .when(bucket === 4, lit("FALSE")).when(bucket === 5, lit("0"))
+      .when(bucket === 6, lit("")).when(bucket === 7, lit("maybe"))
+      .when(bucket === 8, lit(" YES ")).otherwise(lit(null).cast("string"))
+    Tables.customer(s, d)
+      .select(bucket.as("bucket"), raw.as("raw"))
+      .withColumn("parsed", Normalize.parseBoolean(col("raw")))
+      .groupBy("bucket", "raw", "parsed")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  private val pParseBooleanSql =
+    """WITH staged AS (SELECT c_custkey % 10 AS bucket,
+      |  CASE c_custkey % 10 WHEN 0 THEN 'yes' WHEN 1 THEN 'True'
+      |    WHEN 2 THEN '1' WHEN 3 THEN 'no' WHEN 4 THEN 'FALSE'
+      |    WHEN 5 THEN '0' WHEN 6 THEN '' WHEN 7 THEN 'maybe'
+      |    WHEN 8 THEN ' YES ' ELSE CAST(NULL AS VARCHAR) END AS raw
+      |  FROM customer)
+      |SELECT bucket, raw,
+      |  coalesce(lower(trim(raw)) IN ('yes', 'true', '1'), false) AS parsed,
+      |  count(*) AS n
+      |FROM staged GROUP BY bucket, raw,
+      |  coalesce(lower(trim(raw)) IN ('yes', 'true', '1'), false)
+      |ORDER BY bucket""".stripMargin
+
+  // ---- P3: blank → NULL ---------------------------------------------
+  def pBlankToNull(s: SparkSession, d: String): DataFrame = {
+    val v = when(col("c_custkey") % 4 === 0, lit(""))
+      .when(col("c_custkey") % 4 === 1, lit("  "))
+      .when(col("c_custkey") % 4 === 2, lit(null).cast("string"))
+      .otherwise(col("c_name"))
+    Tables.customer(s, d).select(v.as("v"))
+      .withColumn("norm", Normalize.blankToNull(col("v")))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("norm")).as("n_nonnull"),
+        count(when(col("v").isNotNull && col("norm").isNull, 1))
+          .as("n_blanked"))
+  }
+
+  private val pBlankToNullSql =
+    """WITH staged AS (SELECT
+      |  CASE WHEN c_custkey % 4 = 0 THEN '' WHEN c_custkey % 4 = 1 THEN '  '
+      |       WHEN c_custkey % 4 = 2 THEN CAST(NULL AS VARCHAR)
+      |       ELSE c_name END AS v
+      |  FROM customer),
+      |norm AS (SELECT v,
+      |  CASE WHEN trim(v) = '' THEN CAST(NULL AS VARCHAR) ELSE v END AS norm
+      |  FROM staged)
+      |SELECT count(*) AS n_rows, count(norm) AS n_nonnull,
+      |  count(CASE WHEN v IS NOT NULL AND norm IS NULL THEN 1 END)
+      |    AS n_blanked
+      |FROM norm""".stripMargin
+
+  // ---- P2: multi-candidate header coalesce --------------------------
+  def pHeaderCoalesce(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      when(col("p_partkey") % 3 === 0, col("p_name")).as("cand1"),
+      when(col("p_partkey") % 5 === 0, lit(""))
+        .otherwise(upper(col("p_name"))).as("cand2"),
+      col("p_brand").as("cand3"))
+      .withColumn("resolved", Normalize.coalesceCandidates(
+        Seq(col("cand1"), col("cand2"), col("cand3"))))
+      .select("p_partkey", "resolved")
+      .orderBy("p_partkey")
+
+  private val pHeaderCoalesceSql =
+    """WITH staged AS (SELECT p_partkey,
+      |  CASE WHEN p_partkey % 3 = 0 THEN p_name END AS cand1,
+      |  CASE WHEN p_partkey % 5 = 0 THEN '' ELSE upper(p_name) END AS cand2,
+      |  p_brand AS cand3
+      |  FROM part)
+      |SELECT p_partkey, coalesce(
+      |    CASE WHEN trim(cand1) <> '' THEN cand1 END,
+      |    CASE WHEN trim(cand2) <> '' THEN cand2 END,
+      |    CASE WHEN trim(cand3) <> '' THEN cand3 END) AS resolved
+      |FROM staged ORDER BY p_partkey""".stripMargin
+
+  // ---- R1: availability bitmap pivot over events --------------------
+  // Day×hour activity bitmaps per user: the reference's wide→wide slot
+  // pivot re-expressed as a single map-side-combinable aggregation.
+  def pAvailPivot(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      lower(date_format(col("ts"), "EEEE")).as("day"),
+      hour(col("ts")).as("h"))
+    val aggs = Availability.DayNames.map { case (out, day) =>
+      concat((0 until 24).map(hh =>
+        max(when(col("day") === day && col("h") === hh, 1).otherwise(0))
+          .cast("string")): _*).as(out)
+    }
+    ev.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+
+  private val pAvailPivotSql = {
+    val dayCols = Availability.DayNames.map { case (out, day) =>
+      (0 until 24).map(hh =>
+        s"(max(CASE WHEN lower(dayname(ts)) = '$day' AND hour(ts) = $hh " +
+        s"THEN 1 ELSE 0 END))::VARCHAR").mkString(" || ") + s" AS $out"
+    }.mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $dayCols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---- J4: users upsert (full-outer MERGE + deterministic ids) ------
+  def pUsersMerge(s: SparkSession, d: String): DataFrame = {
+    val email = concat(lit("u"), col("c_custkey").cast("string"),
+      lit("@x.com"))
+    val cur = Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+      .select(email.as("email"), col("c_custkey").as("user_id"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("seg"))
+    val st = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      .select(email.as("email"), col("c_name").as("name"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        when(col("c_custkey") % 4 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    val merged = Merge.merge(st, cur, Seq("email"),
+      Seq("name", "acctbal", "seg"))
+    Merge.assignIds(merged, "user_id", "email")
+      .orderBy("email")
+  }
+
+  private val pUsersMergeSql =
+    """WITH cur AS (SELECT 'u' || c_custkey || '@x.com' AS email,
+      |    c_custkey AS user_id, c_name AS name, c_acctbal AS acctbal,
+      |    c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |st AS (SELECT 'u' || c_custkey || '@x.com' AS email, c_name AS name,
+      |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS acctbal,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'CHANGED'
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |m AS (SELECT coalesce(st.email, cur.email) AS email,
+      |    cur.user_id AS user_id0,
+      |    CASE WHEN st.email IS NOT NULL THEN st.name ELSE cur.name END
+      |      AS name,
+      |    CASE WHEN st.email IS NOT NULL THEN st.acctbal ELSE cur.acctbal
+      |      END AS acctbal,
+      |    CASE WHEN st.email IS NOT NULL THEN st.seg ELSE cur.seg END
+      |      AS seg,
+      |    CASE WHEN cur.email IS NULL THEN 'insert'
+      |         WHEN st.email IS NULL THEN 'keep'
+      |         WHEN st.name IS NOT DISTINCT FROM cur.name
+      |          AND st.acctbal IS NOT DISTINCT FROM cur.acctbal
+      |          AND st.seg IS NOT DISTINCT FROM cur.seg THEN 'noop'
+      |         ELSE 'update' END AS _action
+      |  FROM st FULL OUTER JOIN cur ON st.email = cur.email),
+      |mx AS (SELECT coalesce(max(user_id0), 0) AS max_id FROM m)
+      |SELECT email,
+      |  CASE WHEN _action = 'insert' THEN mx.max_id + row_number()
+      |    OVER (PARTITION BY _action = 'insert' ORDER BY email)
+      |  ELSE user_id0 END AS user_id,
+      |  name, acctbal, seg, _action
+      |FROM m CROSS JOIN mx ORDER BY email""".stripMargin
+
+  // ---- R2: role melt (unpivot) --------------------------------------
+  def pRoleMelt(s: SparkSession, d: String): DataFrame =
+    Melt.melt(projFrame(s, d), Seq("project_id"), roleCols,
+      "role", "user_id")
+      .orderBy("project_id", "role", "user_id")
+
+  private val pRoleMeltSql = {
+    val branches = roleCols.map { case (label, c) =>
+      s"SELECT project_id, '$label' AS role, $c AS user_id FROM proj " +
+      s"WHERE $c IS NOT NULL"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $projSql
+       |$branches
+       |ORDER BY project_id, role, user_id""".stripMargin
+  }
+
+  // ---- J3: 5-way aliased dim join -----------------------------------
+  def pFiveWayJoin(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.customer(s, d).select("c_custkey", "c_name")
+    var df = projFrame(s, d)
+    for ((alias, idCol, outCol) <- Seq(
+        ("u_em", "em_id", "em_name"), ("u_sm", "sm_id", "sm_name"),
+        ("u_pm", "pm_id", "pm_name"), ("u_sc1", "sc1_id", "sc1_name"),
+        ("u_sc2", "sc2_id", "sc2_name"))) {
+      df = df.join(broadcast(users.alias(alias)),
+          col(idCol) === col(s"$alias.c_custkey"), "left")
+        .withColumn(outCol, col(s"$alias.c_name"))
+        .drop(s"$alias.c_custkey").drop(s"$alias.c_name")
+    }
+    df.select("project_id", "em_name", "sm_name", "pm_name",
+      "sc1_name", "sc2_name").orderBy("project_id")
+  }
+
+  private val pFiveWayJoinSql =
+    s"""WITH $projSql
+       |SELECT p.project_id, u_em.c_name AS em_name, u_sm.c_name AS sm_name,
+       |  u_pm.c_name AS pm_name, u_sc1.c_name AS sc1_name,
+       |  u_sc2.c_name AS sc2_name
+       |FROM proj p
+       |LEFT JOIN customer u_em ON p.em_id = u_em.c_custkey
+       |LEFT JOIN customer u_sm ON p.sm_id = u_sm.c_custkey
+       |LEFT JOIN customer u_pm ON p.pm_id = u_pm.c_custkey
+       |LEFT JOIN customer u_sc1 ON p.sc1_id = u_sc1.c_custkey
+       |LEFT JOIN customer u_sc2 ON p.sc2_id = u_sc2.c_custkey
+       |ORDER BY project_id""".stripMargin
+
+  // ---- J7: role reconciliation with precedence ----------------------
+  // The reference applies role updates sequentially (last writer wins);
+  // the documented set-based rule is precedence EM > SM > PM > SC with
+  // project_id as the tiebreak (SURVEY.md §7.4).
+  def pRoleReconcile(s: SparkSession, d: String): DataFrame = {
+    val assignments = Melt.melt(projFrame(s, d), Seq("project_id"),
+      roleCols, "role", "user_id")
+      .withColumn("prec",
+        when(col("role") === "EM", 1).when(col("role") === "SM", 2)
+          .when(col("role") === "PM", 3).otherwise(4))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("prec"), asc("project_id"))
+    val expected = assignments
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("role").as("expected_role"))
+    val users = Tables.customer(s, d).select(
+      col("c_custkey").as("user_id"),
+      when(col("c_custkey") % 4 === 0, lit("EM"))
+        .when(col("c_custkey") % 4 === 1, lit("SM"))
+        .when(col("c_custkey") % 4 === 2, lit("PM"))
+        .otherwise(lit("SC")).as("curr_role"))
+    users.join(expected, Seq("user_id"))
+      .withColumn("new_role",
+        when(col("curr_role") =!= col("expected_role"),
+          col("expected_role")).otherwise(col("curr_role")))
+      .filter(col("curr_role") =!= col("new_role"))
+      .select("user_id", "curr_role", "new_role")
+      .orderBy("user_id")
+  }
+
+  private val pRoleReconcileSql = {
+    val branches = roleCols.map { case (label, c) =>
+      s"SELECT project_id, '$label' AS role, $c AS user_id FROM proj " +
+      s"WHERE $c IS NOT NULL"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $projSql,
+       |assignments AS ($branches),
+       |ranked AS (SELECT user_id, role,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY
+       |      CASE role WHEN 'EM' THEN 1 WHEN 'SM' THEN 2 WHEN 'PM' THEN 3
+       |        ELSE 4 END ASC, project_id ASC) AS rn
+       |  FROM assignments),
+       |expected AS (SELECT user_id, role AS expected_role FROM ranked
+       |  WHERE rn = 1),
+       |users AS (SELECT c_custkey AS user_id,
+       |    CASE WHEN c_custkey % 4 = 0 THEN 'EM'
+       |         WHEN c_custkey % 4 = 1 THEN 'SM'
+       |         WHEN c_custkey % 4 = 2 THEN 'PM' ELSE 'SC' END AS curr_role
+       |  FROM customer)
+       |SELECT u.user_id, u.curr_role, e.expected_role AS new_role
+       |FROM users u JOIN expected e ON u.user_id = e.user_id
+       |WHERE u.curr_role <> e.expected_role
+       |ORDER BY u.user_id""".stripMargin
+  }
+
+  // ---- J8: returning flag (semi-join conditional update) ------------
+  def pReturningFlag(s: SparkSession, d: String): DataFrame = {
+    val newProjects = projFrame(s, d).filter(col("project_id") % 2 === 0)
+    val staffed = Melt.melt(newProjects, Seq("project_id"),
+      roleCols.filterNot(_._1 == "EM"), "role", "user_id")
+      .select("user_id").distinct()
+    Tables.customer(s, d)
+      .join(staffed, col("c_custkey") === col("user_id"), "left")
+      .select(col("c_custkey"),
+        when(col("user_id").isNotNull, lit("returning"))
+          .otherwise(lit("active")).as("status"))
+      .orderBy("c_custkey")
+  }
+
+  private val pReturningFlagSql = {
+    val branches = roleCols.filterNot(_._1 == "EM").map { case (label, c) =>
+      s"SELECT $c AS user_id FROM proj WHERE project_id % 2 = 0 " +
+      s"AND $c IS NOT NULL"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $projSql,
+       |staffed AS (SELECT DISTINCT user_id FROM ($branches))
+       |SELECT c_custkey,
+       |  CASE WHEN s.user_id IS NOT NULL THEN 'returning'
+       |       ELSE 'active' END AS status
+       |FROM customer LEFT JOIN staffed s ON c_custkey = s.user_id
+       |ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---- B1: whole-table bulk update (end-semester rollover) ----------
+  def pBulkUpdate(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") % 8).as("semesters_in_ibc"))
+      .withColumn("status", lit("Deferred"))
+      .withColumn("semesters_in_ibc", col("semesters_in_ibc") + 1)
+      .orderBy("c_custkey")
+
+  private val pBulkUpdateSql =
+    """SELECT c_custkey, (c_custkey % 8) + 1 AS semesters_in_ibc,
+      |  'Deferred' AS status
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---- F5: numeric-string guard with error routing ------------------
+  def pNumericGuard(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("props"))
+      .withColumn("k_str", regexp_extract(col("props"), "[0-9]+", 0))
+      .withColumn("raw",
+        when(col("event_id") % 9 === 0, concat(lit("bad"), col("k_str")))
+          .otherwise(col("k_str")))
+    ev.withColumn("val", Normalize.guardedInt(col("raw")))
+      .withColumn("is_error", col("val").isNull)
+      .select("event_id", "raw", "val", "is_error")
+      .orderBy("event_id")
+  }
+
+  private val pNumericGuardSql =
+    """WITH staged AS (SELECT event_id,
+      |  CASE WHEN event_id % 9 = 0
+      |       THEN 'bad' || regexp_extract(props, '[0-9]+', 0)
+      |       ELSE regexp_extract(props, '[0-9]+', 0) END AS raw
+      |  FROM events)
+      |SELECT event_id, raw, TRY_CAST(raw AS INT) AS val,
+      |  TRY_CAST(raw AS INT) IS NULL AS is_error
+      |FROM staged ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "p_validation_split" -> (pValidationSplit _),
+    "p_parse_boolean" -> (pParseBoolean _),
+    "p_blank_to_null" -> (pBlankToNull _),
+    "p_header_coalesce" -> (pHeaderCoalesce _),
+    "p_avail_pivot" -> (pAvailPivot _),
+    "p_users_merge" -> (pUsersMerge _),
+    "p_role_melt" -> (pRoleMelt _),
+    "p_five_way_join" -> (pFiveWayJoin _),
+    "p_role_reconcile" -> (pRoleReconcile _),
+    "p_returning_flag" -> (pReturningFlag _),
+    "p_bulk_update" -> (pBulkUpdate _),
+    "p_numeric_guard" -> (pNumericGuard _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p_validation_split" -> pValidationSplitSql,
+    "p_parse_boolean" -> pParseBooleanSql,
+    "p_blank_to_null" -> pBlankToNullSql,
+    "p_header_coalesce" -> pHeaderCoalesceSql,
+    "p_avail_pivot" -> pAvailPivotSql,
+    "p_users_merge" -> pUsersMergeSql,
+    "p_role_melt" -> pRoleMeltSql,
+    "p_five_way_join" -> pFiveWayJoinSql,
+    "p_role_reconcile" -> pRoleReconcileSql,
+    "p_returning_flag" -> pReturningFlagSql,
+    "p_bulk_update" -> pBulkUpdateSql,
+    "p_numeric_guard" -> pNumericGuardSql,
+  )
+}
