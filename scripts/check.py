@@ -61,8 +61,13 @@ def main(sf_dir, out_dir):
             gc, wc = g[c], w[c]
             if str(gc.dtype).startswith("datetime") or \
                str(wc.dtype).startswith("datetime"):
-                gc = pd.to_datetime(gc).astype("datetime64[us]")
-                wc = pd.to_datetime(wc).astype("datetime64[us]")
+                gc, wc = pd.to_datetime(gc), pd.to_datetime(wc)
+                if getattr(gc.dt, "tz", None) is not None:
+                    gc = gc.dt.tz_localize(None)
+                if getattr(wc.dt, "tz", None) is not None:
+                    wc = wc.dt.tz_localize(None)
+                gc = gc.astype("datetime64[us]")
+                wc = wc.astype("datetime64[us]")
             eq = (gc.values == wc.values) | (gc.isna().values & wc.isna().values)
             if not eq.all():
                 i = int((~eq).argmax())

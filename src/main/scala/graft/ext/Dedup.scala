@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash groupBy), n-gram Jaccard with min-shingle
+  * blocking, MinHash+LSH, and SimHash.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison —
+  * exact dedup is one hash aggregation; Jaccard/MinHash/SimHash first
+  * shuffle on a compact blocking key (min-shingle / LSH band / SimHash
+  * chunk) so candidate generation is an equi-join, then verify only
+  * within buckets. All expressed with built-in higher-order functions
+  * (codegen'd), no UDFs.
+  */
+object Dedup {
+
+  /** Canonical text form for exact dedup: lowercased, whitespace
+    * collapsed. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Content hash for exact dedup at scale — grouping on a 64-hex-char
+    * key instead of arbitrarily long text keeps shuffle rows small. */
+  def contentHash(text: Column): Column = sha2(normalized(text), 256)
+
+  /** Exact dedup: keep the lowest doc_id per normalized content hash. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle set (distinct, sorted for determinism). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    array_sort(array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Jaccard similarity of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard with min-shingle blocking:
+    * two docs can only be compared if they share their *minimum*
+    * shingle — one blocking key per doc, so candidate generation is a
+    * self-equi-join on that key rather than all pairs. (Guaranteed to
+    * find pairs whose min shingles coincide; near-identical docs
+    * almost always do. MinHash+LSH below gives the tunable-recall
+    * version.) */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("block", array_min(col("sh")))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    a.join(b, col("a.block") === col("b.block") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: for each of `numHashes` permutations j, the
+    * min over shingles of (a_j * xxhash64(shingle) + b_j) mod p.
+    * Constants derive from the permutation index — deterministic and
+    * shippable to every executor as part of the plan. */
+  def minhashSignature(sh: Column, numHashes: Int): Column = {
+    // 2^31 - 1 (Mersenne prime): keeps a*h+b well under Long overflow
+    // even with ANSI arithmetic checks on
+    val p = lit(2147483647L)
+    val exprs = (0 until numHashes).map { j =>
+      val a = lit(2L * j + 1)
+      val b = lit(7919L * (j + 1))
+      array_min(transform(sh,
+        s => pmod(a * pmod(xxhash64(s), p) + b, p)))
+    }
+    array(exprs: _*)
+  }
+
+  /** MinHash + LSH banding: signature split into `bands` bands of
+    * `rowsPerBand`; docs sharing any band hash become candidates;
+    * candidates are verified with exact Jaccard. One shuffle per the
+    * explode+groupBy, join back for verification — no all-pairs. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double)
+      : DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig",
+      minhashSignature(col("sh"), bands * rowsPerBand))
+    // band key = (band index, hash of that band's signature slice)
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map(bnd =>
+        xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
+          lit(bnd))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash from token hashes: per bit position, tokens vote
+    * +1/-1 by their hash bit; the sign of the vote sum sets the bit.
+    * Pure HOF fold — no explode, no shuffle until the pairing step. */
+  def simhash32(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val votes = aggregate(toks,
+      array_repeat(lit(0), 32),
+      (acc, t) => zip_with(acc,
+        array((0 until 32).map(i =>
+          when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)): _*),
+        (x, y) => x + y))
+    // votes[i] > 0 → bit i set; dynamic shifts aren't Column-typed, so
+    // encode 2^i via exact double pow
+    aggregate(zip_with(votes, sequence(lit(0), lit(31)),
+        (v, i) => when(v > 0, pow(lit(2.0), i).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3):
+    * the 32-bit hash splits into 4 byte-chunks; by pigeonhole any pair
+    * within distance 3 shares at least one chunk, so candidate
+    * generation is an equi-join on (chunk index, chunk value). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only to 3")
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      simhash32(col(textCol)).as("simhash"))
+    val chunked = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 8).bitwiseAND(255)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The container ships no media codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`decodeStub`) — the Spark-side
+  * plumbing is real: typed Dataset schema, mapPartitions batching
+  * (amortizes per-batch decoder setup, the shape a JNI/FFmpeg/libjpeg
+  * binding needs), partition sizing by byte budget, and frame
+  * sampling over the binary payload.
+  */
+object Multimodal {
+
+  /** An opaque media blob + its source id. */
+  case class MediaRecord(doc_id: Long, media: Array[Byte])
+
+  /** Typed decode output. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, format: String, checksum: Long)
+
+  /** STUB decoder — stands in for a real codec call. Deterministic
+    * function of the bytes only, so tests are stable. A production
+    * build swaps this body for the real binding and nothing else
+    * changes. */
+  def decodeStub(bytes: Array[Byte]): MediaMeta = {
+    var crc = 0L
+    var i = 0
+    while (i < bytes.length) { // cheap rolling checksum, not crypto
+      crc = (crc * 31 + (bytes(i) & 0xff)) % 2147483647L
+      i += 1
+    }
+    val fmt: String = if (bytes.isEmpty) "empty"
+      else Seq("jpeg", "png", "wav", "mp4")((bytes(0) & 0xff) % 4)
+    MediaMeta(-1L, bytes.length, 1 + (crc % 640).toInt,
+      1 + ((crc >> 8) % 480).toInt, fmt, crc)
+  }
+
+  /** Batched per-partition decode: the iterator is consumed in groups
+    * of `batchSize` so a real decoder could process one batch per
+    * native call (the `mapInPandas`/Arrow-batch shape, expressed
+    * Scala-native). Lazy iterators — no partition materialization. */
+  def decodeMeta(records: Dataset[MediaRecord], batchSize: Int = 64)
+      : Dataset[MediaMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "decoder session" per batch
+        batch.iterator.map(r => decodeStub(r.media).copy(doc_id = r.doc_id))
+      }
+    }
+  }
+
+  /** Sample up to `n` fixed-width "frames" (byte slices) from a media
+    * blob — the frame-sampling primitive for video-ish payloads,
+    * expressed over the binary column with built-ins only. */
+  def sampleFrames(media: org.apache.spark.sql.Column, n: Int,
+      frameBytes: Int): org.apache.spark.sql.Column = {
+    val len = length(media)
+    filter(
+      transform(sequence(lit(0), lit(n - 1)),
+        i => substring(media, (i * greatest((len - frameBytes) /
+          lit(math.max(n - 1, 1)), lit(1))).cast("int") + 1,
+          lit(frameBytes))),
+      f => length(f) > 0)
+  }
+
+  /** documents.text re-cast as a media corpus (the container has no
+    * real media files; byte payloads exercise identical plumbing). */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+
+  /** Full decode pipeline as a DataFrame query (rows-only check). */
+  def decodePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeMeta(mediaFromDocuments(s, dir)).toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the candidate corpus; linear scan, no shuffle of the
+  * corpus, scales to any corpus size at O(|Q|·|C|) work.
+  *
+  * Scale path: random-hyperplane LSH — each vector gets a compact
+  * signature; only same-bucket pairs are scored. Planes are
+  * deterministic literals baked into the plan (no fit step, no
+  * driver state).
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays as a strict left-to-right
+    * fold (deterministic accumulation order — see QueryUtil notes). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), _ + _)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector (chosen by
+    * `isQuery`), the k most similar other vectors. Scores are rounded
+    * before ranking so the ordering is reproducible cross-engine. */
+  def bruteForceTopK(embeddings: DataFrame, isQuery: Column, k: Int)
+      : DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      toDouble(col("embedding")).as("emb"))
+    val q = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: numPlanes × dim doubles
+    * from a seeded JVM PRNG, shipped as plan literals. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH bucket id (one int per vector). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val proj = aggregate(
+        zip_with(emb, typedLit(plane), (x, p) => x * p),
+        lit(0.0), _ + _)
+      when(proj > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only within the query's bucket. Trades
+    * recall for a |C|/2^planes candidate reduction; the corpus shuffle
+    * is a single hash partition on the bucket id. */
+  def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
+      numPlanes: Int, seed: Long): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val q = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = base.join(broadcast(q),
+        col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization using per-label centroids (the
+    * embeddings table's `label` column is the cluster assignment):
+    * queries probe only the `nprobe` nearest centroids' partitions.
+    * The centroid table is tiny → broadcast both directions. */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
+      nprobe: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("emb"))
+    // centroid per label via explode-by-dimension — scales to any
+    // partition size (no per-group collect of whole vectors)
+    val centroids = base
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x("cv")).as("centroid"))
+    val q = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("label"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("c_sim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("c_sim"), asc("label"))
+    val probed = probes.withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("label"))
+    val scored = base.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * Column expressions over the `documents` table — embarrassingly
+  * parallel narrow transforms at any scale.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * punctuation each count as one token (the standard pre-tokenizer
+    * split, minus the unicode categories this corpus doesn't have). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Small multilingual stopword table for language ID / quality. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "que", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  val AllStopwords: Seq[String] =
+    StopwordsByLang.flatMap(_._2).distinct.sorted
+
+  /** Count of tokens contained in `words`. */
+  def tokenHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Heuristic quality score ∈ [0,1]: blends length saturation,
+    * type-token ratio, and stopword presence (the classic cheap
+    * pre-filter for web-scale corpora). Deterministic double math —
+    * mirrors 1:1 into the oracle SQL. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0))
+    val ttr = size(array_distinct(toks)).cast("double") /
+      greatest(nTok, lit(1.0))
+    val stopRatio = tokenHits(toks, AllStopwords).cast("double") /
+      greatest(nTok, lit(1.0))
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    round(lenScore * 0.4 + ttr * 0.4 + stopScore * 0.2, 6)
+  }
+
+  /** Language ID by stopword voting: argmax of per-language stopword
+    * hit counts, ties broken by language code order (deterministic). */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    StopwordsByLang.map { case (lang, words) =>
+      lang -> tokenHits(toks, words)
+    }
+
+  def predictedLang(toks: Column): Column = {
+    val scores = langScores(toks)
+    val best = greatest(scores.map(_._2): _*)
+    // first language (alphabetical order of StopwordsByLang) reaching
+    // the max wins; no stopword hits at all → "und"(etermined)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * h = (h * 31 + code(ch)) mod (2^31 - 1). A pure left fold — the
+    * same arithmetic is expressible in DuckDB's list_reduce for oracle
+    * verification, and it's an order-sensitive content fingerprint
+    * (unlike the hash-set ops above). */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventsStream
+import QueryUtil._
+
+/** Batch-equivalent verification queries for the streaming surface:
+  * the same window aggregations EventsStream runs under `readStream`
+  * are executed in batch mode here, where DuckDB can verify them
+  * (SURVEY.md §2.10 — stateful ops stay out of the oracle, their
+  * *logic* doesn't).
+  */
+object Streaming {
+
+  def stTumbling(s: SparkSession, d: String): DataFrame =
+    EventsStream.tumblingAgg(Tables.events(s, d))
+      .orderBy("window_start", "event_type")
+
+  private val stTumblingSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def stSliding(s: SparkSession, d: String): DataFrame =
+    EventsStream.slidingAgg(Tables.events(s, d))
+      .orderBy("window_start", "event_type")
+
+  // every event falls in exactly two 1h/30m windows: the one starting
+  // at its hour and the one starting at the preceding half-hour
+  private val stSlidingSql =
+    """WITH w AS (
+      |  SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800)
+      |    * 1000000 AS BIGINT)) AS window_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+      |    * 1000000 AS BIGINT)) AS window_start, event_type FROM events)
+      |SELECT window_start, event_type, count(*) AS n
+      |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def stSession(s: SparkSession, d: String): DataFrame =
+    EventsStream.sessionAgg(Tables.events(s, d))
+      .orderBy("user_id", "session_start")
+
+  private val stSessionSql =
+    """WITH e AS (SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |      IS NULL OR ts - (lag(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts)) >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END
+      |      AS new_session
+      |  FROM events),
+      |s AS (SELECT user_id, ts, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM e)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "st_tumbling" -> (stTumbling _),
+    "st_sliding" -> (stSliding _),
+    "st_session" -> (stSession _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st_tumbling" -> stTumblingSql,
+    "st_sliding" -> stSlidingSql,
+    "st_session" -> stSessionSql,
+  )
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextStats}
+import QueryUtil._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, Jaccard, MinHash+LSH, SimHash), similarity search
+  * (brute-force / LSH / IVF), and text analysis. SQL-expressible ops
+  * carry DuckDB oracles; the sketch-based ops (xxhash64 signatures)
+  * are deterministic but engine-specific → rows-only checks plus
+  * ScalaTest coverage.
+  */
+object TrainingData {
+
+  // ---- dedup --------------------------------------------------------
+  def dDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("content_hash")
+
+  private val dDedupExactSql =
+    """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |    AS content_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  def dJaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
+  private val dJaccardPairsSql =
+    """WITH sh AS (SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))))
+      |      AS sh
+      |  FROM documents),
+      |blocked AS (SELECT doc_id, sh, sh[1] AS block FROM sh
+      |  WHERE len(sh) > 0)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      |    AS jaccard
+      |FROM blocked a JOIN blocked b
+      |  ON a.block = b.block AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs — rows-only (xxhash64 signatures are
+    * Spark-native); exact-Jaccard-verified so every emitted pair is a
+    * true near duplicate. */
+  def dMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-doc 32-bit SimHash fingerprints — rows-only. */
+  def dSimhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  // ---- text analysis ------------------------------------------------
+  def dTextStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(toks).as("n_tokens"),
+      TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      round(size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"), 6).as("ttr"),
+      TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val dTextStatsSql = {
+    val stop = TextStats.AllStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, length(text) AS n_chars_m,
+       |    string_split(text, ' ') AS toks,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+       |      AS n_bpe_tokens
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars_m, n_bpe_tokens,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks))::DOUBLE /
+       |      greatest(len(toks), 1) AS ttr,
+       |    least(len(toks)::DOUBLE / 20.0, 1.0) AS len_score,
+       |    least((len(list_filter(toks, x -> x IN ($stop)))::DOUBLE /
+       |      greatest(len(toks), 1)::DOUBLE) * 4.0, 1.0) AS stop_score
+       |  FROM t)
+       |SELECT doc_id, n_chars_m, n_tokens, n_bpe_tokens,
+       |  round(ttr, 6) AS ttr,
+       |  round(len_score * 0.4 + ttr * 0.4 + stop_score * 0.2, 6)
+       |    AS quality
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def dLangId(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextStats.predictedLang(toks).as("pred_lang"))
+      .withColumn("correct", col("lang") === col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val dLangIdSql = {
+    val scoreCols = TextStats.StopwordsByLang.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($lst))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextStats.StopwordsByLang.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pred = langs.map(l =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM t),
+       |b AS (SELECT *, $best AS best FROM sc)
+       |SELECT doc_id, lang, CASE $pred ELSE 'und' END AS pred_lang,
+       |  lang = (CASE $pred ELSE 'und' END) AS correct
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  def dFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val dFingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- similarity search --------------------------------------------
+  private val isQuery = col("vec_id") % 40 === 0
+
+  def sAnnBrute(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), isQuery, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val sAnnBruteSql =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
+      |  WHERE vec_id % 40 = 0),
+      |scored AS (SELECT query_id, vec_id AS neighbor_id,
+      |    round(list_dot_product(q_emb, emb) /
+      |      (sqrt(list_dot_product(q_emb, q_emb)) *
+      |       sqrt(list_dot_product(emb, emb))), 6) AS cos_sim
+      |  FROM base CROSS JOIN q WHERE vec_id <> query_id),
+      |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN — rows-only (JVM-seeded hyperplanes). */
+  def sAnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), isQuery, k = 5,
+      numPlanes = 4, seed = 42L)
+      .orderBy("query_id", "rank")
+
+  /** IVF-style ANN probing nearest label centroids — rows-only
+    * (centroid averages accumulate in float-order-dependent fashion
+    * across partitions; deterministic per plan but not SQL-mirrored). */
+  def sAnnIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), isQuery, k = 5,
+      nprobe = 3)
+      .orderBy("query_id", "rank")
+
+  // ---- multimodal plumbing ------------------------------------------
+  /** Binary-column metadata pass: treat text bytes as an opaque media
+    * blob (the container has no image/audio codecs — see
+    * ext/Multimodal for the typed decode plumbing + stub). */
+  def mBinaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"))
+      .select(col("doc_id"),
+        length(col("media")).as("n_bytes"))
+      .orderBy("doc_id")
+
+  private val mBinaryMetaSql =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Typed mapPartitions decode pipeline (stubbed codec) — rows-only. */
+  def mMediaDecode(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.decodePipeline(s, d)
+
+  // -------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "d_dedup_exact" -> (dDedupExact _),
+    "d_jaccard_pairs" -> (dJaccardPairs _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash" -> (dSimhash _),
+    "d_text_stats" -> (dTextStats _),
+    "d_langid" -> (dLangId _),
+    "d_fingerprint" -> (dFingerprint _),
+    "s_ann_brute" -> (sAnnBrute _),
+    "s_ann_lsh" -> (sAnnLsh _),
+    "s_ann_ivf" -> (sAnnIvf _),
+    "m_binary_meta" -> (mBinaryMeta _),
+    "m_media_decode" -> (mMediaDecode _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d_dedup_exact" -> dDedupExactSql,
+    "d_jaccard_pairs" -> dJaccardPairsSql,
+    "d_text_stats" -> dTextStatsSql,
+    "d_langid" -> dLangIdSql,
+    "d_fingerprint" -> dFingerprintSql,
+    "s_ann_brute" -> sAnnBruteSql,
+    "m_binary_meta" -> mBinaryMetaSql,
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY.md §2.10 — pure north-star extension; the reference is
+  * batch-only).
+  *
+  * The transformations are defined once over an arbitrary events
+  * DataFrame — batch or streaming — so the exact same logic backs
+  * (a) the oracle-verified batch queries in queries/Streaming.scala
+  * and (b) a `readStream` pipeline with watermarks. Batch/stream
+  * parity is asserted in ScalaTest via a file-source stream + memory
+  * sink.
+  */
+object EventsStream {
+
+  /** events schema for readStream (ts as µs timestamp). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour counts/sums per event type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour / 30-minute windows per event type. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** Session windows (10-minute inactivity gap) per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming variant of [[tumblingAgg]] with a watermark — late data
+    * beyond 30 minutes is dropped and state is bounded, which is what
+    * lets this run indefinitely on an unbounded source. */
+  def streamingTumbling(spark: SparkSession, sourceDir: String): DataFrame =
+    tumblingAgg(
+      spark.readStream.schema(schema).parquet(sourceDir)
+        .withWatermark("ts", "30 minutes"))
+}

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  Quick Brown Fox jumps over the lazy dog"), // exact dup mod case/ws
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (4L, "completely different words entirely here now"),
+    (5L, "the quick brown fox jumps over the lazy dog"))  // exact dup
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .filter($"n_copies" > 1)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 3L)))
+  }
+
+  test("jaccard pairs finds the near duplicate above threshold") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // 1-5 identical (jaccard 1.0); 1-3 and 3-5 share most shingles
+    assert(got.contains((1L, 5L)))
+    assert(got.contains((1L, 3L)))
+  }
+
+  test("minhash LSH finds true near-dup pairs with verified jaccard") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(got.forall(_._3 >= 0.5)) // every emitted pair is verified
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical text → distance 0; pairs respect maxHamming") {
+    val h = docs.select(Dedup.simhash32($"text").as("h"))
+      .as[Long].collect()
+    assert(h(0) == h(4)) // identical text, identical simhash
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(r => (r._1, r._2)).contains((1L, 5L)))
+    assert(pairs.forall(_._3 <= 3))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical to query
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Seq(0.0f, 0.0f, 1.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+      .sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates with " +
+      "correct ranking within the bucket") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, col("vec_id") % 100 === 0, 5,
+      numPlanes = 2, seed = 42L)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(lsh.nonEmpty)
+    // recall with 2 planes (4 buckets) should be substantial
+    val recall = lsh.count(r => brute.contains((r._1, r._2))).toDouble /
+      math.max(brute.size, 1)
+    assert(recall > 0.2, s"LSH recall too low: $recall")
+  }
+
+  test("IVF top-k probes centroids and returns ranked neighbors") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val got = Similarity.ivfTopK(emb, col("vec_id") % 100 === 0, 5,
+      nprobe = 10) // nprobe = all labels → equals brute force
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, 5)
+    val g = got.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = brute.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(g == b, "IVF with all probes must equal brute force")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class EventsStreamSpec extends SparkSpec {
+
+  test("streaming tumbling agg equals batch tumbling agg (file source " +
+      "→ memory sink)") {
+    // stage sf0.001 events as µs-timestamp parquet for the stream source
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_stream").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(staged)
+
+    val q = EventsStream.streamingTumbling(spark, staged)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_out")
+        .orderBy("window_start", "event_type")
+        .collect().toSeq
+      val batch = EventsStream.tumblingAgg(Tables.events(spark, sf0001))
+        .orderBy("window_start", "event_type")
+        .collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} rows")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 00:05:00", 7L, "view", 1.0, "{}"),  // same session
+      (3L, "2024-01-01 00:30:00", 7L, "view", 1.0, "{}"))  // new session
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = EventsStream.sessionAgg(ev)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .sortBy(_._2)
+    assert(got.toSeq == Seq((7L, 1L), (7L, 2L)))
+  }
+}
