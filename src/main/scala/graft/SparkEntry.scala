@@ -13,9 +13,12 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full staffing pipeline — the reference's flagship lifecycle —
+    * availability pivot, validation/quarantine, normalization, and the
+    * users+consultants MERGE, end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Parity.pStaffingPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -63,54 +63,74 @@ object Dedup {
     a.join(b, col("a.block") === col("b.block") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("n_inter"),
+        size(col("a.sh")).as("n_a"), size(col("b.sh")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: for each of `numHashes` permutations j, the
-    * min over shingles of (a_j * xxhash64(shingle) + b_j) mod p.
-    * Constants derive from the permutation index — deterministic and
-    * shippable to every executor as part of the plan. */
-  def minhashSignature(sh: Column, numHashes: Int): Column = {
+  /** MinHash signature over pre-hashed shingles: for permutation j,
+    * min over shingle hashes h of (a_j * h + b_j) mod p. Hashing the
+    * shingle strings once (`hs`) and permuting the longs keeps this
+    * O(|sh|) string hashing per doc instead of O(|sh|·numHashes). */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
     // 2^31 - 1 (Mersenne prime): keeps a*h+b well under Long overflow
     // even with ANSI arithmetic checks on
     val p = lit(2147483647L)
     val exprs = (0 until numHashes).map { j =>
       val a = lit(2L * j + 1)
       val b = lit(7919L * (j + 1))
-      array_min(transform(sh,
-        s => pmod(a * pmod(xxhash64(s), p) + b, p)))
+      array_min(transform(shingleHashes, h => pmod(a * h + b, p)))
     }
     array(exprs: _*)
   }
 
   /** MinHash + LSH banding: signature split into `bands` bands of
     * `rowsPerBand`; docs sharing any band hash become candidates;
-    * candidates are verified with exact Jaccard. One shuffle per the
-    * explode+groupBy, join back for verification — no all-pairs. */
+    * candidates are verified with exact Jaccard. Scale shape: the
+    * band self-join shuffles only (doc_id, band, band_hash) — never
+    * the shingle arrays; candidate pairs are deduplicated *before*
+    * the (expensive) verification join pulls the two shingle sets. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double)
       : DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig",
-      minhashSignature(col("sh"), bands * rowsPerBand))
-    // band key = (band index, hash of that band's signature slice)
-    val banded = sig.select(col("doc_id"), col("sh"),
+    val sig = sh
+      .withColumn("hs", transform(col("sh"),
+        s => pmod(xxhash64(s), lit(2147483647L))))
+      .withColumn("sig", graft.functions.MinHashSig.minhash_sig(
+        col("hs"), bands * rowsPerBand))
+    // band key = hash of (band's signature slice, band index);
+    // only ids travel into the self-join
+    val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bnd =>
         xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
           lit(bnd))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verification: one intersect per unique pair
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -67,12 +67,12 @@ object TextStats {
     }
   }
 
-  /** Rolling polynomial fingerprint over the document's characters:
-    * h = (h * 31 + code(ch)) mod (2^31 - 1). A pure left fold — the
-    * same arithmetic is expressible in DuckDB's list_reduce for oracle
-    * verification, and it's an order-sensitive content fingerprint
-    * (unlike the hash-set ops above). */
+  /** Rolling polynomial fingerprint over the document's code points:
+    * h = (h * 31 + code(ch)) mod (2^31 - 1). Order-sensitive content
+    * fingerprint (unlike the hash-set ops above), verified against a
+    * DuckDB `list_reduce`/`ord` oracle. Implemented as a custom
+    * codegen'd Catalyst Expression — the HOF char-fold equivalent is
+    * ~10^4× slower per character (interpreted lambda per step). */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
+    graft.functions.RollingHash.rolling_hash(text)
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd rolling polynomial hash over a string's Unicode code
+  * points: h = (h * mult + codePoint) mod modulus, left to right.
+  *
+  * Replaces the `aggregate(split(text, ''), ...)` higher-order-function
+  * formulation, which evaluates an interpreted lambda per character
+  * (~50µs/char under JIT pressure); this compiles to a tight loop
+  * inside whole-stage codegen (~1ns/char). Semantics are unchanged —
+  * per code point, matching DuckDB `ord()` on the oracle side.
+  */
+case class RollingHash(child: Expression, mult: Long, modulus: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % modulus
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |String $s = $c.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * ${mult}L + $cp) % ${modulus}L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RollingHash = copy(child = newChild)
+}
+
+object RollingHash {
+  /** Column wrapper; default constants match the library fingerprint
+    * (31 / 2^31-1) and the DuckDB oracle formulation. */
+  def rolling_hash(c: Column, mult: Long = 31L,
+      modulus: Long = 2147483647L): Column =
+    GraftShims.toColumn(RollingHash(
+      GraftShims.toExpression(c.cast("string")), mult, modulus))
+}

@@ -166,20 +166,36 @@ object Analytics {
 
   /** As-of join: latest order per (event.user_id = o_custkey) at or
     * before the event timestamp. Spark lacks a native as-of join; the
-    * composition is equi-join on the key + range predicate + window
-    * rank — the equi key keeps it a hash join (no nested loop), and the
-    * per-event window picks the most recent match deterministically. */
+    * naive composition (equi-join + range filter + rank) multiplies
+    * every event by all its user's earlier orders. This implementation
+    * is the scalable merge formulation instead: union both inputs,
+    * one sort per user key, and a running `last(ignoreNulls)` window
+    * carries the most recent order forward onto each event row —
+    * O(|events|+|orders|) rows, a single shuffle, no explosion.
+    * Tie rule (same instant): orders sort before events (`is_order`
+    * desc) so an order dated exactly at the event counts; among
+    * equal-date orders the max orderkey wins — identical to the
+    * oracle's `ORDER BY o_orderdate DESC, o_orderkey DESC` rank. */
   def qAsofEventOrder(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
-    val ord = Tables.orders(s, d)
-      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
-    ev.join(ord, col("user_id") === col("o_custkey") &&
-        col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    val ord = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+      lit(1).as("is_order"), col("o_orderkey"), col("o_totalprice"),
+      lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("ts").as("t"), lit(0).as("is_order"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("t"), desc("is_order"), asc_nulls_first("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("last_ord",
+        last(when(col("is_order") === 1,
+          struct(col("o_orderkey"), col("o_totalprice"))), true).over(w))
+      .filter(col("is_order") === 0 && col("last_ord").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("last_ord.o_orderkey").as("o_orderkey"),
+        col("last_ord.o_totalprice").as("o_totalprice"))
       .orderBy("event_id")
   }
 

@@ -425,8 +425,65 @@ object Parity {
       |  TRY_CAST(raw AS INT) IS NULL AS is_error
       |FROM staged ORDER BY event_id""".stripMargin
 
+  // ---- full staffing pipeline (flagship; rows-only) -----------------
+  /** Sheet-shaped staging derived from `customer` (blanks/slot lists
+    * injected deterministically), full Staffing pipeline over a
+    * current-users state derived from the same table — exercises R1 +
+    * F1/F2 + P1 + J4 + J5 + A1 end-to-end. */
+  def pStaffingPipeline(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val sheet = c.select(
+      when(col("c_custkey") % 11 === 3, lit("")).otherwise(col("c_name"))
+        .as("Name"),
+      concat(lit("u"), col("c_custkey").cast("string"), lit("@x.com"))
+        .as("Email"),
+      col("c_mktsegment").as("Current Role"),
+      concat(lit("nid"), col("c_custkey").cast("string")).as("NetID"),
+      lit("Consulting").as("Major"),
+      when(col("c_custkey") % 2 === 0, lit("yes")).otherwise(lit("nope"))
+        .as("US Citizen"),
+      col("c_acctbal").cast("int").cast("string")
+        .as("Consultant Score"),
+      when(col("c_custkey") % 3 === 0, lit("Monday, Wednesday"))
+        .when(col("c_custkey") % 3 === 1, lit("tuesday"))
+        .otherwise(lit("")).as("09:00 AM GMT-0600"),
+      when(col("c_custkey") % 4 === 0, lit(" friday , MONDAY"))
+        .otherwise(lit("")).as("08:00 AM GMT-0600"))
+    val curUsers = c.filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").as("user_id"), col("c_name").as("name"),
+      concat(lit("u"), col("c_custkey").cast("string"), lit("@x.com"))
+        .as("email"),
+      lit(null).cast("string").as("gender"),
+      lit(null).cast("string").as("race"),
+      lit(false).as("us_citizen"), lit(false).as("residency"),
+      lit(false).as("first_gen"),
+      col("c_mktsegment").as("curr_role"),
+      concat(lit("nid"), col("c_custkey").cast("string")).as("netid"))
+    val curConsultants = curUsers.select(
+      Seq(col("user_id"), lit(null).cast("string").as("year"),
+        lit("Consulting").as("major"),
+        lit(null).cast("string").as("minor"),
+        lit(null).cast("string").as("college"),
+        lit(0).as("consultants_score"), lit(1).as("semesters_in_ibc"),
+        lit(null).cast("string").as("time_zone"),
+        lit(false).as("willing_to_travel"),
+        lit(null).cast("string").as("industry_interests"),
+        lit(null).cast("string").as("functional_area_interests"),
+        lit("active").as("status"),
+        lit(false).as("week_before_finals_availability")) ++
+      graft.ops.Availability.DayNames.map { case (n, _) =>
+        lit("00").as(n) }: _*)
+    val r = graft.pipelines.Staffing.run(sheet, curUsers, curConsultants)
+    r.users
+      .join(r.consultants.select(col("user_id"),
+        col("availability_mon"), col("status"),
+        col(graft.ops.Merge.ActionCol).as("_c_action")), Seq("user_id"))
+      .orderBy("email")
+  }
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "p_staffing_pipeline" -> (pStaffingPipeline _),
     "p_validation_split" -> (pValidationSplit _),
     "p_parse_boolean" -> (pParseBoolean _),
     "p_blank_to_null" -> (pBlankToNull _),

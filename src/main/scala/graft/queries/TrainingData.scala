@@ -16,9 +16,23 @@ import QueryUtil._
   */
 object TrainingData {
 
+  /** The documents/embeddings testdata arrives as a single parquet
+    * split locally, which would serialize all per-doc expression work
+    * onto one core; a round-robin repartition spreads it across the
+    * session's parallelism. (At production scale the scan already
+    * arrives in thousands of splits and this rebalance is unnecessary —
+    * it lives here in the query layer, not in the ops library.) */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+
   // ---- dedup --------------------------------------------------------
   def dDedupExact(s: SparkSession, d: String): DataFrame =
-    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    Dedup.exact(docs(s, d), "doc_id", "text")
       .orderBy("content_hash")
 
   private val dDedupExactSql =
@@ -28,7 +42,7 @@ object TrainingData {
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
   def dJaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+    Dedup.jaccardPairs(docs(s, d), "doc_id", "text",
       n = 3, threshold = 0.2)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
@@ -56,20 +70,20 @@ object TrainingData {
     * Spark-native); exact-Jaccard-verified so every emitted pair is a
     * true near duplicate. */
   def dMinhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+    Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
       .orderBy("doc_a", "doc_b")
 
   /** Per-doc 32-bit SimHash fingerprints — rows-only. */
   def dSimhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   // ---- text analysis ------------------------------------------------
   def dTextStats(s: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
       size(toks).as("n_tokens"),
@@ -104,7 +118,7 @@ object TrainingData {
 
   def dLangId(s: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"), col("lang"),
       TextStats.predictedLang(toks).as("pred_lang"))
       .withColumn("correct", col("lang") === col("pred_lang"))
@@ -148,7 +162,7 @@ object TrainingData {
   private val isQuery = col("vec_id") % 40 === 0
 
   def sAnnBrute(s: SparkSession, d: String): DataFrame =
-    Similarity.bruteForceTopK(Tables.embeddings(s, d), isQuery, k = 5)
+    Similarity.bruteForceTopK(embs(s, d), isQuery, k = 5)
       .orderBy("query_id", "rank")
 
   private val sAnnBruteSql =
@@ -169,7 +183,7 @@ object TrainingData {
 
   /** LSH-bucketed ANN — rows-only (JVM-seeded hyperplanes). */
   def sAnnLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, d), isQuery, k = 5,
+    Similarity.lshTopK(embs(s, d), isQuery, k = 5,
       numPlanes = 4, seed = 42L)
       .orderBy("query_id", "rank")
 
@@ -177,7 +191,7 @@ object TrainingData {
     * (centroid averages accumulate in float-order-dependent fashion
     * across partitions; deterministic per plan but not SQL-mirrored). */
   def sAnnIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, d), isQuery, k = 5,
+    Similarity.ivfTopK(embs(s, d), isQuery, k = 5,
       nprobe = 3)
       .orderBy("query_id", "rank")
 

@@ -40,6 +40,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("codegen MinHashSig equals the HOF minhash formulation") {
+    import org.apache.spark.sql.functions._
+    val sh = docs.select(Dedup.shingles($"text", 3).as("sh"))
+      .withColumn("hs", transform($"sh",
+        s => pmod(xxhash64(s), lit(2147483647L))))
+    val both = sh.select(
+      graft.functions.MinHashSig.minhash_sig($"hs", 16).as("fast"),
+      Dedup.minhashSignature($"hs", 16).as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
   test("simhash: identical text → distance 0; pairs respect maxHamming") {
     val h = docs.select(Dedup.simhash32($"text").as("h"))
       .as[Long].collect()

@@ -1,0 +1,110 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // faithful sheet fixture (FIXTURES.md §A1): 3 slot headers stand in
+  // for the 30; values are comma-separated day lists
+  private def sheet = Seq(
+    // valid, new user
+    ("Ada", "ada@u.edu", "Consultant", "ada2", "CS", "yes",
+      "Monday, Wednesday", "monday", ""),
+    // valid, existing user (update path)
+    ("Bob", "bob@u.edu", "EM", "bob3", "ECE", "no",
+      "", "Tuesday", "tuesday , MONDAY"),
+    // invalid: missing Email and Major
+    ("Eve", "", "SC", "eve4", "", "1", "", "", ""))
+    .toDF("Name", "Email", "Current Role", "NetID", "Major",
+      "US Citizen", "b GMT-0600", "a GMT-0600", "c GMT-0600")
+
+  // full users schema (FIXTURES.md §A3)
+  private def curUsers = Seq(
+    (1L, "Bob Old", "bob@u.edu", null.asInstanceOf[String],
+      null.asInstanceOf[String], false, false, false, "EM", "bob3"))
+    .toDF("user_id", "name", "email", "gender", "race", "us_citizen",
+      "residency", "first_gen", "curr_role", "netid")
+
+  test("staffing pipeline: quarantine, merge branches, bitmap, summary") {
+    val users = curUsers
+    // empty current consultants with the full schema
+    val consultants = {
+      import org.apache.spark.sql.types._
+      val fields = StructField("user_id", LongType) +:
+        Staffing.ConsultantsCols.map { c =>
+          val t = c match {
+            case "consultants_score" | "semesters_in_ibc" => IntegerType
+            case "willing_to_travel" |
+                 "week_before_finals_availability" => BooleanType
+            case _ => StringType
+          }
+          StructField(c, t)
+        }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields))
+    }
+    val r = Staffing.run(sheet, users, consultants)
+
+    // summary: 2 valid, 1 invalid
+    assert(r.summary.as[(Long, Long)].collect().head == ((2L, 1L)))
+    // quarantine names the missing fields
+    val reason = r.quarantine.select("_invalid_reason").as[String]
+      .collect().head
+    assert(reason == "missing: Email, Major")
+    // merge: ada insert (new id 2), bob update (keeps id 1)
+    val got = r.users.orderBy("email")
+      .select("email", "user_id", "name", graft.ops.Merge.ActionCol)
+      .as[(String, Long, String, String)].collect()
+    assert(got.toSeq == Seq(("ada@u.edu", 2L, "Ada", "insert"),
+      ("bob@u.edu", 1L, "Bob", "update")))
+    // availability bitmap: slots sorted a,b,c; ada: mon in a+b → "110",
+    // wed only b → "010"
+    val ada = r.staged.filter($"email" === "ada@u.edu")
+      .select("availability_mon", "availability_wed")
+      .as[(String, String)].collect().head
+    assert(ada == ("110", "010"))
+  }
+
+  test("projects pipeline: header coalesce, netid errors, merge, links") {
+    val psheet = Seq(
+      ("P1", null, "Acme", "ada2", null, null),
+      (null, "P2", "Beta", "bob3", "ada2", "nope9"), // unknown netid
+      ("", null, "NoName", null, null, null))        // invalid
+      .toDF("project_name", "Project Name", "Client Name",
+        "EM net-id", "sm_netid", "pm_netid")
+    val users = Seq((1L, "ada2", "Consultant"), (2L, "bob3", "EM"))
+      .toDF("user_id", "netid", "curr_role")
+    val curProjects = Seq.empty[(Long, String, String, String,
+        Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long])]
+      .toDF("project_id", "project_name", "project_semester",
+        "client_name", "em_id", "sm_id", "pm_id", "sc1_id", "sc2_id")
+
+    val r = Projects.run(psheet, users, curProjects)
+    assert(r.summary.as[(Long, Long)].collect().head == ((2L, 1L)))
+    // P2 goes to quarantine (pm netid 'nope9' unknown)
+    assert(r.quarantine.select("project_name").as[String].collect()
+      .toSeq == Seq("P2"))
+    // P1 inserted with resolved em id, link row created
+    val links = r.links.select("role", "user_id").as[(String, Long)]
+      .collect().toSet
+    assert(links == Set(("EM", 1L)))
+    // role reconcile: ada2 expected EM (from P1) but curr Consultant
+    val upd = r.userRoleUpdates.select("user_id", "new_role")
+      .as[(Long, String)].collect().toSeq
+    assert(upd == Seq((1L, "EM")))
+  }
+
+  test("end-semester pipeline: rollover + affected count") {
+    val consultants = Seq((1L, "active", 2), (2L, "returning", 0))
+      .toDF("user_id", "status", "semesters_in_ibc")
+    val r = EndSemester.run(consultants)
+    val got = r.consultants.orderBy("user_id")
+      .select("status", "semesters_in_ibc").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("Deferred", 3), ("Deferred", 1)))
+    assert(r.affected.as[Long].collect().head == 2L)
+  }
+}
