@@ -72,8 +72,15 @@ object Merge {
     * — acceptable because an incremental batch's *insert subset* is
     * small relative to the table even at scale. */
   def assignIds(merged: DataFrame, idCol: String, orderKey: String)
-      : DataFrame = {
-    val maxId = merged.agg(
+      : DataFrame = assignIds(merged, idCol, orderKey, merged)
+
+  /** Variant taking the id source explicitly: pass the *current* table
+    * so the max-id aggregate scans it directly instead of re-deriving
+    * the whole merge join a second time (visible as a duplicated
+    * FullOuter join subtree in the physical plan otherwise). */
+  def assignIds(merged: DataFrame, idCol: String, orderKey: String,
+      idSource: DataFrame): DataFrame = {
+    val maxId = idSource.agg(
       coalesce(max(col(idCol)), lit(0L)).cast("long").as("_max_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(ActionCol) === "insert").orderBy(col(orderKey))

@@ -83,7 +83,8 @@ object Projects {
       Seq("project_name"),
       Seq("project_semester", "client_name") ++
         Roles.map { case (r, _) => s"${r}_id" })
-    val projects = Merge.assignIds(merged0, "project_id", "project_name")
+    val projects = Merge.assignIds(merged0, "project_id",
+      "project_name", curProjects)
 
     // R2/J9: link rows — insert path only (reference behavior)
     val inserted = projects

@@ -98,7 +98,7 @@ object Staffing {
     val stagedUsers = staged.select(UsersCols.map(col): _*)
     val users0 = Merge.merge(stagedUsers, curUsers, Seq("email"),
       UsersCols.filterNot(_ == "email"))
-    val users = Merge.assignIds(users0, "user_id", "email")
+    val users = Merge.assignIds(users0, "user_id", "email", curUsers)
 
     // J5: consultants merge keyed on the resolved user_id
     val stagedConsultants = staged

@@ -220,7 +220,7 @@ object Parity {
           .otherwise(col("c_mktsegment")).as("seg"))
     val merged = Merge.merge(st, cur, Seq("email"),
       Seq("name", "acctbal", "seg"))
-    Merge.assignIds(merged, "user_id", "email")
+    Merge.assignIds(merged, "user_id", "email", cur)
       .orderBy("email")
   }
 
