@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.GraftShims
+
+import graft.functions.{MinHashSig, RollingHash}
+
+/** Session extension registering the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT
+  * rolling_hash(text) ...")` works next to the Column API.
+  *
+  * Activate at session build time:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  * or on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftExtensions {
+
+  private def longArg(e: Expression, default: Long): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case _ => default
+  }
+
+  /** name → expression builder (1-arg form uses library defaults). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> { exprs =>
+      RollingHash(exprs.head,
+        if (exprs.length > 1) longArg(exprs(1), 31L) else 31L,
+        if (exprs.length > 2) longArg(exprs(2), 2147483647L)
+        else 2147483647L)
+    },
+    "minhash_sig" -> { exprs =>
+      MinHashSig(exprs.head,
+        if (exprs.length > 1) longArg(exprs(1), 16L).toInt else 16)
+    })
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftShims.registerFunction(spark, name, b)
+    }
+}

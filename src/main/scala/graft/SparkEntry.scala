@@ -22,12 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ Parity.queries ++ TrainingData.queries ++
-      Streaming.queries
+    Analytics.queries ++ AnalyticsExt.queries ++ Parity.queries ++
+      TrainingData.queries ++ Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracle ++ Parity.oracle ++ TrainingData.oracle ++
-      Streaming.oracle
+    Analytics.oracle ++ AnalyticsExt.oracle ++ Parity.oracle ++
+      TrainingData.oracle ++ Streaming.oracle
 }

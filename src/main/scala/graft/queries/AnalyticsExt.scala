@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import QueryUtil._
+
+/** Second analytics batch: window offsets, CUBE, relational pivot,
+  * skew-safe salted aggregation, string distance, set operations, and
+  * moment statistics via exact sums (the engines' native corr/stddev
+  * accumulate floats in engine-specific order — computing the moments
+  * as exact decimal sums and applying the closed form keeps the result
+  * bit-identical to the oracle).
+  */
+object AnalyticsExt {
+
+  /** lag/lead + percent_rank per customer order history. */
+  def qWindowOffsets(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice"))
+      .withColumn("prev_price",
+        lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("delta", col("o_totalprice") - col("prev_price"))
+      .withColumn("pr", round(percent_rank().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(asc("o_totalprice"), asc("o_orderkey"))), 6))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowOffsetsSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  o_totalprice - lag(o_totalprice, 1) OVER w AS delta,
+      |  round(percent_rank() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** CUBE over (segment, order year). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube(col("c_mktsegment"), col("o_year"))
+      .agg(sumDec(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first("c_mktsegment"),
+        asc_nulls_first("o_year"))
+
+  private val qCubeSql =
+    s"""SELECT c_mktsegment, year(o_orderdate) AS o_year,
+       |  ${sqlSumDec("o_totalprice")} AS sum_price, count(*) AS n,
+       |  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(year(o_orderdate))
+       |    AS BIGINT) AS gid
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY CUBE (c_mktsegment, year(o_orderdate))
+       |ORDER BY gid ASC, c_mktsegment ASC NULLS FIRST,
+       |  o_year ASC NULLS FIRST""".stripMargin
+
+  /** Relational pivot: priority classes to columns per order year. */
+  def qPivotPriority(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val aggs = prios.map(p =>
+      count(when(col("o_orderpriority") === p, 1))
+        .as("n_" + p.substring(0, 1)))
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy("o_year")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("o_year")
+  }
+
+  private val qPivotPrioritySql = {
+    val cols = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW").map(p =>
+      s"count(CASE WHEN o_orderpriority = '$p' THEN 1 END) " +
+      s"AS \"n_${p.substring(0, 1)}\"").mkString(",\n  ")
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  $cols
+       |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin
+  }
+
+  /** Skew-safe two-phase (salted) aggregation: identical result to a
+    * direct groupBy, but the first shuffle spreads each hot key over
+    * `SaltBuckets` reducers — the pattern for power-law keys at scale.
+    * (events has only 5 event types: every key is a hot key.) */
+  val SaltBuckets = 8
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("_salt", pmod(col("event_id"), lit(SaltBuckets)))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,6)")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pv")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  private val qSaltedAggSql =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${sqlSumDec("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Edit distance between adjacent sampled documents. */
+  def qLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 10 === 0).alias("a")
+    val b = docs.alias("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).as("edit_dist"))
+      .orderBy("doc_a")
+  }
+
+  private val qLevenshteinSql =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(a.text, b.text) AS edit_dist
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 10 = 0
+      |ORDER BY doc_a""".stripMargin
+
+  /** INTERSECT / EXCEPT set operations on derived key sets. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val evens = c.filter(col("c_custkey") % 2 === 0)
+    val threes = c.filter(col("c_custkey") % 3 === 0)
+    val both = evens.intersect(threes)
+      .withColumn("op", lit("intersect"))
+    val only = evens.except(threes)
+      .withColumn("op", lit("except"))
+    both.unionByName(only).orderBy("op", "c_custkey")
+  }
+
+  private val qSetOpsSql =
+    """WITH evens AS (SELECT c_custkey FROM customer
+      |    WHERE c_custkey % 2 = 0),
+      |threes AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+      |i AS (SELECT c_custkey, 'intersect' AS op FROM
+      |  (SELECT c_custkey FROM evens INTERSECT
+      |   SELECT c_custkey FROM threes)),
+      |e AS (SELECT c_custkey, 'except' AS op FROM
+      |  (SELECT c_custkey FROM evens EXCEPT
+      |   SELECT c_custkey FROM threes))
+      |SELECT c_custkey, op FROM i
+      |UNION ALL SELECT c_custkey, op FROM e
+      |ORDER BY op, c_custkey""".stripMargin
+
+  /** Pearson correlation + stddev per group from exact decimal moment
+    * sums (closed form over Σx, Σy, Σxy, Σx², Σy², n). */
+  def qCorrStats(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumDec(x).as("sx"), sumDec(y).as("sy"),
+        sumDec(x * y).as("sxy"), sumDec(x * x).as("sxx"),
+        sumDec(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)), 6).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qCorrStatsSql = {
+    val sx = sqlSumDec("l_quantity")
+    val sy = sqlSumDec("l_extendedprice")
+    val sxy = sqlSumDec("l_quantity * l_extendedprice")
+    val sxx = sqlSumDec("l_quantity * l_quantity")
+    val syy = sqlSumDec("l_extendedprice * l_extendedprice")
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  round((count(*) * $sxy - $sx * $sy) /
+       |    (sqrt(count(*) * $sxx - $sx * $sx) *
+       |     sqrt(count(*) * $syy - $sy * $sy)), 6) AS corr_qty_price,
+       |  round(sqrt(($sxx - $sx * $sx / count(*)) /
+       |    (count(*) - 1)), 6) AS stddev_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_window_offsets" -> (qWindowOffsets _),
+    "q_cube_segment_year" -> (qCube _),
+    "q_pivot_priority" -> (qPivotPriority _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_levenshtein" -> (qLevenshtein _),
+    "q_setops" -> (qSetOps _),
+    "q_corr_stats" -> (qCorrStats _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_offsets" -> qWindowOffsetsSql,
+    "q_cube_segment_year" -> qCubeSql,
+    "q_pivot_priority" -> qPivotPrioritySql,
+    "q_salted_agg" -> qSaltedAggSql,
+    "q_levenshtein" -> qLevenshteinSql,
+    "q_setops" -> qSetOpsSql,
+    "q_corr_stats" -> qCorrStatsSql,
+  )
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Merge
+
+/** Custom-state streaming operators (SURVEY.md §2.10 extension tier):
+  * sessionization via `flatMapGroupsWithState` and a streaming
+  * re-implementation of the J4 upsert via `foreachBatch`.
+  *
+  * The session fold is one pure function shared by the batch
+  * (`flatMapGroups`) and streaming (`flatMapGroupsWithState`) paths,
+  * so the batch result is the ground truth for the stream.
+  */
+object StatefulOps {
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** µs-precision conversions — `Timestamp.getTime` truncates to ms,
+    * which diverges from `session_window`'s µs arithmetic. */
+  def toMicros(ts: Timestamp): Long = {
+    val inst = ts.toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+  def fromMicros(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** Fold sorted event times into gap-separated sessions, optionally
+    * continuing from a carried open session. Returns (closed sessions,
+    * open trailing session or null). */
+  def foldSessions(times: Seq[Long], gapMs: Long,
+      carried: Option[SessionState]): (Seq[SessionState], SessionState) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    var cur: SessionState = carried.orNull
+    times.foreach { t =>
+      if (cur == null) cur = SessionState(t, t, 1)
+      else if (t - cur.last >= gapMs) {
+        out += cur; cur = SessionState(t, t, 1)
+      } else cur = SessionState(cur.start, t, cur.n + 1)
+    }
+    (out.toSeq, cur)
+  }
+
+  private def toOut(uid: Long, s: SessionState, gapUs: Long) =
+    SessionOut(uid, fromMicros(s.start), fromMicros(s.last + gapUs), s.n)
+
+  /** Batch sessionization — per-user fold inside each group; one
+    * shuffle on user_id. Matches `session_window` semantics
+    * ([start, last+gap)). */
+  def sessionizeBatch(events: Dataset[EventRow], gapUs: Long)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      val (closed, open) = foldSessions(
+        it.map(e => toMicros(e.ts)).toSeq.sorted, gapUs, None)
+      (closed ++ Option(open)).map(toOut(uid, _, gapUs)).iterator
+    }
+  }
+
+  /** Streaming sessionization with explicit GroupState: sessions are
+    * emitted once a later event proves the gap passed; the open
+    * session flushes on processing-time timeout. State per key is one
+    * (start, last, n) triple — bounded regardless of stream length. */
+  def sessionizeStream(events: Dataset[EventRow], gapUs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeout)(
+        (uid: Long, it: Iterator[EventRow],
+            state: GroupState[SessionState]) => {
+          if (useTimeout && state.hasTimedOut) {
+            val last = state.getOption.map(toOut(uid, _, gapUs))
+            state.remove()
+            last.iterator
+          } else {
+            val (closed, open) = foldSessions(
+              it.map(e => toMicros(e.ts)).toSeq.sorted, gapUs,
+              state.getOption)
+            if (open != null) {
+              state.update(open)
+              if (useTimeout) state.setTimeoutDuration(gapUs / 1000L)
+            }
+            closed.map(toOut(uid, _, gapUs)).iterator
+          }
+        })
+  }
+
+  /** Streaming J4 upsert: each micro-batch of user rows merges into
+    * the target parquet state via `foreachBatch` + [[Merge.merge]] —
+    * the streaming re-expression of the reference's per-row upsert
+    * loop. Overwrite-swap via a temp dir keeps the target readable
+    * mid-rewrite. */
+  def streamingUpsert(staged: DataFrame, targetDir: String,
+      keys: Seq[String], compareCols: Seq[String]) = {
+    staged.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur =
+          try spark.read.parquet(targetDir)
+          catch { case _: Throwable => batch.limit(0) }
+        val merged = Merge.merge(batch.dropDuplicates(keys), cur,
+          keys, compareCols)
+          .drop(Merge.ActionCol)
+        val tmp = targetDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite")
+          .parquet(targetDir)
+        ()
+    }
+  }
+}

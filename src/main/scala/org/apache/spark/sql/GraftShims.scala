@@ -11,4 +11,13 @@ object GraftShims {
     classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function backed by a Catalyst expression
+    * builder on an already-running session (the
+    * `SparkSessionExtensions` route only applies at session build
+    * time). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT rolling_hash('abc') AS h, minhash_sig(array(7L, 11L), 4) AS m")
+      .as[(Long, Seq[Long])].collect().head
+    val api = Seq("abc").toDF("t").select(
+      functions.RollingHash.rolling_hash(col("t")).as("h"),
+      functions.MinHashSig.minhash_sig(
+        array(lit(7L), lit(11L)), 4).as("m"))
+      .as[(Long, Seq[Long])].collect().head
+    assert(sql == api)
+    // 'abc': ((0*31+97)*31+98)*31+99 = 96262 mod p
+    assert(sql._1 == (97L * 31 + 98) * 31 + 99)
+  }
+
+  test("rolling_hash matches the reference fold over unicode text") {
+    GraftExtensions.register(spark)
+    val zh = "的是了 mixed 文本"
+    val got = Seq(zh).toDF("t")
+      .select(functions.RollingHash.rolling_hash(col("t")))
+      .as[Long].collect().head
+    val want = zh.codePoints.toArray.foldLeft(0L)(
+      (h, cp) => (h * 31 + cp) % 2147483647L)
+    assert(got == want)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{SparkSpec, Tables}
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulOps._
+
+  private val GapUs = 10 * 60 * 1000000L
+
+  private def eventsDs = Tables.events(spark, sf0001)
+    .select("event_id", "ts", "user_id", "event_type", "value")
+    .as[EventRow]
+
+  test("batch sessionization matches the session_window aggregation") {
+    val custom = sessionizeBatch(eventsDs, GapUs)
+      .toDF().orderBy("user_id", "session_start")
+      .collect().toSeq
+    val builtin = EventsStream.sessionAgg(
+      Tables.events(spark, sf0001))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect().toSeq
+    assert(custom.nonEmpty)
+    assert(custom == builtin,
+      s"custom=${custom.size} builtin=${builtin.size}")
+  }
+
+  test("streaming sessionization emits the batch sessions (closed + " +
+      "timeout flush)") {
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_sessions").toString
+    Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(staged)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        EventsStream.schema.filter(f => f.name != "props")))
+      .parquet(staged)
+      .as[EventRow]
+    // NoTimeout in-test: the processing-time flush of open sessions
+    // waits wall-clock gap time and keeps scheduling timeout-check
+    // batches, which processAllAvailable never sees as quiescent
+    val q = sessionizeStream(src, GapUs,
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // all data arrives in one micro-batch: every session except each
+      // user's trailing open one is emitted immediately; the open ones
+      // flush only after the (real-time) processing timeout, so the
+      // test compares the closed set
+      val streamed = spark.table("sessions_out")
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batchClosed = {
+        import org.apache.spark.sql.expressions.Window
+        sessionizeBatch(eventsDs, GapUs).toDF()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(desc("session_start"))))
+          .filter(col("rn") =!= 1).drop("rn")
+          .orderBy("user_id", "session_start").collect().toSeq
+      }
+      assert(streamed.nonEmpty)
+      assert(streamed == batchClosed,
+        s"streamed=${streamed.size} batchClosed=${batchClosed.size}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch streaming upsert converges to the batch merge") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("upsert_src").toString
+    val targetDir = java.nio.file.Files
+      .createTempDirectory("upsert_tgt").toString + "/users"
+    // staged user updates derived from events
+    val staged = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type").as("last_event"),
+        col("value").as("score"))
+      .dropDuplicates("user_id")
+    staged.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(staged.schema).parquet(srcDir)
+    val q = StatefulOps.streamingUpsert(stream, targetDir,
+      Seq("user_id"), Seq("last_event", "score")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(targetDir)
+      .orderBy("user_id").collect().toSeq
+    val want = staged.orderBy("user_id").collect().toSeq
+    assert(got.map(_.getLong(0)) == want.map(_.getLong(0)))
+    assert(got.size == want.size && got.nonEmpty)
+  }
+}
