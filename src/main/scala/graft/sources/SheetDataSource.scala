@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.errors.{InvalidFormatError, SheetReadError}
+
+/** DataSourceV2 "sheet" source: reads the reference web app's payload
+  * shape — one JSON array of flat objects, spreadsheet-origin so every
+  * value is a string (cf. `read_data_from_sheet`,
+  * `pipelines/staffing-roster-pipeline.py:75-87`).
+  *
+  * Reference-faithful semantics:
+  *  - schema = the FIRST row's keys, in order (`sheet_data[0]`,
+  *    `:90-91`), all `StringType`; later rows may carry extra keys
+  *    (ignored) or miss keys (NULL);
+  *  - non-string JSON scalars are coerced to their string form;
+  *  - unreadable source → E005 `SheetReadError`; non-array payload or
+  *    non-object element → E003 `InvalidFormatError`.
+  *
+  * A sheet is a small dimension feed, so the scan is one input
+  * partition (the reference itself is one HTTP GET); joins against it
+  * broadcast. `path` accepts anything java.net.URL/File can open —
+  * tests use files, production would point at the web-app URL.
+  */
+class SheetDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "sheet"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SheetDataSource.schemaOf(SheetDataSource.fetch(
+      SheetDataSource.pathOf(options)))
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SheetTable(schema, properties.get("path"))
+}
+
+object SheetDataSource {
+  private val mapper = new ObjectMapper()
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    if (p == null)
+      throw InvalidFormatError("sheet source requires a path option")
+    p
+  }
+
+  /** Fetch + parse the payload; error taxonomy per the reference. */
+  def fetch(path: String): JsonNode = {
+    val bytes =
+      try {
+        if (path.contains("://"))
+          new java.net.URL(path).openStream().readAllBytes()
+        else java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+      } catch { case e: Exception =>
+        throw SheetReadError(s"cannot read sheet at $path: ${e.getMessage}")
+      }
+    val node =
+      try mapper.readTree(bytes)
+      catch { case e: Exception =>
+        throw InvalidFormatError(s"sheet payload is not JSON: ${e.getMessage}")
+      }
+    if (!node.isArray)
+      throw InvalidFormatError("sheet payload must be a JSON array")
+    node
+  }
+
+  def schemaOf(arr: JsonNode): StructType =
+    if (arr.size() == 0) StructType(Nil)
+    else {
+      val first = arr.get(0)
+      if (!first.isObject)
+        throw InvalidFormatError("sheet rows must be JSON objects")
+      StructType(first.fieldNames().asScala.toSeq
+        .map(StructField(_, StringType, nullable = true)))
+    }
+
+  def valueOf(row: JsonNode, field: String): UTF8String = {
+    val v = row.get(field)
+    if (v == null || v.isNull) null
+    else UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+  }
+}
+
+private class SheetTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"sheet($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new SheetScan(schema, path)
+}
+
+private class SheetScan(schema: StructType, path: String)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SheetPartition(path))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SheetReaderFactory(schema)
+}
+
+private case class SheetPartition(path: String) extends InputPartition
+
+private class SheetReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[SheetPartition].path
+    new PartitionReader[InternalRow] {
+      private val arr = SheetDataSource.fetch(path)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < arr.size() }
+      override def get(): InternalRow = {
+        val row = arr.get(i)
+        if (!row.isObject)
+          throw graft.errors.InvalidFormatError(
+            s"sheet row $i is not a JSON object")
+        InternalRow.fromSeq(schema.fieldNames.toSeq
+          .map(SheetDataSource.valueOf(row, _)))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

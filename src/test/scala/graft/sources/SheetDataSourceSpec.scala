@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.errors.{InvalidFormatError, SheetReadError}
+
+class SheetDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeSheet(json: String): String = {
+    val f = Files.createTempFile("sheet", ".json")
+    Files.writeString(f, json)
+    f.toString
+  }
+
+  test("reads array-of-objects with first-row schema, missing keys " +
+      "→ NULL, extra keys ignored, scalars coerced to string") {
+    val path = writeSheet(
+      """[
+        |  {"Name": "Ada", "Email": "ada@u.edu", "Score": 7},
+        |  {"Name": "Bob", "Extra": "ignored"},
+        |  {"Email": "eve@u.edu", "Name": null}
+        |]""".stripMargin)
+    val df = spark.read.format("sheet").load(path)
+    assert(df.columns.toSeq == Seq("Name", "Email", "Score"))
+    val got = df.as[(Option[String], Option[String], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      (Some("Ada"), Some("ada@u.edu"), Some("7")),
+      (Some("Bob"), None, None),
+      (None, Some("eve@u.edu"), None)))
+  }
+
+  test("sheet source feeds the staffing pipeline end-to-end") {
+    val path = writeSheet(
+      """[
+        |  {"Name": "Ada", "Email": "ada@u.edu", "Current Role": "SC",
+        |   "NetID": "ada2", "Major": "CS",
+        |   "a GMT-0600": "Monday, friday"},
+        |  {"Name": "", "Email": "x@u.edu", "Current Role": "SC",
+        |   "NetID": "x9", "Major": ""}
+        |]""".stripMargin)
+    val sheet = spark.read.format("sheet").load(path)
+    val users = Seq.empty[(Long, String, String, String, String,
+        Boolean, Boolean, Boolean, String, String)]
+      .toDF("user_id", "name", "email", "gender", "race", "us_citizen",
+        "residency", "first_gen", "curr_role", "netid")
+    val consultants = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType) +:
+        graft.pipelines.Staffing.ConsultantsCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+    val r = graft.pipelines.Staffing.run(sheet, users, consultants)
+    assert(r.summary.as[(Long, Long)].collect().head == ((1L, 1L)))
+    val ada = r.consultants
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1)
+      .select("availability_mon", "availability_fri")
+      .as[(String, String)].collect().head
+    assert(ada == ("1", "1"))
+  }
+
+  test("error taxonomy: unreadable path → E005, bad payload → E003") {
+    val e5 = intercept[SheetReadError] {
+      spark.read.format("sheet").load("/nonexistent/sheet.json")
+    }
+    assert(e5.code == "E005")
+    val e3 = intercept[InvalidFormatError] {
+      spark.read.format("sheet")
+        .load(writeSheet("""{"not": "an array"}"""))
+    }
+    assert(e3.code == "E003")
+  }
+}
