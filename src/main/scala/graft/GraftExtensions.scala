@@ -19,12 +19,14 @@ import graft.functions.{MinHashSig, RollingHash}
   * or on a live session via [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    e.injectOptimizerRule(_ => graft.rules.FoldRollingHash)
+  }
 }
 
 object GraftExtensions {

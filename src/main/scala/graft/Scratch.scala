@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only scratchpad (not part of the driver contract). */
 object Scratch {
@@ -10,12 +11,12 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = spark.read.format("sheet").load("/tmp/sheet_ok.json")
-    df.show(false); df.printSchema()
-    println("empty sheet rows: " +
-      spark.read.format("sheet").load("/tmp/sheet_empty.json").count())
-    try spark.read.format("sheet").load("/tmp/nope.json").show()
-    catch { case e: Throwable => println("probe error: " + e.getMessage) }
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(rules.FoldRollingHash)
+    val df = Seq(1).toDF("x").select(
+      functions.RollingHash.rolling_hash(lit("const")).as("h"))
+    println("optimized plan: " + df.queryExecution.optimizedPlan)
+    df.show()
     spark.stop()
   }
 }

@@ -22,7 +22,8 @@ case class RollingHash(child: Expression, mult: Long, modulus: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
-  override protected def nullSafeEval(input: Any): Any = {
+  /** The hash itself — public so optimizer rules can fold literals. */
+  def hashOf(input: Any): Long = {
     val s = input.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
@@ -33,6 +34,8 @@ case class RollingHash(child: Expression, mult: Long, modulus: Long)
     }
     h
   }
+
+  override protected def nullSafeEval(input: Any): Any = hashOf(input)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =

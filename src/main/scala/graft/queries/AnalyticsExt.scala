@@ -194,7 +194,53 @@ object AnalyticsExt {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** JSON property extraction from the events payload column. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  private val qJsonExtractSql =
+    """SELECT event_type,
+      |  count(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+      |    AS BIGINT) AS sum_k,
+      |  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact interpolated percentiles per group. */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  private val qPercentilesSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate distinct counts (HLL++) next to the exact count —
+    * rows-only: the sketch estimate is engine-specific by design. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q_json_extract" -> (qJsonExtract _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_window_offsets" -> (qWindowOffsets _),
     "q_cube_segment_year" -> (qCube _),
     "q_pivot_priority" -> (qPivotPriority _),
@@ -205,6 +251,8 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_extract" -> qJsonExtractSql,
+    "q_percentiles" -> qPercentilesSql,
     "q_window_offsets" -> qWindowOffsetsSql,
     "q_cube_segment_year" -> qCubeSql,
     "q_pivot_priority" -> qPivotPrioritySql,

@@ -20,6 +20,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql._1 == (97L * 31 + 98) * 31 + 99)
   }
 
+  test("FoldRollingHash optimizer rule folds literal input to a " +
+      "plain Literal") {
+    spark.experimental.extraOptimizations =
+      Seq(rules.FoldRollingHash)
+    try {
+      val df = Seq(1).toDF("x").select(
+        functions.RollingHash.rolling_hash(lit("const")).as("h"))
+      val optimized = df.queryExecution.optimizedPlan
+      val stillThere = optimized.expressions.exists(_.exists(
+        _.isInstanceOf[functions.RollingHash]))
+      assert(!stillThere, s"RollingHash not folded: $optimized")
+      val want = "const".codePoints.toArray.foldLeft(0L)(
+        (h, cp) => (h * 31 + cp) % 2147483647L)
+      assert(df.as[Long].collect().head == want)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("rolling_hash matches the reference fold over unicode text") {
     GraftExtensions.register(spark)
     val zh = "的是了 mixed 文本"
