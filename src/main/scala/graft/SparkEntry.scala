@@ -22,12 +22,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ AnalyticsExt.queries ++ Parity.queries ++
+    Analytics.queries ++ AnalyticsExt.queries ++
+      Relational.queries ++ Parity.queries ++
       TrainingData.queries ++ Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracle ++ AnalyticsExt.oracle ++ Parity.oracle ++
+    Analytics.oracle ++ AnalyticsExt.oracle ++
+      Relational.oracle ++ Parity.oracle ++
       TrainingData.oracle ++ Streaming.oracle
 }

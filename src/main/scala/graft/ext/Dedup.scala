@@ -136,8 +136,18 @@ object Dedup {
 
   /** 32-bit SimHash from token hashes: per bit position, tokens vote
     * +1/-1 by their hash bit; the sign of the vote sum sets the bit.
-    * Pure HOF fold — no explode, no shuffle until the pairing step. */
-  def simhash32(textCol: Column): Column = {
+    * Token hashing (xxhash64) stays a codegen'd built-in; the vote
+    * fold is the custom codegen'd [[graft.functions.SimHash32]]
+    * expression (the HOF formulation allocated a 32-int array per
+    * token per row). See [[hofSimhash32]] for the reference HOF
+    * formulation kept for equivalence testing. */
+  def simhash32(textCol: Column): Column =
+    graft.functions.SimHash32.simhash32(
+      transform(split(textCol, " "), t => xxhash64(t)))
+
+  /** HOF reference formulation of [[simhash32]] (tests assert
+    * equivalence). */
+  def hofSimhash32(textCol: Column): Column = {
     val toks = split(textCol, " ")
     val votes = aggregate(toks,
       array_repeat(lit(0), 32),
@@ -146,8 +156,6 @@ object Dedup {
           when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1)
             .otherwise(-1)): _*),
         (x, y) => x + y))
-    // votes[i] > 0 → bit i set; dynamic shifts aren't Column-typed, so
-    // encode 2^i via exact double pow
     aggregate(zip_with(votes, sequence(lit(0), lit(31)),
         (v, i) => when(v > 0, pow(lit(2.0), i).cast("long"))
           .otherwise(lit(0L))),

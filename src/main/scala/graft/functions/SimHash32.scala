@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd 32-bit SimHash over pre-hashed token longs: per bit
+  * position, each token votes +1/-1 by its hash bit; the sign of the
+  * vote sum sets the output bit. Replaces a per-token interpreted
+  * `zip_with` fold allocating a 32-int array per step with one
+  * compiled pass over the hash array.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[32];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    if ((($h >> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash32 = copy(child = newChild)
+}
+
+object SimHash32 {
+  def simhash32(tokenHashes: Column): Column =
+    GraftShims.toColumn(SimHash32(GraftShims.toExpression(tokenHashes)))
+}

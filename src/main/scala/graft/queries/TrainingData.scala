@@ -158,6 +158,70 @@ object TrainingData {
       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Flagship curation pipeline: the full training-data pass chained
+    * end-to-end — exact dedup (keep min doc_id per content hash) →
+    * quality floor → language filter → per-source kept/dropped
+    * accounting. Every stage is itself oracle-verified above; this
+    * query verifies their composition. */
+  def dCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val keep = Dedup.exact(base, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val toks = TextStats.tokens(col("text"))
+    base
+      .join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("pred_lang", TextStats.predictedLang(toks))
+      .withColumn("kept",
+        col("quality") >= 0.5 && col("pred_lang") =!= "und")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        // exact-decimal mean: engine AVG accumulates doubles in
+        // engine-specific order (see QueryUtil)
+        round(sum(when(col("kept"), col("quality"))
+            .cast("decimal(18,6)")).cast("double") /
+          count(when(col("kept"), 1)), 6).as("avg_kept_quality"))
+      .orderBy("source")
+  }
+
+  private val dCurationPipelineSql = {
+    val stop = TextStats.AllStopwords.map(w => s"'$w'").mkString(", ")
+    val scoreCols = TextStats.StopwordsByLang.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($lst))) AS s_$lang"
+    }.mkString(", ")
+    val langs = TextStats.StopwordsByLang.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pred = langs.map(l =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+       |    GROUP BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |      'g'))),
+       |t AS (SELECT d.doc_id, d.source, string_split(d.text, ' ') AS toks
+       |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+       |q AS (SELECT doc_id, source, toks,
+       |    least(len(toks)::DOUBLE / 20.0, 1.0) * 0.4 +
+       |    (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+       |      * 0.4 +
+       |    least((len(list_filter(toks, x -> x IN ($stop)))::DOUBLE /
+       |      greatest(len(toks), 1)::DOUBLE) * 4.0, 1.0) * 0.2
+       |      AS quality_raw,
+       |    $scoreCols
+       |  FROM t),
+       |p AS (SELECT doc_id, source, round(quality_raw, 6) AS quality,
+       |    CASE $pred ELSE 'und' END AS pred_lang
+       |  FROM (SELECT *, $best AS best FROM q)),
+       |k2 AS (SELECT source, quality,
+       |    quality >= 0.5 AND pred_lang <> 'und' AS kept FROM p)
+       |SELECT source, count(*) AS n_docs,
+       |  count(CASE WHEN kept THEN 1 END) AS n_kept,
+       |  round(CAST(sum(CAST(CASE WHEN kept THEN quality END
+       |      AS DECIMAL(18,6))) AS DOUBLE) /
+       |    count(CASE WHEN kept THEN 1 END), 6) AS avg_kept_quality
+       |FROM k2 GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- similarity search --------------------------------------------
   private val isQuery = col("vec_id") % 40 === 0
 
@@ -227,6 +291,7 @@ object TrainingData {
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "d_curation_pipeline" -> (dCurationPipeline _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
   )
@@ -237,6 +302,7 @@ object TrainingData {
     "d_text_stats" -> dTextStatsSql,
     "d_langid" -> dLangIdSql,
     "d_fingerprint" -> dFingerprintSql,
+    "d_curation_pipeline" -> dCurationPipelineSql,
     "s_ann_brute" -> sAnnBruteSql,
     "m_binary_meta" -> mBinaryMetaSql,
   )

@@ -40,6 +40,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("codegen SimHash32 equals the HOF simhash formulation") {
+    val both = docs.select(
+      Dedup.simhash32($"text").as("fast"),
+      Dedup.hofSimhash32($"text").as("ref"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
   test("codegen MinHashSig equals the HOF minhash formulation") {
     import org.apache.spark.sql.functions._
     val sh = docs.select(Dedup.shingles($"text", 3).as("sh"))
