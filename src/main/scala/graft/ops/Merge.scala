@@ -64,6 +64,40 @@ object Merge {
     joined.select(outCols :+ action.as(ActionCol): _*)
   }
 
+  /** SCD-Type-2 (history-keeping) merge: where [[merge]] overwrites,
+    * this versions. `current` rows carry
+    * (valid_from, valid_to, is_current); a changed staged row closes
+    * the open version (valid_to := batchTs) and appends a new open
+    * one; unchanged/absent keys pass through. The reference's
+    * UPDATE-in-place J4 becomes an append-mostly pattern, which is
+    * what an immutable lakehouse store wants at scale (no rewrite of
+    * untouched history partitions).
+    *
+    * `batchTs` is an explicit literal so runs are reproducible. */
+  def scd2Merge(staged: DataFrame, current: DataFrame, keys: Seq[String],
+      compareCols: Seq[String], batchTs: Column): DataFrame = {
+    val closed = current.filter(!col("is_current"))
+    val open = current.filter(col("is_current"))
+    val m = merge(staged, open.drop("valid_from", "valid_to",
+      "is_current"), keys, compareCols)
+    val updatedKeys = m.filter(col(ActionCol) === "update")
+      .select(keys.map(col): _*)
+    // versions being superseded: open rows whose key got an update
+    val superseded = open.join(updatedKeys, keys, "left_semi")
+      .withColumn("valid_to", batchTs)
+      .withColumn("is_current", lit(false))
+    // surviving open rows: keep/noop keys, untouched
+    val surviving = open.join(updatedKeys, keys, "left_anti")
+    // fresh versions: inserts + updates from the staged values
+    val fresh = m.filter(col(ActionCol).isin("insert", "update"))
+      .drop(ActionCol)
+      .withColumn("valid_from", batchTs)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    closed.unionByName(superseded).unionByName(surviving)
+      .unionByName(fresh, allowMissingColumns = false)
+  }
+
   /** Deterministic serial-id assignment for merge inserts, replacing
     * the reference's `INSERT ... RETURNING id` (SURVEY.md §7.4): new
     * rows get `max(existing id) + row_number()` ordered by the

@@ -178,30 +178,47 @@ object Parity {
 
   // ---- R1: availability bitmap pivot over events --------------------
   // Day×hour activity bitmaps per user: the reference's wide→wide slot
-  // pivot re-expressed as a single map-side-combinable aggregation.
+  // pivot re-expressed as 7 bit_or mask aggregations (one long per
+  // day; bit h = activity in hour h). A first cut used 24×7 = 168
+  // max(CASE) aggregates, whose generated aggregate method exceeded
+  // JIT-able size and intermittently fell back to interpreted eval;
+  // the mask form is 7 codegen-friendly aggs, with the 24-char string
+  // built post-aggregation on the (tiny) grouped result.
   def pAvailPivot(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(
       col("user_id"),
       lower(date_format(col("ts"), "EEEE")).as("day"),
       hour(col("ts")).as("h"))
-    val aggs = Availability.DayNames.map { case (out, day) =>
-      concat((0 until 24).map(hh =>
-        max(when(col("day") === day && col("h") === hh, 1).otherwise(0))
-          .cast("string")): _*).as(out)
+    val masks = Availability.DayNames.map { case (out, day) =>
+      bit_or(when(col("day") === day,
+        pow(lit(2.0), col("h")).cast("long")).otherwise(lit(0L)))
+        .as(s"${out}_m")
     }
-    ev.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+    ev.groupBy("user_id").agg(masks.head, masks.tail: _*)
+      .select(col("user_id") +:
+        Availability.DayNames.map { case (out, _) =>
+          concat((0 until 24).map(hh =>
+            shiftright(col(s"${out}_m"), hh).bitwiseAND(1)
+              .cast("string")): _*).as(out)
+        }: _*)
       .orderBy("user_id")
   }
 
   private val pAvailPivotSql = {
-    val dayCols = Availability.DayNames.map { case (out, day) =>
-      (0 until 24).map(hh =>
-        s"(max(CASE WHEN lower(dayname(ts)) = '$day' AND hour(ts) = $hh " +
-        s"THEN 1 ELSE 0 END))::VARCHAR").mkString(" || ") + s" AS $out"
+    val masks = Availability.DayNames.map { case (out, day) =>
+      s"bit_or(CASE WHEN lower(dayname(ts)) = '$day' " +
+      s"THEN (CAST(1 AS BIGINT) << hour(ts)) ELSE 0 END) AS ${out}_m"
+    }.mkString(",\n    ")
+    val strings = Availability.DayNames.map { case (out, _) =>
+      (0 until 24).map(hh => s"((${out}_m >> $hh) & 1)::VARCHAR")
+        .mkString(" || ") + s" AS $out"
     }.mkString(",\n  ")
-    s"""SELECT user_id,
-       |  $dayCols
-       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    s"""WITH m AS (SELECT user_id,
+       |    $masks
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id,
+       |  $strings
+       |FROM m ORDER BY user_id""".stripMargin
   }
 
   // ---- J4: users upsert (full-outer MERGE + deterministic ids) ------
@@ -425,6 +442,65 @@ object Parity {
       |  TRY_CAST(raw AS INT) IS NULL AS is_error
       |FROM staged ORDER BY event_id""".stripMargin
 
+  // ---- SCD2 temporal merge (J4 history-keeping variant) -------------
+  def pScd2Merge(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("uid"), col("c_acctbal").as("bal"))
+    val open = c.select(col("uid"), col("bal"),
+      lit("2020-01-01").cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(true).as("is_current"))
+    val closedHist = c.filter(col("uid") % 10 === 0)
+      .select(col("uid"), (col("bal") - 50.0).as("bal"),
+        lit("2019-01-01").cast("timestamp").as("valid_from"),
+        lit("2020-01-01").cast("timestamp").as("valid_to"),
+        lit(false).as("is_current"))
+    val current = closedHist.unionByName(open)
+    val staged = c.filter(col("uid") % 4 === 0)
+      .select(col("uid"),
+        when(col("uid") % 8 === 0, col("bal") + 25.0)
+          .otherwise(col("bal")).as("bal"))
+      .unionByName(c.filter(col("uid") % 50 === 0)
+        .select((col("uid") + 100000).as("uid"),
+          (col("bal") + 1000.0).as("bal")))
+    Merge.scd2Merge(staged, current, Seq("uid"), Seq("bal"),
+      lit("2024-06-01").cast("timestamp"))
+      .orderBy("uid", "valid_from", "is_current")
+  }
+
+  private val pScd2MergeSql =
+    """WITH c AS (SELECT c_custkey AS uid, c_acctbal AS bal FROM customer),
+      |open AS (SELECT uid, bal, TIMESTAMP '2020-01-01' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM c),
+      |closedh AS (SELECT uid, bal - 50.0 AS bal,
+      |    TIMESTAMP '2019-01-01' AS valid_from,
+      |    TIMESTAMP '2020-01-01' AS valid_to, false AS is_current
+      |  FROM c WHERE uid % 10 = 0),
+      |st AS (SELECT uid, CASE WHEN uid % 8 = 0 THEN bal + 25.0
+      |      ELSE bal END AS bal FROM c WHERE uid % 4 = 0
+      |  UNION ALL SELECT uid + 100000 AS uid, bal + 1000.0 AS bal
+      |    FROM c WHERE uid % 50 = 0),
+      |upd AS (SELECT st.uid FROM st JOIN open ON st.uid = open.uid
+      |  WHERE st.bal IS DISTINCT FROM open.bal),
+      |ins AS (SELECT st.uid, st.bal FROM st LEFT JOIN open
+      |  ON st.uid = open.uid WHERE open.uid IS NULL),
+      |superseded AS (SELECT o.uid, o.bal, o.valid_from,
+      |    TIMESTAMP '2024-06-01' AS valid_to, false AS is_current
+      |  FROM open o JOIN upd ON o.uid = upd.uid),
+      |surviving AS (SELECT o.* FROM open o LEFT JOIN upd
+      |  ON o.uid = upd.uid WHERE upd.uid IS NULL),
+      |fresh AS (SELECT st.uid, st.bal,
+      |    TIMESTAMP '2024-06-01' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+      |  FROM st JOIN upd ON st.uid = upd.uid
+      |  UNION ALL SELECT uid, bal, TIMESTAMP '2024-06-01',
+      |    CAST(NULL AS TIMESTAMP), true FROM ins)
+      |SELECT * FROM closedh
+      |UNION ALL SELECT * FROM superseded
+      |UNION ALL SELECT * FROM surviving
+      |UNION ALL SELECT * FROM fresh
+      |ORDER BY uid, valid_from, is_current""".stripMargin
+
   // ---- full staffing pipeline (flagship; rows-only) -----------------
   /** Sheet-shaped staging derived from `customer` (blanks/slot lists
     * injected deterministically), full Staffing pipeline over a
@@ -484,6 +560,7 @@ object Parity {
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "p_staffing_pipeline" -> (pStaffingPipeline _),
+    "p_scd2_merge" -> (pScd2Merge _),
     "p_validation_split" -> (pValidationSplit _),
     "p_parse_boolean" -> (pParseBoolean _),
     "p_blank_to_null" -> (pBlankToNull _),
@@ -499,6 +576,7 @@ object Parity {
   )
 
   val oracle: Map[String, String] = Map(
+    "p_scd2_merge" -> pScd2MergeSql,
     "p_validation_split" -> pValidationSplitSql,
     "p_parse_boolean" -> pParseBooleanSql,
     "p_blank_to_null" -> pBlankToNullSql,
