@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only scratchpad (not part of the driver contract). */
 object Scratch {
@@ -11,12 +10,12 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    spark.experimental.extraOptimizations = Seq(rules.FoldRollingHash)
-    val df = Seq(1).toDF("x").select(
-      functions.RollingHash.rolling_hash(lit("const")).as("h"))
-    println("optimized plan: " + df.queryExecution.optimizedPlan)
-    df.show()
+    val df = queries.Parity.queries("p_scd2_merge")(
+      spark, "/root/testdata/sf0.001")
+    println(df.queryExecution.executedPlan.treeString.split("\n")
+      .filter(l => l.contains("Join") || l.contains("Exchange") ||
+        l.contains("Generate") || l.contains("Scan parquet"))
+      .mkString("\n"))
     spark.stop()
   }
 }

@@ -78,24 +78,41 @@ object Merge {
       compareCols: Seq[String], batchTs: Column): DataFrame = {
     val closed = current.filter(!col("is_current"))
     val open = current.filter(col("is_current"))
-    val m = merge(staged, open.drop("valid_from", "valid_to",
-      "is_current"), keys, compareCols)
-    val updatedKeys = m.filter(col(ActionCol) === "update")
-      .select(keys.map(col): _*)
-    // versions being superseded: open rows whose key got an update
-    val superseded = open.join(updatedKeys, keys, "left_semi")
-      .withColumn("valid_to", batchTs)
-      .withColumn("is_current", lit(false))
-    // surviving open rows: keep/noop keys, untouched
-    val surviving = open.join(updatedKeys, keys, "left_anti")
-    // fresh versions: inserts + updates from the staged values
-    val fresh = m.filter(col(ActionCol).isin("insert", "update"))
-      .drop(ActionCol)
-      .withColumn("valid_from", batchTs)
-      .withColumn("valid_to", lit(null).cast("timestamp"))
-      .withColumn("is_current", lit(true))
-    closed.unionByName(superseded).unionByName(surviving)
-      .unionByName(fresh, allowMissingColumns = false)
+    // Single pass: ONE full-outer join; each joined row emits up to two
+    // version rows (the possibly-superseded old one, the fresh one)
+    // through an array+explode generator — no semi/anti re-joins, no
+    // recomputation of the join subtree, one shuffle total.
+    val st = staged.alias("st")
+    val cu = open.alias("cu")
+    val cond = keys.map(k => col(s"st.$k") === col(s"cu.$k"))
+      .reduce(_ && _)
+    val stExists = col(s"st.${keys.head}").isNotNull
+    val cuExists = col(s"cu.${keys.head}").isNotNull
+    val unchanged = compareCols
+      .map(c => col(s"st.$c") <=> col(s"cu.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val isUpdate = stExists && cuExists && !unchanged
+    val isFresh = stExists && (!cuExists || !unchanged)
+
+    val dataCols = open.columns.toSeq
+      .filterNot(Seq("valid_from", "valid_to", "is_current").contains)
+    def version(side: String, from: Column, to: Column,
+        cur: Column): Column =
+      struct(dataCols.map(c => col(s"$side.$c").as(c)) ++
+        Seq(from.as("valid_from"), to.as("valid_to"),
+          cur.as("is_current")): _*)
+
+    val oldRow = when(cuExists, version("cu", col("cu.valid_from"),
+      when(isUpdate, batchTs).otherwise(col("cu.valid_to")),
+      !isUpdate))
+    val newRow = when(isFresh, version("st", batchTs,
+      lit(null).cast("timestamp"), lit(true)))
+
+    val emitted = st.join(cu, cond, "full_outer")
+      .select(explode(filter(array(oldRow, newRow),
+        r => r.isNotNull)).as("_v"))
+      .select(col("_v.*"))
+    closed.unionByName(emitted)
   }
 
   /** Deterministic serial-id assignment for merge inserts, replacing
