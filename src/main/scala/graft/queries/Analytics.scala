@@ -199,7 +199,35 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Banded range join: same-user event pairs within 5 minutes —
+    * hash join on (user, time band) + residual filter instead of the
+    * nested-loop plan a raw range predicate gets. */
+  def qRangeJoinEvents(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 5L * 60 * 1000000
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val a = ev.select(col("user_id"), col("event_id").as("event_a"),
+      col("ts").as("ts_a"))
+    val b = ev.select(col("user_id"), col("event_id").as("event_b"),
+      col("ts").as("ts_b"))
+    graft.ext.RangeJoin.intervalJoin(a, b, "user_id", "ts_a", "ts_b",
+      tolUs)
+      .filter(col("event_a") < col("event_b"))
+      .select(col("event_a"), col("event_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a")))
+          .as("dt_us"))
+      .orderBy("event_a", "event_b")
+  }
+
+  private val qRangeJoinEventsSql =
+    """SELECT a.event_id AS event_a, b.event_id AS event_b,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id < b.event_id
+      |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+      |ORDER BY event_a, event_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_range_join_events" -> (qRangeJoinEvents _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -214,6 +242,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_range_join_events" -> qRangeJoinEventsSql,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSumDec("l_quantity")} AS sum_qty,
