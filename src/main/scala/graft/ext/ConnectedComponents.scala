@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small-label-propagation connected components over an edge list —
+  * the transitive-closure step that turns pairwise near-duplicate
+  * hits into dedup clusters (a pair list alone under-merges: A≈B and
+  * B≈C must collapse A, B, C together).
+  *
+  * Pregel-style iteration: every node repeatedly adopts the minimum
+  * component label in its neighborhood until a fixpoint. Each round is
+  * one shuffle (join + groupBy min); the driver only evaluates the
+  * convergence count. Label propagation converges in O(diameter)
+  * rounds — near-dup graphs are unions of small cliques, so a handful
+  * of rounds suffices; `maxIter` bounds the worst case.
+  */
+object ConnectedComponents {
+
+  /** edges: (src, dst) undirected pairs. Returns (id, component) for
+    * every node that appears in an edge; component = min node id in
+    * the connected component. */
+  def components(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node's new label: min of its own and its neighbors'
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "a"), Seq("a"))
+        .select(col("b").as("id"), col("comp"))
+      val next = labels.unionByName(neighborMin)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint() // truncate the growing lineage per round
+      val changes = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+}

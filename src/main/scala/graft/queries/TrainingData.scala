@@ -222,6 +222,40 @@ object TrainingData {
        |FROM k2 GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Near-dup clusters: Jaccard pairs → connected components →
+    * cluster assignment per doc (transitive closure of near-dup
+    * hits). Oracle: recursive CTE over the same pair list. */
+  def dDupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs(s, d), "doc_id", "text",
+      n = 3, threshold = 0.2)
+    graft.ext.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  private val dDupClustersSql =
+    """WITH RECURSIVE sh AS (SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))))
+      |      AS sh
+      |  FROM documents),
+      |blocked AS (SELECT doc_id, sh, sh[1] AS block FROM sh
+      |  WHERE len(sh) > 0),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM blocked a JOIN blocked b
+      |    ON a.block = b.block AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |    >= 0.2),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, least(a, min(b)) AS component
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   // ---- similarity search --------------------------------------------
   private val isQuery = col("vec_id") % 40 === 0
 
@@ -292,6 +326,7 @@ object TrainingData {
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
     "d_curation_pipeline" -> (dCurationPipeline _),
+    "d_dup_clusters" -> (dDupClusters _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
   )
@@ -303,6 +338,7 @@ object TrainingData {
     "d_langid" -> dLangIdSql,
     "d_fingerprint" -> dFingerprintSql,
     "d_curation_pipeline" -> dCurationPipelineSql,
+    "d_dup_clusters" -> dDupClustersSql,
     "s_ann_brute" -> sAnnBruteSql,
     "m_binary_meta" -> mBinaryMetaSql,
   )
