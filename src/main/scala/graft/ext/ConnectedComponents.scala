@@ -22,9 +22,14 @@ object ConnectedComponents {
     * the connected component. */
   def components(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 15): DataFrame = {
+    // materialize the working edge set once — it is referenced every
+    // round, and without this the upstream pipeline that produced the
+    // edges (e.g. the whole shingle+Jaccard computation) would be
+    // re-executed per iteration
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
     var iter = 0
