@@ -49,6 +49,13 @@ object ConnectedComponents {
       converged = changes == 0
       iter += 1
     }
+    // a component whose diameter exceeds maxIter would silently get
+    // wrong labels — fail loudly instead (the dedup-cluster oracle is
+    // the true transitive closure, so a quiet non-convergence would
+    // surface as an unexplained mismatch)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter iterations; " +
+        "raise maxIter (graph diameter exceeds it)")
     labels
   }
 }

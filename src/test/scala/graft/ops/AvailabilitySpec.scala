@@ -20,19 +20,30 @@ class AvailabilitySpec extends SparkSpec {
     val got = out.select("availability_mon", "availability_tue",
       "availability_wed", "availability_fri").as[(String, String, String,
       String)].collect()
+    // bitmaps are always 30 chars (reference pre-allocates '0'*30,
+    // staffing-roster-pipeline.py:93); the 3 fixture slots fill the
+    // first 3 positions
+    def pad(s: String) = s.padTo(30, '0')
     // row 1: mon in slots A(via "monday"), B, C → "111"; tue only C →
     // "001"; wed only B → "010"
-    assert(got(0) == ("111", "001", "010", "000"))
+    assert(got(0) == (pad("111"), pad("001"), pad("010"), pad("000")))
     // row 2: empty/null slots contribute 0; fri only slot C
-    assert(got(1) == ("000", "000", "000", "001"))
+    assert(got(1) == (pad("000"), pad("000"), pad("000"), pad("001")))
   }
 
-  test("bitmap width always equals slot count") {
+  test("bitmap width is always the fixed 30 (reference '0'*30)") {
     val maps = Availability.allDayBitmaps(rows.columns, "GMT-0600")
     val out = rows.withColumns(maps.toMap)
     val lens = out.select(org.apache.spark.sql.functions.length(
       org.apache.spark.sql.functions.col("availability_sun")))
       .as[Int].collect()
-    assert(lens.forall(_ == 3))
+    assert(lens.forall(_ == 30))
+  }
+
+  test("more than 30 slot headers is rejected (reference IndexErrors)") {
+    val cols = (1 to 31).map(i => f"slot$i%02d GMT-0600")
+    intercept[IllegalArgumentException] {
+      Availability.allDayBitmaps(cols, "GMT-0600")
+    }
   }
 }

@@ -36,8 +36,9 @@ class PipelinesSpec extends SparkSpec {
         Staffing.ConsultantsCols.map { c =>
           val t = c match {
             case "consultants_score" | "semesters_in_ibc" => IntegerType
-            case "willing_to_travel" |
-                 "week_before_finals_availability" => BooleanType
+            // willing_to_travel stays a raw string (reference
+            // boolean_cols excludes it)
+            case "week_before_finals_availability" => BooleanType
             case _ => StringType
           }
           StructField(c, t)
@@ -61,11 +62,11 @@ class PipelinesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("ada@u.edu", 2L, "Ada", "insert"),
       ("bob@u.edu", 1L, "Bob", "update")))
     // availability bitmap: slots sorted a,b,c; ada: mon in a+b → "110",
-    // wed only b → "010"
+    // wed only b → "010"; always padded to the fixed 30-char width
     val ada = r.staged.filter($"email" === "ada@u.edu")
       .select("availability_mon", "availability_wed")
       .as[(String, String)].collect().head
-    assert(ada == ("110", "010"))
+    assert(ada == ("110".padTo(30, '0'), "010".padTo(30, '0')))
   }
 
   test("projects pipeline: header coalesce, netid errors, merge, links") {
@@ -99,12 +100,16 @@ class PipelinesSpec extends SparkSpec {
   }
 
   test("end-semester pipeline: rollover + affected count") {
-    val consultants = Seq((1L, "active", 2), (2L, "returning", 0))
+    val consultants = Seq((1L, "active", Some(2)), (2L, "returning",
+        Some(0)), (3L, "active", None))
       .toDF("user_id", "status", "semesters_in_ibc")
     val r = EndSemester.run(consultants)
     val got = r.consultants.orderBy("user_id")
-      .select("status", "semesters_in_ibc").as[(String, Int)].collect()
-    assert(got.toSeq == Seq(("Deferred", 3), ("Deferred", 1)))
-    assert(r.affected.as[Long].collect().head == 2L)
+      .select("status", "semesters_in_ibc")
+      .as[(String, Option[Int])].collect()
+    // NULL + 1 stays NULL, matching the reference's SQL UPDATE
+    assert(got.toSeq == Seq(("Deferred", Some(3)), ("Deferred", Some(1)),
+      ("Deferred", None)))
+    assert(r.affected.as[Long].collect().head == 3L)
   }
 }
