@@ -31,18 +31,28 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set (distinct, sorted for determinism). */
-  def shingles(textCol: Column, n: Int): Column = {
+  /** Word n-gram shingle set (distinct, sorted for determinism) — the
+    * codegen'd [[graft.functions.ShingleSet]] kernel; see
+    * [[hofShingles]] for the built-in-HOF reference formulation (specs
+    * assert equivalence). */
+  def shingles(textCol: Column, n: Int): Column =
+    graft.functions.ArrayOps.shingle_set(split(textCol, " "), n)
+
+  /** HOF reference formulation of [[shingles]]: interpreted lambda per
+    * position — kept for equivalence testing only. */
+  def hofShingles(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
     array_sort(array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Jaccard similarity of two pre-distinct shingle arrays. */
+  /** Jaccard similarity of two sorted pre-distinct shingle arrays
+    * (single merge walk, no intermediate intersection array). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    val inter = graft.functions.ArrayOps.sorted_intersect_size(a, b)
+      .cast("double")
+    inter / (size(a) + size(b) - inter)
   }
 
   /** Near-duplicate pairs by n-gram Jaccard with min-shingle blocking:
@@ -51,20 +61,35 @@ object Dedup {
     * self-equi-join on that key rather than all pairs. (Guaranteed to
     * find pairs whose min shingles coincide; near-identical docs
     * almost always do. MinHash+LSH below gives the tunable-recall
-    * version.) */
+    * version.)
+    *
+    * Scale shape: the skewed part of the plan — the block self-join —
+    * ships only (block, doc_id); a hot block therefore explodes only
+    * id pairs, never shingle arrays. The per-pair verification then
+    * reattaches the two shingle sets by doc_id equi-joins, whose hash
+    * partitioning spreads the intersect work evenly across the
+    * cluster instead of pinning a hot block's m²/2 pairs on the one
+    * task that owns the block key. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("block", array_min(col("sh")))
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b, col("a.block") === col("b.block") &&
+    // shingle sets are sorted, so element 0 is the min shingle
+    val slim = sh.select(col("doc_id"), col("sh").getItem(0).as("block"))
+    val cand = slim.alias("a")
+      .join(slim.alias("b"), col("a.block") === col("b.block") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).as("n_inter"),
-        size(col("a.sh")).as("n_a"), size(col("b.sh")).as("n_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("n_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("n_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ArrayOps
+          .sorted_intersect_size(col("sh_a"), col("sh_b")).as("n_inter"),
+        col("n_a"), col("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
@@ -88,45 +113,53 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: signature split into `bands` bands of
-    * `rowsPerBand`; docs sharing any band hash become candidates;
+    * `rowsPerBand`; docs sharing any band key become candidates;
     * candidates are verified with exact Jaccard. Scale shape: the
-    * band self-join shuffles only (doc_id, band, band_hash) — never
+    * band self-join shuffles only (doc_id, band, band_key) — never
     * the shingle arrays; candidate pairs are deduplicated *before*
-    * the (expensive) verification join pulls the two shingle sets. */
+    * the (expensive) verification join pulls the two shingle sets.
+    *
+    * Shingles are hashed with the engine-portable polynomial family
+    * ([[graft.functions.ArrayPolyHash]], h=(Σ cp·31^k) mod 2^31−1)
+    * rather than xxhash64, and band keys are the plain
+    * comma-joined signature slices — both reproducible in ANSI SQL,
+    * so the whole operator carries a DuckDB oracle. A hash collision
+    * can only add or drop a *candidate*; the exact-Jaccard
+    * verification decides membership either way. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double)
       : DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh
-      .withColumn("hs", transform(col("sh"),
-        s => pmod(xxhash64(s), lit(2147483647L))))
-      .withColumn("sig", graft.functions.MinHashSig.minhash_sig(
-        col("hs"), bands * rowsPerBand))
-    // band key = hash of (band's signature slice, band index);
-    // only ids travel into the self-join
+    val sig = sh.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(
+        graft.functions.ArrayOps.array_poly_hash(col("sh")),
+        bands * rowsPerBand).as("sig"))
+    // band key = the band's signature slice, comma-joined; only ids
+    // and these short keys travel into the self-join
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bnd =>
-        xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
-          lit(bnd))): _*)))
+        concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1,
+          rowsPerBand).cast("array<string>"))): _*)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_key")
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
+        col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verification: one intersect per unique pair
+    // verification: one merge-walk intersect per unique pair
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        graft.functions.ArrayOps
+          .sorted_intersect_size(col("sh_a"), col("sh_b")).as("n_inter"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
@@ -136,24 +169,29 @@ object Dedup {
 
   /** 32-bit SimHash from token hashes: per bit position, tokens vote
     * +1/-1 by their hash bit; the sign of the vote sum sets the bit.
-    * Token hashing (xxhash64) stays a codegen'd built-in; the vote
-    * fold is the custom codegen'd [[graft.functions.SimHash32]]
-    * expression (the HOF formulation allocated a 32-int array per
-    * token per row). See [[hofSimhash32]] for the reference HOF
-    * formulation kept for equivalence testing. */
+    * Tokens are hashed with the engine-portable polynomial family
+    * ([[graft.functions.ArrayPolyHash]] — SQL-reproducible, so the
+    * operator carries a DuckDB oracle; its 31-bit range just leaves
+    * bit 31 permanently 0); the vote fold is the custom codegen'd
+    * [[graft.functions.SimHash32]] expression (the HOF formulation
+    * allocated a 32-int array per token per row). See
+    * [[hofSimhash32]] for the reference HOF formulation kept for
+    * equivalence testing. */
   def simhash32(textCol: Column): Column =
     graft.functions.SimHash32.simhash32(
-      transform(split(textCol, " "), t => xxhash64(t)))
+      graft.functions.ArrayOps.array_poly_hash(split(textCol, " ")))
 
   /** HOF reference formulation of [[simhash32]] (tests assert
     * equivalence). */
   def hofSimhash32(textCol: Column): Column = {
     val toks = split(textCol, " ")
+    def tokHash(t: Column): Column =
+      graft.functions.RollingHash.rolling_hash(t)
     val votes = aggregate(toks,
       array_repeat(lit(0), 32),
       (acc, t) => zip_with(acc,
         array((0 until 32).map(i =>
-          when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1)
+          when(shiftright(tokHash(t), i).bitwiseAND(1) === 1, 1)
             .otherwise(-1)): _*),
         (x, y) => x + y))
     aggregate(zip_with(votes, sequence(lit(0), lit(31)),

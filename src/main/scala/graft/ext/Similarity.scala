@@ -19,10 +19,14 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Cosine similarity of two double arrays as a strict left-to-right
-    * fold (deterministic accumulation order — see QueryUtil notes). */
+    * fold (deterministic accumulation order — see QueryUtil notes).
+    * Uses the codegen'd [[graft.functions.DotProduct]] kernel; the
+    * `aggregate(zip_with(...))` HOF formulation computes the same
+    * value through an interpreted lambda per element (~10³× slower —
+    * it dominated every ANN query's runtime). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), _ + _)
+      graft.functions.ArrayOps.dot_product(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -56,9 +60,8 @@ object Similarity {
   /** Sign-of-projection LSH bucket id (one int per vector). */
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
-      val proj = aggregate(
-        zip_with(emb, typedLit(plane), (x, p) => x * p),
-        lit(0.0), _ + _)
+      val proj = graft.functions.ArrayOps.dot_product(emb,
+        typedLit(plane))
       when(proj > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -95,11 +98,16 @@ object Similarity {
     val base = embeddings.select(col("vec_id"), col("label"),
       toDouble(col("embedding")).as("emb"))
     // centroid per label via explode-by-dimension — scales to any
-    // partition size (no per-group collect of whole vectors)
+    // partition size (no per-group collect of whole vectors). The
+    // component mean uses the exact-decimal sum (QueryUtil strategy):
+    // engine AVG accumulates doubles in partition order, which is
+    // nondeterministic across runs and engines; this form is
+    // order-independent and SQL-reproducible (→ DuckDB oracle).
     val centroids = base
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(avg(col("v")).as("cv"))
+      .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
+        count(lit(1)), 6).as("cv"))
       .groupBy(col("label"))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("cv")))),

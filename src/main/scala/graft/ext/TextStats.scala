@@ -30,8 +30,16 @@ object TextStats {
   val AllStopwords: Seq[String] =
     StopwordsByLang.flatMap(_._2).distinct.sorted
 
-  /** Count of tokens contained in `words`. */
+  /** Count of tokens contained in `words` — one compiled pass with a
+    * hash-set probe per token ([[graft.functions.TokenSetCounts]]);
+    * see [[hofTokenHits]] for the HOF reference formulation. */
   def tokenHits(toks: Column, words: Seq[String]): Column =
+    element_at(graft.functions.ArrayOps.token_set_counts(
+      toks, Seq(words)), 1)
+
+  /** HOF reference formulation of [[tokenHits]] (interpreted lambda +
+    * linear `isin` scan per token) — equivalence-tested only. */
+  def hofTokenHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /** Heuristic quality score ∈ [0,1]: blends length saturation,
@@ -51,11 +59,17 @@ object TextStats {
   }
 
   /** Language ID by stopword voting: argmax of per-language stopword
-    * hit counts, ties broken by language code order (deterministic). */
-  def langScores(toks: Column): Seq[(String, Column)] =
-    StopwordsByLang.map { case (lang, words) =>
-      lang -> tokenHits(toks, words)
+    * hit counts, ties broken by language code order (deterministic).
+    * All languages share ONE [[graft.functions.TokenSetCounts]] pass
+    * (identical subtrees — common-subexpression-eliminated in
+    * codegen), not one filter scan per language. */
+  def langScores(toks: Column): Seq[(String, Column)] = {
+    val counts = graft.functions.ArrayOps.token_set_counts(
+      toks, StopwordsByLang.map(_._2))
+    StopwordsByLang.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
     }
+  }
 
   def predictedLang(toks: Column): Column = {
     val scores = langScores(toks)
