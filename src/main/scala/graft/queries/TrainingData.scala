@@ -9,10 +9,11 @@ import QueryUtil._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, Jaccard, MinHash+LSH, SimHash), similarity search
-  * (brute-force / LSH / IVF), and text analysis. SQL-expressible ops
-  * carry DuckDB oracles; the sketch-based ops (xxhash64 signatures)
-  * are deterministic but engine-specific → rows-only checks plus
-  * ScalaTest coverage.
+  * (brute-force / LSH / IVF), and text analysis. Every operator
+  * carries a DuckDB oracle except the stubbed media decode — the
+  * sketch ops use the engine-portable polynomial hash family and
+  * plan-literal hyperplanes precisely so their full pipelines are
+  * SQL-reproducible.
   */
 object TrainingData {
 
@@ -66,19 +67,97 @@ object TrainingData {
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash+LSH near-dup pairs — rows-only (xxhash64 signatures are
-    * Spark-native); exact-Jaccard-verified so every emitted pair is a
-    * true near duplicate. */
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified so every
+    * emitted pair is a true near duplicate. Oracle-verified: the
+    * signature family is the engine-portable polynomial hash, so the
+    * full pipeline (shingle → 64-permutation minima → 16 band keys →
+    * candidate join → verification) is mirrored in DuckDB SQL. */
   def dMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
-  /** Per-doc 32-bit SimHash fingerprints — rows-only. */
+  private val minhashP = 2147483647L
+
+  /** DuckDB fragment: polynomial hash of string expression `e` —
+    * mirrors [[graft.functions.ArrayPolyHash]] / RollingHash
+    * (h = (h*31 + codepoint) mod 2^31−1; same family as the
+    * d_fingerprint oracle, whose parity is already proven). */
+  private def sqlPolyHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"list_transform(string_split($e, ''), c -> ord(c)::BIGINT)), " +
+    s"(a, b) -> (a * 31 + b) % $minhashP)"
+
+  private val sqlShingles =
+    """list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))))"""
+      .stripMargin
+
+  private val dMinhashLshSql = {
+    val numHashes = 64
+    val bands = 16
+    val rowsPerBand = 4
+    val sigExprs = (0 until numHashes).map { j =>
+      s"list_min(list_transform(hs, h -> " +
+      s"((${2L * j + 1} * h + ${7919L * (j + 1)}) % $minhashP))) AS s_$j"
+    }.mkString(",\n    ")
+    val sigList = "[" + (0 until numHashes).map("s_" + _).mkString(", ") + "]"
+    val bandSelects = (0 until bands).map { b =>
+      val lo = b * rowsPerBand + 1
+      val hi = b * rowsPerBand + rowsPerBand
+      s"SELECT doc_id, $b AS band, " +
+      s"array_to_string(sig[$lo:$hi], ',') AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH shs AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+       |f AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+       |h AS (SELECT doc_id,
+       |    list_transform(sh, s -> ${sqlPolyHash("s")}) AS hs FROM f),
+       |sigc AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM h),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM sigc),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+       |    len(sa.sh) AS n_a, len(sb.sh) AS n_b
+       |  FROM cand JOIN f sa ON sa.doc_id = cand.doc_a
+       |    JOIN f sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
+       |FROM v WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Per-doc 32-bit SimHash fingerprints. Oracle-verified via the
+    * portable polynomial token hash (bit 31 is constantly 0 — the
+    * hash range is [0, 2^31−1)). */
   def dSimhash(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
+
+  private val dSimhashSql = {
+    // vote_i = 2·(#tokens with hash bit i set) − n; bit set iff > 0
+    val votes = (0 until 32).map(i =>
+      s"2 * len(list_filter(hs, h -> ((h >> $i) & 1) = 1)) - len(hs) " +
+      s"AS v_$i").mkString(",\n    ")
+    val bits = (0 until 32).map(i =>
+      s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      s -> ${sqlPolyHash("s")}) AS hs
+       |  FROM documents),
+       |v AS (SELECT doc_id,
+       |    $votes
+       |  FROM t)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
 
   // ---- text analysis ------------------------------------------------
   def dTextStats(s: SparkSession, d: String): DataFrame = {
@@ -279,19 +358,82 @@ object TrainingData {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN — rows-only (JVM-seeded hyperplanes). */
+  /** LSH-bucketed ANN. Oracle-verified: the seeded hyperplanes are
+    * plan literals, so the oracle SQL inlines the same plane values
+    * and reproduces bucket assignment + in-bucket ranking exactly. */
   def sAnnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embs(s, d), isQuery, k = 5,
       numPlanes = 4, seed = 42L)
       .orderBy("query_id", "rank")
 
-  /** IVF-style ANN probing nearest label centroids — rows-only
-    * (centroid averages accumulate in float-order-dependent fashion
-    * across partitions; deterministic per plan but not SQL-mirrored). */
+  private def sqlCosine(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / " +
+    s"(sqrt(list_dot_product($a, $a)) * " +
+    s"sqrt(list_dot_product($b, $b))), 6)"
+
+  private val sAnnLshSql = {
+    val planes = Similarity.hyperplanes(numPlanes = 4, dim = 64,
+      seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (pl, i) =>
+      val arr = "[" + pl.mkString(", ") + "]"
+      s"CASE WHEN list_dot_product(emb, $arr) > 0 " +
+      s"THEN ${1 << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, emb,
+       |    $bucket AS bucket
+       |  FROM base),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb,
+       |    bucket AS q_bucket
+       |  FROM bk WHERE vec_id % 40 = 0),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${sqlCosine("q_emb", "emb")} AS cos_sim
+       |  FROM bk JOIN q ON bucket = q_bucket AND vec_id <> query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-style ANN probing nearest label centroids. Oracle-verified:
+    * centroid components are order-independent decimal sums
+    * (QueryUtil strategy), so DuckDB reproduces the coarse quantizer
+    * bit-for-bit. */
   def sAnnIvf(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(embs(s, d), isQuery, k = 5,
       nprobe = 3)
       .orderBy("query_id", "rank")
+
+  private val sAnnIvfSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |dims AS (SELECT label, i,
+       |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
+       |  WHERE vec_id % 40 = 0),
+       |probes AS (SELECT query_id, q_emb, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN cent),
+       |probed AS (SELECT query_id, q_emb, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${sqlCosine("p.q_emb", "b.emb")} AS cos_sim
+       |  FROM base b JOIN probed p ON b.label = p.label
+       |  WHERE b.vec_id <> p.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---- multimodal plumbing ------------------------------------------
   /** Binary-column metadata pass: treat text bytes as an opaque media
@@ -334,12 +476,16 @@ object TrainingData {
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" -> dDedupExactSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
+    "d_minhash_lsh" -> dMinhashLshSql,
+    "d_simhash" -> dSimhashSql,
     "d_text_stats" -> dTextStatsSql,
     "d_langid" -> dLangIdSql,
     "d_fingerprint" -> dFingerprintSql,
     "d_curation_pipeline" -> dCurationPipelineSql,
     "d_dup_clusters" -> dDupClustersSql,
     "s_ann_brute" -> sAnnBruteSql,
+    "s_ann_lsh" -> sAnnLshSql,
+    "s_ann_ivf" -> sAnnIvfSql,
     "m_binary_meta" -> mBinaryMetaSql,
   )
 }
