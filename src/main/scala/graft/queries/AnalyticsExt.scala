@@ -229,7 +229,8 @@ object AnalyticsExt {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Approximate distinct counts (HLL++) next to the exact count —
-    * rows-only: the sketch estimate is engine-specific by design. */
+    * rows-only: the sketch estimate is engine-specific by design.
+    * [[qHllPortable]] is the oracle-verified sketch variant. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -237,10 +238,67 @@ object AnalyticsExt {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** HyperLogLog built from first principles with the engine-portable
+    * polynomial hash — fully oracle-verified, unlike the engine HLL++
+    * sketch above. m=64 registers; register = max over values of
+    * (position of lowest set bit of h>>6) with bucket h&63; raw
+    * estimate α·m²/Σ2^−Mⱼ (no small/large-range correction — this is
+    * the distributive core that matters at scale: per-partition
+    * register maxima combine associatively, exactly how a 1000-executor
+    * HLL merge works; every term 2^−Mⱼ is dyadic with span < 53 bits,
+    * so the float sum is EXACT and order-independent). */
+  def qHllPortable(s: SparkSession, d: String): DataFrame = {
+    val m = 64
+    val h = graft.functions.RollingHash.rolling_hash(
+      col("l_orderkey").cast("string"))
+    val bucket = h.bitwiseAND(lit((m - 1).toLong))
+    val rem = shiftright(h, 6)
+    // rank = index (1-based) of lowest set bit of the 25 remaining
+    // bits; rem = 0 → 26 (all-zero sentinel, standard w−p+1)
+    val rank = (1 to 25).foldRight(lit(26)) { case (k, acc) =>
+      when(shiftright(rem, k - 1).bitwiseAND(1) === 1, lit(k))
+        .otherwise(acc)
+    }
+    val alpha = 0.709 // α₆₄ literal, mirrored verbatim in the oracle
+    val regs = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    regs.groupBy(col("l_returnflag"))
+      .agg(round(lit(alpha * m * m) /
+        (sum(pow(lit(2.0), -col("reg"))) +
+          (lit(m) - count(lit(1))).cast("double")), 4)
+        .as("hll_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qHllPortableSql = {
+    val polyHash =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(CAST(l_orderkey AS VARCHAR), ''), " +
+      "c -> ord(c)::BIGINT)), (a, b) -> (a * 31 + b) % 2147483647)"
+    val rank = "CASE " + (1 to 25).map(k =>
+      s"WHEN ((rem >> ${k - 1}) & 1) = 1 THEN $k ").mkString +
+      "ELSE 26 END"
+    s"""WITH hashed AS (SELECT l_returnflag, $polyHash AS h
+       |  FROM lineitem),
+       |br AS (SELECT l_returnflag, h & 63 AS bucket, h >> 6 AS rem
+       |  FROM hashed),
+       |ranked AS (SELECT l_returnflag, bucket, $rank AS rank FROM br),
+       |regs AS (SELECT l_returnflag, bucket, max(rank) AS reg
+       |  FROM ranked GROUP BY l_returnflag, bucket)
+       |SELECT l_returnflag,
+       |  round(0.709 * 64 * 64 /
+       |    (sum(power(2.0, -reg)) + CAST(64 - count(*) AS DOUBLE)), 4)
+       |    AS hll_orders
+       |FROM regs GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_percentiles" -> (qPercentiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_hll_portable" -> (qHllPortable _),
     "q_window_offsets" -> (qWindowOffsets _),
     "q_cube_segment_year" -> (qCube _),
     "q_pivot_priority" -> (qPivotPriority _),
@@ -252,6 +310,7 @@ object AnalyticsExt {
 
   val oracle: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtractSql,
+    "q_hll_portable" -> qHllPortableSql,
     "q_percentiles" -> qPercentilesSql,
     "q_window_offsets" -> qWindowOffsetsSql,
     "q_cube_segment_year" -> qCubeSql,

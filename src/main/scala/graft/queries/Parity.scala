@@ -501,11 +501,13 @@ object Parity {
       |UNION ALL SELECT * FROM fresh
       |ORDER BY uid, valid_from, is_current""".stripMargin
 
-  // ---- full staffing pipeline (flagship; rows-only) -----------------
+  // ---- full staffing pipeline (flagship) ----------------------------
   /** Sheet-shaped staging derived from `customer` (blanks/slot lists
     * injected deterministically), full Staffing pipeline over a
     * current-users state derived from the same table — exercises R1 +
-    * F1/F2 + P1 + J4 + J5 + A1 end-to-end. */
+    * F1/F2 + P1 + J4 + J5 + A1 end-to-end. Oracle-verified: the
+    * fixture's modular arithmetic makes every pipeline decision
+    * SQL-derivable (see [[pStaffingPipelineSql]]). */
   def pStaffingPipeline(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
     val sheet = c.select(
@@ -558,6 +560,71 @@ object Parity {
       .orderBy("email")
   }
 
+  /** Mirrors [[pStaffingPipeline]] by tracing each fixture row through
+    * the pipeline's decision tree:
+    *   - k%11=3 → Name blank → quarantined (absent unless k%3=0, where
+    *     the current-state row survives as action 'keep')
+    *   - valid k: staged values (us_citizen = parse_boolean, residency/
+    *     first_gen → staged NULLs, 30-char availability bitmap with
+    *     bit1 = slot08 (k%4=0 → MONDAY) and bit2 = slot09 (k%3=0))
+    *   - k%3=0 matched → 'update' keeping user_id=k (NULL<=>false on
+    *     residency makes every matched row a change); else 'insert'
+    *     with id = max(current)+row_number ordered by email
+    *   - consultants merge: staged rows always differ from current
+    *     (semesters NULL vs 1) → same insert/update/keep actions;
+    *     staged status is NULL, kept rows keep 'active'/'00'-bitmap.
+    */
+  private val pStaffingPipelineSql =
+    """WITH c AS (SELECT c_custkey AS k, c_name, c_mktsegment, c_acctbal
+      |  FROM customer),
+      |curu AS (SELECT k AS user_id, c_name AS name,
+      |    'u' || k || '@x.com' AS email, c_mktsegment AS curr_role,
+      |    'nid' || k AS netid
+      |  FROM c WHERE k % 3 = 0),
+      |maxid AS (SELECT coalesce(max(user_id), 0) AS mx FROM curu),
+      |stg AS (SELECT k, c_name AS name, 'u' || k || '@x.com' AS email,
+      |    k % 2 = 0 AS us_citizen, c_mktsegment AS curr_role,
+      |    'nid' || k AS netid,
+      |    (CASE WHEN k % 4 = 0 THEN '1' ELSE '0' END ||
+      |     CASE WHEN k % 3 = 0 THEN '1' ELSE '0' END ||
+      |     repeat('0', 28)) AS availability_mon
+      |  FROM c WHERE k % 11 <> 3),
+      |ins AS (SELECT stg.*,
+      |    CAST(mx + row_number() OVER (ORDER BY email) AS BIGINT)
+      |      AS user_id,
+      |    'insert' AS act
+      |  FROM stg, maxid WHERE k % 3 <> 0),
+      |upd AS (SELECT stg.*, CAST(k AS BIGINT) AS user_id,
+      |    'update' AS act
+      |  FROM stg WHERE k % 3 = 0),
+      |merged AS (
+      |  SELECT email, name, us_citizen, curr_role, netid, user_id, act,
+      |      availability_mon
+      |    FROM ins
+      |  UNION ALL
+      |  SELECT email, name, us_citizen, curr_role, netid, user_id, act,
+      |      availability_mon
+      |    FROM upd),
+      |staged_out AS (SELECT email, name,
+      |    CAST(NULL AS VARCHAR) AS gender, CAST(NULL AS VARCHAR) AS race,
+      |    us_citizen, CAST(NULL AS BOOLEAN) AS residency,
+      |    CAST(NULL AS BOOLEAN) AS first_gen, curr_role, netid,
+      |    user_id, act AS _action, availability_mon,
+      |    CAST(NULL AS VARCHAR) AS status, act AS _c_action
+      |  FROM merged),
+      |kept AS (SELECT email, name, CAST(NULL AS VARCHAR) AS gender,
+      |    CAST(NULL AS VARCHAR) AS race, false AS us_citizen,
+      |    false AS residency, false AS first_gen, curr_role, netid,
+      |    CAST(user_id AS BIGINT) AS user_id, 'keep' AS _action,
+      |    '00' AS availability_mon, 'active' AS status,
+      |    'keep' AS _c_action
+      |  FROM curu WHERE user_id % 11 = 3)
+      |SELECT user_id, email, name, gender, race, us_citizen, residency,
+      |  first_gen, curr_role, netid, _action, availability_mon, status,
+      |  _c_action
+      |FROM (SELECT * FROM staged_out UNION ALL SELECT * FROM kept)
+      |ORDER BY email""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "p_staffing_pipeline" -> (pStaffingPipeline _),
@@ -577,6 +644,7 @@ object Parity {
   )
 
   val oracle: Map[String, String] = Map(
+    "p_staffing_pipeline" -> pStaffingPipelineSql,
     "p_scd2_merge" -> pScd2MergeSql,
     "p_validation_split" -> pValidationSplitSql,
     "p_parse_boolean" -> pParseBooleanSql,
