@@ -72,9 +72,15 @@ object Dedup {
     * task that owns the block key. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // the shingle frame feeds four plan subtrees (both sides of the
+    // block join + both verification reattaches); persist so the
+    // shingle construction runs once, not four times. MEMORY_AND_DISK:
+    // at cluster scale the frame is partition-local and spillable; the
+    // ContextCleaner frees the blocks once the plan is unreferenced.
     val sh = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle sets are sorted, so element 0 is the min shingle
     val slim = sh.select(col("doc_id"), col("sh").getItem(0).as("block"))
     val cand = slim.alias("a")
@@ -129,9 +135,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double)
       : DataFrame = {
+    // persisted for the same reason as in jaccardPairs: signature
+    // computation + two verification reattaches share this frame
     val sh = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("doc_id"),
       graft.functions.MinHashSig.minhash_sig(
         graft.functions.ArrayOps.array_poly_hash(col("sh")),

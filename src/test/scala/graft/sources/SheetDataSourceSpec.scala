@@ -60,7 +60,8 @@ class SheetDataSourceSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("user_id") === 1)
       .select("availability_mon", "availability_fri")
       .as[(String, String)].collect().head
-    assert(ada == ("1", "1"))
+    // single slot header → bit 1, padded to the fixed 30-char width
+    assert(ada == ("1".padTo(30, '0'), "1".padTo(30, '0')))
   }
 
   test("error taxonomy: unreadable path → E005, bad payload → E003") {
