@@ -435,6 +435,44 @@ object TrainingData {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
+    * multi-table hyperplane LSH blocking + exact cosine verification.
+    * Oracle-verified — plane literals are inlined into the SQL. */
+  def dEmbedDups(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineDupPairs(embs(s, d), threshold = 0.45,
+      tables = 8, planesPerTable = 2, seed = 7L)
+      .orderBy("vec_a", "vec_b")
+
+  private val dEmbedDupsSql = {
+    val tables = 8
+    val planesPerTable = 2
+    val buckets = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, 64, 7L + t)
+      val bucket = planes.zipWithIndex.map { case (pl, i) =>
+        val arr = "[" + pl.mkString(", ") + "]"
+        s"CASE WHEN list_dot_product(emb, $arr) > 0 " +
+        s"THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM base"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(list_dot_product(embedding::DOUBLE[],
+       |      embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |keyed AS ($buckets),
+       |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM keyed a JOIN keyed b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |v AS (SELECT vec_a, vec_b,
+       |    round(list_dot_product(ea.emb, eb.emb) /
+       |      (ea.norm * eb.norm), 6) AS cos_sim
+       |  FROM cand JOIN base ea ON ea.vec_id = cand.vec_a
+       |    JOIN base eb ON eb.vec_id = cand.vec_b)
+       |SELECT DISTINCT vec_a, vec_b, cos_sim FROM v
+       |WHERE cos_sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ---- multimodal plumbing ------------------------------------------
   /** Binary-column metadata pass: treat text bytes as an opaque media
     * blob (the container has no image/audio codecs — see
@@ -467,6 +505,7 @@ object TrainingData {
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "d_embed_dups" -> (dEmbedDups _),
     "d_curation_pipeline" -> (dCurationPipeline _),
     "d_dup_clusters" -> (dDupClusters _),
     "m_binary_meta" -> (mBinaryMeta _),
@@ -486,6 +525,7 @@ object TrainingData {
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
+    "d_embed_dups" -> dEmbedDupsSql,
     "m_binary_meta" -> mBinaryMetaSql,
   )
 }

@@ -46,4 +46,19 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(g == b, "IVF with all probes must equal brute force")
   }
+
+  test("cosine dup pairs finds duplicate/near-dup vectors, skips distant") {
+    // dim-64 vectors: 0 and 1 identical, 2 a scaled copy (cos 1.0),
+    // 3 orthogonal-ish noise
+    val unit = Seq.fill(64)(1.0f)
+    val scaled = unit.map(_ * 2.5f)
+    val ortho = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs = Seq(
+      (0L, unit), (1L, unit), (2L, scaled), (3L, ortho.toSeq))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineDupPairs(vecs, threshold = 0.99,
+      tables = 8, planesPerTable = 2, seed = 7L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
 }
