@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.GraftShims
 
-import graft.functions.{MinHashSig, RollingHash}
+import graft.functions.{ArrayPolyHash, DotProduct, MinHashSig,
+  RollingHash, ShingleSet, SimHash32, SortedIntersectSize}
 
 /** Session extension registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -48,7 +49,24 @@ object GraftExtensions {
     "minhash_sig" -> { exprs =>
       MinHashSig(exprs.head,
         if (exprs.length > 1) longArg(exprs(1), 16L).toInt else 16)
-    })
+    },
+    "shingle_set" -> { exprs =>
+      ShingleSet(exprs.head,
+        if (exprs.length > 1) longArg(exprs(1), 3L).toInt else 3)
+    },
+    "sorted_intersect_size" -> { exprs =>
+      SortedIntersectSize(exprs.head, exprs(1))
+    },
+    "dot_product" -> { exprs =>
+      DotProduct(exprs.head, exprs(1))
+    },
+    "array_poly_hash" -> { exprs =>
+      ArrayPolyHash(exprs.head,
+        if (exprs.length > 1) longArg(exprs(1), 31L) else 31L,
+        if (exprs.length > 2) longArg(exprs(2), 2147483647L)
+        else 2147483647L)
+    },
+    "simhash32" -> { exprs => SimHash32(exprs.head) })
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

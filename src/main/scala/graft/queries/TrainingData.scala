@@ -489,9 +489,28 @@ object TrainingData {
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Typed mapPartitions decode pipeline (stubbed codec) — rows-only. */
+  /** Typed mapPartitions decode pipeline. The codec is a stub, but a
+    * deterministic one (byte-wise polynomial checksum + derived
+    * dimensions), and this corpus is pure ASCII (byte == codepoint),
+    * so even the stub is oracle-verified — the SQL below derives the
+    * identical MediaMeta from the text. A real codec swap would
+    * return this query to rows-only. */
   def mMediaDecode(s: SparkSession, d: String): DataFrame =
     graft.ext.Multimodal.decodePipeline(s, d)
+
+  private val mMediaDecodeSql =
+    s"""WITH h AS (SELECT doc_id, text,
+       |    ${sqlPolyHash("text")} AS crc,
+       |    octet_length(encode(text)) AS n_bytes
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+       |  CAST(1 + crc % 640 AS INTEGER) AS width,
+       |  CAST(1 + (crc >> 8) % 480 AS INTEGER) AS height,
+       |  CASE WHEN n_bytes = 0 THEN 'empty'
+       |       ELSE ['jpeg', 'png', 'wav', 'mp4'][(ord(text[1]) % 4) + 1]
+       |  END AS format,
+       |  crc AS checksum
+       |FROM h ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
@@ -527,5 +546,6 @@ object TrainingData {
     "s_ann_ivf" -> sAnnIvfSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "m_binary_meta" -> mBinaryMetaSql,
+    "m_media_decode" -> mMediaDecodeSql,
   )
 }

@@ -20,6 +20,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql._1 == (97L * 31 + 98) * 31 + 99)
   }
 
+  test("round-2 kernels are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT
+        |  shingle_set(array('a', 'b', 'c'), 2) AS sh,
+        |  sorted_intersect_size(array(1L, 3L, 7L),
+        |    array(3L, 7L, 9L)) AS n,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  array_poly_hash(array('abc')) AS ph,
+        |  simhash32(array_poly_hash(array('abc'))) AS sim
+        |""".stripMargin)
+      .as[(Seq[String], Int, Double, Seq[Long], Long)].collect().head
+    assert(got._1 == Seq("a b", "b c"))
+    assert(got._2 == 2)
+    assert(got._3 == 11.0)
+    assert(got._4 == Seq((97L * 31 + 98) * 31 + 99))
+    assert(got._5 == (97L * 31 + 98) * 31 + 99) // one token votes its bits
+  }
+
   test("FoldRollingHash optimizer rule folds literal input to a " +
       "plain Literal") {
     spark.experimental.extraOptimizations =
