@@ -3,17 +3,18 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only scratchpad (not part of the driver contract). */
+/** Dev-only scratchpad (not part of the driver contract): plan audits
+  * for the hot queries — join strategies, exchanges, scan pushdown. */
 object Scratch {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
-    r
+  def audit(name: String, df: DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.treeString
+    val interesting = plan.split("\n").filter(l =>
+      l.contains("Join") || l.contains("Exchange") ||
+      l.contains("Scan parquet") || l.contains("InMemory") ||
+      l.contains("WholeStageCodegen"))
+    println(s"===== $name =====")
+    println(interesting.take(30).mkString("\n"))
   }
-
-  def noop(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -21,23 +22,10 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    val docs = Tables.documents(spark, d)
-      .repartition(spark.sparkContext.defaultParallelism)
-
-    // warmup
-    noop(docs.select(col("doc_id")))
-
-    val sh0 = docs.select(col("doc_id"),
-      ext.Dedup.shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    time("shingles only")(noop(sh0))
-    time("shingles+block")(noop(sh0.withColumn("block",
-      array_min(col("sh")))))
-    time("full jaccardPairs")(noop(ext.Dedup.jaccardPairs(
-      docs, "doc_id", "text", 3, 0.2)))
-    time("full jaccardPairs x2")(noop(ext.Dedup.jaccardPairs(
-      docs, "doc_id", "text", 3, 0.2)))
+    val d = "/root/testdata/sf0.01"
+    for (q <- Seq("d_jaccard_pairs", "d_embed_dups", "q_hll_portable",
+        "s_ann_ivf", "d_minhash_lsh"))
+      audit(q, SparkEntry.queries(q)(spark, d))
     spark.stop()
   }
 }

@@ -109,9 +109,12 @@ object Similarity {
     val dim = 64
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
+    // feeds three plan subtrees (bucket keying + both reattaches) —
+    // persist like Dedup.jaccardPairs so the scan+norm runs once
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = base.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         lshBucket(col("emb"),
