@@ -68,6 +68,52 @@ object Multimodal {
       f => length(f) > 0)
   }
 
+  /** STUB feature extractor — stands in for an embedding model over
+    * decoded media. One deterministic double per dimension from a
+    * per-dimension polynomial byte hash, scaled to [-1, 1); a real
+    * model swap replaces this body only. */
+  val FeatureMults: Seq[Long] = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+
+  def featureStub(bytes: Array[Byte]): Array[Double] =
+    FeatureMults.map { mult =>
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * mult + (bytes(i) & 0xff)) % 2147483647L
+        i += 1
+      }
+      (h % 2000L - 1000L) / 1000.0
+    }.toArray
+
+  /** Typed feature record. */
+  case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** Batched per-partition feature extraction — same mapPartitions
+    * shape as [[decodeMeta]] (one "model session" per batch). */
+  def extractFeatures(records: Dataset[MediaRecord], batchSize: Int = 64)
+      : Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(r =>
+          MediaFeatures(r.doc_id, featureStub(r.media)))
+      }
+    }
+  }
+
+  /** Fit-within-box resize arithmetic over decoded dimensions — the
+    * metadata half of an image resize (the pixel half is the codec
+    * stub's concern). Pure Column math: scale = min(maxW/w, maxH/h, 1)
+    * never upscales; output dimensions floor but stay ≥ 1. */
+  def resizeDims(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column, maxW: Int, maxH: Int)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val scale = least(lit(maxW.toDouble) / width,
+      lit(maxH.toDouble) / height, lit(1.0))
+    (greatest((width * scale).cast("int"), lit(1)),
+      greatest((height * scale).cast("int"), lit(1)))
+  }
+
   /** documents.text re-cast as a media corpus (the container has no
     * real media files; byte payloads exercise identical plumbing). */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -512,6 +512,93 @@ object TrainingData {
        |  crc AS checksum
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over the binary payload: up to 4 × 256-byte
+    * evenly-spaced slices per blob, emitted as (frame_idx, length,
+    * checksum) rows. Oracle-verified via the same substring
+    * arithmetic (ASCII corpus: char == byte). */
+  def mFrameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .select(col("doc_id"), posexplode(
+        graft.ext.Multimodal.sampleFrames(col("media"), 4, 256)))
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+        length(col("col")).as("frame_len"),
+        graft.functions.RollingHash.rolling_hash(
+          col("col").cast("string")).as("frame_crc"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val mFrameSampleSql =
+    s"""WITH m AS (SELECT doc_id, text, length(text) AS len
+       |  FROM documents),
+       |fr AS (SELECT doc_id, i,
+       |    substring(text,
+       |      CAST(trunc(i * greatest((len - 256) / 3.0, 1.0)) AS INT)
+       |        + 1, 256) AS frame
+       |  FROM m CROSS JOIN range(0, 4) t(i))
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  length(frame) AS frame_len,
+       |  ${sqlPolyHash("frame")} AS frame_crc
+       |FROM fr WHERE length(frame) > 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Feature extraction (stub embedding model) via batched
+    * mapPartitions, exploded to (dim, value) rows. The stub is a
+    * per-dimension polynomial byte hash scaled to [−1, 1) — SQL-
+    * derivable on this ASCII corpus, so even the stub path is
+    * hash-verified end-to-end (typed Dataset → mapPartitions →
+    * explode). */
+  def mFeatures(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.extractFeatures(
+        graft.ext.Multimodal.mediaFromDocuments(s, d)).toDF()
+      .select(col("doc_id"), posexplode(col("features"))
+        .as(Seq("dim", "value")))
+      .orderBy("doc_id", "dim")
+
+  private val mFeaturesSql = {
+    val mults = graft.ext.Multimodal.FeatureMults
+    val hashes = mults.zipWithIndex.map { case (m, i) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(text, ''), c -> ord(c)::BIGINT)), " +
+      s"(a, b) -> (a * $m + b) % 2147483647) AS h_$i"
+    }.mkString(",\n    ")
+    val dims = mults.indices.map { i =>
+      s"SELECT doc_id, $i AS dim, (h_$i % 2000 - 1000) / 1000.0 AS value" +
+      " FROM h"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH h AS (SELECT doc_id,
+       |    $hashes
+       |  FROM documents)
+       |SELECT doc_id, CAST(dim AS INT) AS dim, value
+       |FROM ($dims) ORDER BY doc_id, dim""".stripMargin
+  }
+
+  /** Fit-within-box resize over the decoded dimensions (320×240,
+    * never upscaling) — the metadata half of a media resize chained
+    * onto the decode pipeline. */
+  def mResize(s: SparkSession, d: String): DataFrame = {
+    val meta = graft.ext.Multimodal.decodePipeline(s, d)
+    val (w2, h2) = graft.ext.Multimodal.resizeDims(
+      col("width"), col("height"), 320, 240)
+    meta.select(col("doc_id"), col("width"), col("height"),
+      w2.as("out_w"), h2.as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  private val mResizeSql =
+    s"""WITH h AS (SELECT doc_id, ${sqlPolyHash("text")} AS crc
+       |  FROM documents),
+       |wh AS (SELECT doc_id,
+       |    CAST(1 + crc % 640 AS INTEGER) AS width,
+       |    CAST(1 + (crc >> 8) % 480 AS INTEGER) AS height
+       |  FROM h),
+       |sc AS (SELECT doc_id, width, height,
+       |    least(320.0 / width, 240.0 / height, 1.0) AS scale
+       |  FROM wh)
+       |SELECT doc_id, width, height,
+       |  greatest(CAST(trunc(width * scale) AS INTEGER), 1) AS out_w,
+       |  greatest(CAST(trunc(height * scale) AS INTEGER), 1) AS out_h
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
@@ -529,6 +616,9 @@ object TrainingData {
     "d_dup_clusters" -> (dDupClusters _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
+    "m_frame_sample" -> (mFrameSample _),
+    "m_features" -> (mFeatures _),
+    "m_resize" -> (mResize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -547,5 +637,8 @@ object TrainingData {
     "d_embed_dups" -> dEmbedDupsSql,
     "m_binary_meta" -> mBinaryMetaSql,
     "m_media_decode" -> mMediaDecodeSql,
+    "m_frame_sample" -> mFrameSampleSql,
+    "m_features" -> mFeaturesSql,
+    "m_resize" -> mResizeSql,
   )
 }

@@ -26,4 +26,26 @@ class MultimodalSpec extends SparkSpec {
       .select(size(col("frames"))).as[Int].collect().head
     assert(frames == 4)
   }
+
+  test("feature extraction: deterministic, bounded, dim-stable") {
+    val recs = Multimodal.mediaFromDocuments(spark, sf0001)
+    val feats = Multimodal.extractFeatures(recs).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.features.length ==
+      Multimodal.FeatureMults.length))
+    assert(feats.forall(_.features.forall(v => v >= -1.0 && v < 1.0)))
+    // pure function of the bytes
+    val again = Multimodal.extractFeatures(recs).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) == f.features.toSeq))
+  }
+
+  test("resize dims fit the box, never upscale, floor at 1") {
+    val df = Seq((640, 480), (320, 240), (100, 50), (1, 2000))
+      .toDF("width", "height")
+    val (w2, h2) = Multimodal.resizeDims(col("width"), col("height"),
+      320, 240)
+    val got = df.select(w2.as("w"), h2.as("h")).as[(Int, Int)].collect()
+    assert(got.toSeq == Seq((320, 240), (320, 240), (100, 50), (1, 240)))
+  }
 }
