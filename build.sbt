@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim instead of re-logging
+// each line with an "[info] " prefix: graft.Bench's contract is ONE
+// bare JSON line on stdout, and the round-1 driver failed to parse it
+// ("parsed": null in BENCH_r01.json) because of the sbt log prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
