@@ -81,6 +81,34 @@ object TextStats {
     }
   }
 
+  /** Quality score and predicted language from ONE fused
+    * [[graft.functions.TokenSetCounts]] pass (all-stopwords set +
+    * the per-language sets in a single kernel) — observationally
+    * identical to `(qualityScore(text), predictedLang(tokens(text)))`
+    * but with one token scan instead of two; used by the curation
+    * pipeline, which needs both. */
+  def qualityAndLang(text: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val counts = graft.functions.ArrayOps.token_set_counts(
+      toks, AllStopwords +: StopwordsByLang.map(_._2))
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0))
+    val ttr = size(array_distinct(toks)).cast("double") /
+      greatest(nTok, lit(1.0))
+    val stopRatio = element_at(counts, 1).cast("double") /
+      greatest(nTok, lit(1.0))
+    val quality = round(lenScore * 0.4 + ttr * 0.4 +
+      least(stopRatio * 4.0, lit(1.0)) * 0.2, 6)
+    val scores = StopwordsByLang.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 2)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    (quality, pred)
+  }
+
   /** Rolling polynomial fingerprint over the document's code points:
     * h = (h * 31 + code(ch)) mod (2^31 - 1). Order-sensitive content
     * fingerprint (unlike the hash-set ops above), verified against a

@@ -246,11 +246,11 @@ object TrainingData {
     val base = docs(s, d)
     val keep = Dedup.exact(base, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val toks = TextStats.tokens(col("text"))
+    val (quality, predLang) = TextStats.qualityAndLang(col("text"))
     base
       .join(keep, Seq("doc_id"), "left_semi")
-      .withColumn("quality", TextStats.qualityScore(col("text")))
-      .withColumn("pred_lang", TextStats.predictedLang(toks))
+      .withColumn("quality", quality)
+      .withColumn("pred_lang", predLang)
       .withColumn("kept",
         col("quality") >= 0.5 && col("pred_lang") =!= "und")
       .groupBy(col("source"))
