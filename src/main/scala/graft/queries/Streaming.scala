@@ -62,15 +62,34 @@ object Streaming {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  def stStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    EventsStream.clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val stStreamJoinSql =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id, c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
+    "st_stream_join" -> (stStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "st_tumbling" -> stTumblingSql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
+    "st_stream_join" -> stStreamJoinSql,
   )
 }

@@ -61,4 +61,33 @@ object EventsStream {
     tumblingAgg(
       spark.readStream.schema(schema).parquet(sourceDir)
         .withWatermark("ts", "30 minutes"))
+
+  /** Stream-stream interval join (attribution): each purchase joined
+    * to the same user's clicks from the preceding 30 minutes. Defined
+    * over arbitrary frames (batch or streaming); the time-range
+    * predicate is what bounds the join state in streaming mode. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+        col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") < col("c.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+
+  /** Streaming [[clickPurchaseJoin]]: watermarks on BOTH sides plus
+    * the interval condition let Spark expire join state — clicks
+    * older than the purchase watermark minus 30 minutes can never
+    * match again and are dropped. */
+  def streamingClickPurchaseJoin(spark: SparkSession, sourceDir: String)
+      : DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    clickPurchaseJoin(
+      src.filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour"),
+      src.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour"))
+  }
 }

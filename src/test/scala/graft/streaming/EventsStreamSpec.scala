@@ -29,6 +29,28 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval join equals batch interval join") {
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_join_stream").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(staged)
+    val q = EventsStream.streamingClickPurchaseJoin(spark, staged)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("join_out")
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      val ev = Tables.events(spark, sf0001)
+      val batch = EventsStream.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} rows")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val ev = Seq(
