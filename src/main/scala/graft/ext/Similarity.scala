@@ -140,6 +140,83 @@ object Similarity {
       .distinct()
   }
 
+  /** Deterministic Lloyd's k-means over an embedding frame
+    * (`vec_id`, `emb`): seeds are the `k` smallest vec_ids, every
+    * iteration assigns by rounded cosine (ties → smallest cluster id)
+    * and recomputes centroids with order-independent decimal sums —
+    * so the fit is bit-reproducible across runs, partitionings, AND
+    * engines (the DuckDB oracle unrolls the same iterations).
+    * Distributed shape: assignment is a broadcast cross join (k tiny),
+    * the update is the same explode-by-dimension aggregation as
+    * [[ivfTopK]] — no driver-side collect anywhere. */
+  def kmeansCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seedW = Window.orderBy("vec_id")
+    var centroids = base.orderBy("vec_id").limit(k)
+      .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("cid"), col("emb").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignClusters(base, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
+          count(lit(1)), 6).as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x("cv")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment by rounded cosine, ties broken by
+    * cluster id — deterministic and SQL-mirrorable. Argmax is a
+    * struct-max hash aggregate (partial combine, no sort shuffle the
+    * way a row_number window would): max orders by a_sim first, then
+    * by −cid, so equal similarities resolve to the smallest cid —
+    * identical semantics to `row_number() OVER (ORDER BY a_sim DESC,
+    * cid ASC) = 1`. */
+  def assignClusters(base: DataFrame, centroids: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
+      .withColumn("a_sim", round(cosine(col("emb"), col("centroid")), 6))
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"), // constant within the group
+        max(struct(col("a_sim"), (-col("cid")).as("neg_cid"),
+          col("cid"))).as("_best"))
+      .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
+
+  /** [[ivfTopK]] with a real (deterministic) k-means coarse quantizer
+    * instead of the `label` column: fit `kClusters` centroids with
+    * [[kmeansCentroids]], assign the corpus, probe the `nprobe`
+    * nearest centroids per query. */
+  def ivfTopKKmeans(embeddings: DataFrame, isQuery: Column, k: Int,
+      nprobe: Int, kClusters: Int, iters: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = kmeansCentroids(base, kClusters, iters)
+    val members = assignClusters(base, centroids)
+    val q = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("c_sim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("c_sim"), asc("cid"))
+    val probed = probes.withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    val scored = members.join(probed, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style coarse quantization using per-label centroids (the
     * embeddings table's `label` column is the cluster assignment):
     * queries probe only the `nprobe` nearest centroids' partitions.

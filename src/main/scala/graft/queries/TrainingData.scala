@@ -435,6 +435,64 @@ object TrainingData {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF with a real deterministic k-means coarse quantizer (8
+    * clusters, 2 Lloyd iterations, smallest-vec_id seeds). Every step
+    * — seeding, rounded-cosine assignment, decimal-sum centroid
+    * updates — is order-independent and engine-portable, so the whole
+    * iterative fit is hash-verified against a DuckDB oracle that
+    * unrolls the same two iterations. */
+  def sAnnIvfKmeans(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopKKmeans(embs(s, d), isQuery, k = 5,
+      nprobe = 3, kClusters = 8, iters = 2)
+      .orderBy("query_id", "rank")
+
+  private val sAnnIvfKmeansSql = {
+    val kClusters = 8
+    def assignSql(cent: String, out: String): String =
+      s"""$out AS (SELECT vec_id, emb, cid FROM (
+         |  SELECT b.vec_id, b.emb, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC, c.cid)
+         |      AS rn
+         |  FROM base b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def updateSql(assigned: String, out: String): String =
+      s"""${out}d AS (SELECT cid, i,
+         |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS cv
+         |  FROM $assigned CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY cid, i),
+         |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
+         |  FROM ${out}d GROUP BY cid)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |init AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
+       |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM base) WHERE rn <= $kClusters),
+       |${assignSql("init", "a1")},
+       |${updateSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${updateSql("a2", "c2")},
+       |${assignSql("c2", "members")},
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
+       |  WHERE vec_id % 40 = 0),
+       |probes AS (SELECT query_id, q_emb, cid,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN c2),
+       |probed AS (SELECT query_id, q_emb, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, cid ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |scored AS (SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    ${sqlCosine("p.q_emb", "m.emb")} AS cos_sim
+       |  FROM members m JOIN probed p ON m.cid = p.cid
+       |  WHERE m.vec_id <> p.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
     * multi-table hyperplane LSH blocking + exact cosine verification.
     * Oracle-verified — plane literals are inlined into the SQL. */
@@ -611,6 +669,7 @@ object TrainingData {
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_curation_pipeline" -> (dCurationPipeline _),
     "d_dup_clusters" -> (dDupClusters _),
@@ -634,6 +693,7 @@ object TrainingData {
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
+    "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "m_binary_meta" -> mBinaryMetaSql,
     "m_media_decode" -> mMediaDecodeSql,

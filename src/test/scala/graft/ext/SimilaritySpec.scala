@@ -47,6 +47,32 @@ class SimilaritySpec extends SparkSpec {
     assert(g == b, "IVF with all probes must equal brute force")
   }
 
+  test("k-means fit is deterministic and clusters tight groups together") {
+    // two obvious clusters around orthogonal axes (dim 64)
+    def v(axis: Int, jitter: Float): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 1) % 64) jitter else 0.0f))
+    val vecs = (0 until 8).map(i => (i.toLong, v(0, 0.01f * i))) ++
+      (8 until 16).map(i => (i.toLong, v(32, 0.01f * (i - 8))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val base = df.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("emb"))
+    val cents = Similarity.kmeansCentroids(base, k = 2, iters = 2)
+    assert(cents.count() == 2)
+    val members = Similarity.assignClusters(base, cents)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    // each tight group lands in one cluster
+    assert((0L until 8L).map(members).toSet.size == 1)
+    assert((8L until 16L).map(members).toSet.size == 1)
+    assert(members(0L) != members(8L))
+    // re-running the fit reproduces identical centroids
+    val again = Similarity.kmeansCentroids(base, k = 2, iters = 2)
+      .orderBy("cid").select("centroid").as[Seq[Double]].collect()
+    val first = cents.orderBy("cid").select("centroid")
+      .as[Seq[Double]].collect()
+    assert(first.toSeq == again.toSeq)
+  }
+
   test("cosine dup pairs finds duplicate/near-dup vectors, skips distant") {
     // dim-64 vectors: 0 and 1 identical, 2 a scaled copy (cos 1.0),
     // 3 orthogonal-ish noise
