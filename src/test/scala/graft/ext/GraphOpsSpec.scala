@@ -17,6 +17,38 @@ class GraphOpsSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star contraction handles a 100-node path in logarithmic rounds") {
+    // diameter-99 chain — O(diameter) label propagation would need
+    // ~100 rounds; star contraction must finish well within 50
+    val edges = (0L until 99L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.components(edges, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(got.length == 100)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("components match brute-force closure on a random graph") {
+    val rnd = new scala.util.Random(4242)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong)).filter(e => e._1 != e._2)
+    val got = ConnectedComponents.components(
+      edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    // reference: driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    assert(got == want)
+  }
+
   test("interval join finds exactly the in-tolerance pairs across " +
       "band boundaries") {
     def ts(sec: Int) = java.sql.Timestamp.valueOf(
