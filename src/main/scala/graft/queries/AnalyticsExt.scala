@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -228,6 +228,44 @@ object AnalyticsExt {
       |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The same exact interpolated percentiles computed the way that
+    * SURVIVES 100 TB: Spark's `percentile()` buffers every value of a
+    * group in the aggregation buffer (OOM at cluster scale); this
+    * formulation builds a (value → count) histogram (map-side
+    * combinable), takes one windowed cumulative sum per group, and
+    * linearly interpolates between the two bracketing values —
+    * identical semantics (pos = p·(n−1), `lo + frac·(hi−lo)`), so it
+    * verifies against the same quantile_cont oracle. */
+  def qPercentilesDist(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("l_returnflag").orderBy("v")
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c"))
+        .over(Window.partitionBy("l_returnflag")))
+    // a value v covers sorted (0-based) positions [cum−c, cum−1]; the
+    // rows bracketing position floor(k)/ceil(k) are picked with
+    // conditional min aggregates (≤ 2 survivors per group)
+    def pick(idx: Column): Column =
+      min(when(col("cum") - col("c") <= idx && idx < col("cum"),
+        col("v")))
+    def kOf(p: Double): Column =
+      (col("n") - lit(1)).cast("double") * lit(p)
+    val agg = cum.groupBy(col("l_returnflag")).agg(
+      min(kOf(0.5)).as("k50"),
+      pick(floor(kOf(0.5))).as("lo50"), pick(ceil(kOf(0.5))).as("hi50"),
+      min(kOf(0.95)).as("k95"),
+      pick(floor(kOf(0.95))).as("lo95"), pick(ceil(kOf(0.95))).as("hi95"))
+    def interp(k: Column, lo: Column, hi: Column): Column =
+      round(lo + (k - floor(k)) * (hi - lo), 4)
+    agg.select(col("l_returnflag"),
+      interp(col("k50"), col("lo50"), col("hi50")).as("p50"),
+      interp(col("k95"), col("lo95"), col("hi95")).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   /** Approximate distinct counts (HLL++) next to the exact count —
     * rows-only: the sketch estimate is engine-specific by design.
     * [[qHllPortable]] is the oracle-verified sketch variant. */
@@ -297,6 +335,7 @@ object AnalyticsExt {
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> (qJsonExtract _),
     "q_percentiles" -> (qPercentiles _),
+    "q_percentiles_dist" -> (qPercentilesDist _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_hll_portable" -> (qHllPortable _),
     "q_window_offsets" -> (qWindowOffsets _),
@@ -312,6 +351,7 @@ object AnalyticsExt {
     "q_json_extract" -> qJsonExtractSql,
     "q_hll_portable" -> qHllPortableSql,
     "q_percentiles" -> qPercentilesSql,
+    "q_percentiles_dist" -> qPercentilesSql,
     "q_window_offsets" -> qWindowOffsetsSql,
     "q_cube_segment_year" -> qCubeSql,
     "q_pivot_priority" -> qPivotPrioritySql,
