@@ -119,9 +119,11 @@ object Merge {
     * the reference's `INSERT ... RETURNING id` (SURVEY.md §7.4): new
     * rows get `max(existing id) + row_number()` ordered by the
     * business key. The max comes in via a broadcast cross join (no
-    * driver collect); the row_number over inserts is a narrow window
-    * — acceptable because an incremental batch's *insert subset* is
-    * small relative to the table even at scale. */
+    * driver collect). Only the *insert subset* is row-numbered —
+    * keep/update/noop rows never enter the sort — so the documented
+    * single-partition window cost is bounded by the incremental
+    * batch's new keys, not the table. For bulk backfills where even
+    * the insert subset is huge, use [[assignIdsDistributed]]. */
   def assignIds(merged: DataFrame, idCol: String, orderKey: String)
       : DataFrame = assignIds(merged, idCol, orderKey, merged)
 
@@ -131,15 +133,62 @@ object Merge {
     * FullOuter join subtree in the physical plan otherwise). */
   def assignIds(merged: DataFrame, idCol: String, orderKey: String,
       idSource: DataFrame): DataFrame = {
+    val idType = merged.schema(idCol).dataType
     val maxId = idSource.agg(
       coalesce(max(col(idCol)), lit(0L)).cast("long").as("_max_id"))
+    // Non-inserts pass through untouched — no window, no exchange on
+    // their side (the join's shuffles below the two filters are
+    // identical subtrees, so Spark reuses the exchange).
+    val others = merged.filter(col(ActionCol) =!= "insert")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(ActionCol) === "insert").orderBy(col(orderKey))
-    merged.crossJoin(broadcast(maxId))
+      .orderBy(col(orderKey))
+    val numbered = merged.filter(col(ActionCol) === "insert")
+      .crossJoin(broadcast(maxId))
       .withColumn(idCol,
-        when(col(ActionCol) === "insert",
-          col("_max_id") + row_number().over(w))
-          .otherwise(col(idCol)))
+        (col("_max_id") + row_number().over(w)).cast(idType))
       .drop("_max_id")
+    others.unionByName(numbered)
+  }
+
+  /** Fully distributed id assignment for *large* insert batches
+    * (bulk backfill / first load), where [[assignIds]]'s
+    * single-partition sort of the insert subset would itself be a
+    * bottleneck: range-partition the inserts on the business key,
+    * number within each partition, and add broadcast per-partition
+    * offsets. Produces ids identical to
+    * `row_number() OVER (ORDER BY orderKey)` for unique keys —
+    * global rank is invariant to where the sampled range boundaries
+    * fall. The sorted frame is localCheckpoint'ed once so the offset
+    * aggregate and the numbering read the same materialized
+    * partitioning (range sampling is otherwise not re-execution
+    * stable). */
+  def assignIdsDistributed(merged: DataFrame, idCol: String,
+      orderKey: String, idSource: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idType = merged.schema(idCol).dataType
+    val maxId = idSource.agg(
+      coalesce(max(col(idCol)), lit(0L)).cast("long").as("_max_id"))
+    val others = merged.filter(col(ActionCol) =!= "insert")
+    val sorted = merged.filter(col(ActionCol) === "insert")
+      .repartitionByRange(col(orderKey))
+      .sortWithinPartitions(orderKey)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Tiny: one row per partition; the running-sum window over it is
+    // a few dozen rows on the driver-side single partition.
+    val offsets = sorted.groupBy("_pid").count()
+      .withColumn("_off", coalesce(sum("count").over(wOff), lit(0L)))
+      .drop("count")
+    val wIn = Window.partitionBy("_pid").orderBy(col(orderKey))
+    val numbered = sorted
+      .join(broadcast(offsets), "_pid")
+      .crossJoin(broadcast(maxId))
+      .withColumn(idCol,
+        (col("_max_id") + col("_off") + row_number().over(wIn))
+          .cast(idType))
+      .drop("_pid", "_off", "_max_id")
+    others.unionByName(numbered)
   }
 }

@@ -213,8 +213,14 @@ object AnalyticsExt {
       |  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Exact interpolated percentiles per group. */
-  def qPercentiles(s: SparkSession, d: String): DataFrame =
+  /** Exact interpolated percentiles via Spark's buffering
+    * `percentile()` aggregate, which materializes every group value in
+    * the aggregation buffer — OOM at cluster scale. NOT in the query
+    * catalog (a user must not copy this form); it exists only as the
+    * reference formulation that [[qPercentilesDist]] is
+    * spec-compared against (AnalyticsQuerySpec). */
+  private[graft] def percentilesBuffering(s: SparkSession, d: String)
+      : DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -334,7 +340,11 @@ object AnalyticsExt {
 
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> (qJsonExtract _),
-    "q_percentiles" -> (qPercentiles _),
+    // Both percentile catalog entries are the scale-safe histogram
+    // formulation; the buffering percentile() form is spec-only
+    // ([[percentilesBuffering]]) so no catalog query a user might
+    // copy carries the OOM-at-scale aggregate.
+    "q_percentiles" -> (qPercentilesDist _),
     "q_percentiles_dist" -> (qPercentilesDist _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_hll_portable" -> (qHllPortable _),

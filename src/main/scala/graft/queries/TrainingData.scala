@@ -20,16 +20,25 @@ object TrainingData {
   /** The documents/embeddings testdata arrives as a single parquet
     * split locally, which would serialize all per-doc expression work
     * onto one core; a round-robin repartition spreads it across the
-    * session's parallelism. (At production scale the scan already
-    * arrives in thousands of splits and this rebalance is unnecessary —
-    * it lives here in the query layer, not in the ops library.) */
+    * session's parallelism. The rebalance is *gated on the actual
+    * split count*: at production scale the scan already arrives in
+    * thousands of splits and a corpus-wide round-robin shuffle would
+    * be the single most expensive operation in the file, so a scan
+    * that is already at least as parallel as the session passes
+    * through untouched. (Inspecting the scan's partitioning costs
+    * only file listing, not a job.) */
+  private def spread(df: DataFrame, s: SparkSession): DataFrame = {
+    val parallelism = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism)
+      df.repartition(parallelism)
+    else df
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    spread(Tables.documents(s, d), s)
 
   private def embs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    spread(Tables.embeddings(s, d), s)
 
   // ---- dedup --------------------------------------------------------
   def dDedupExact(s: SparkSession, d: String): DataFrame =

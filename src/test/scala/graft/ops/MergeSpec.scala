@@ -49,6 +49,46 @@ class MergeSpec extends SparkSpec {
       ("d@x", 4L)))
   }
 
+  test("assignIds windows only the insert subset (no full-table sort)") {
+    val m = Merge.merge(staged, cur, Seq("email"), Seq("name", "note"))
+    val plan0 = Merge.assignIds(m, "user_id", "email")
+      .queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // Every Window node must sit above the insert-selecting filter —
+    // the old (broken) shape windowed the whole merged table with a
+    // boolean partition key and had no filter below the window.
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val filtersBelow = w.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f }
+      assert(filtersBelow.nonEmpty,
+        s"window not restricted to a filtered subset:\n$w")
+      assert(w.windowExpression.nonEmpty &&
+        w.partitionSpec.isEmpty,
+        "insert numbering should be a global (unpartitioned) window " +
+        "over the filtered insert rows only")
+    }
+  }
+
+  test("assignIdsDistributed matches assignIds on a bulk insert batch") {
+    val curBig = (1 to 7).map(i => (f"u$i%03d@x", i.toLong, s"N$i", "v"))
+      .toDF("email", "user_id", "name", "note")
+    val stBig = (5 to 40).map(i => (f"u$i%03d@x", s"N$i", "w"))
+      .toDF("email", "name", "note")
+    val m = Merge.merge(stBig, curBig, Seq("email"), Seq("name", "note"))
+    val simple = Merge.assignIds(m, "user_id", "email", curBig)
+      .select("email", "user_id").as[(String, Long)].collect().sortBy(_._1)
+    val dist = Merge.assignIdsDistributed(m, "user_id", "email", curBig)
+      .select("email", "user_id").as[(String, Long)].collect().sortBy(_._1)
+    assert(dist.toSeq == simple.toSeq)
+  }
+
   test("merge is idempotent: re-merging the merged state is all noop/keep") {
     val m = Merge.merge(staged, cur, Seq("email"), Seq("name", "note"))
     val newCur = Merge.assignIds(m, "user_id", "email")
