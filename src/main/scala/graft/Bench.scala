@@ -9,13 +9,29 @@ import org.apache.spark.sql.SparkSession
   * full evaluation of every output column (no aggregate-pruning
   * shortcuts), so the numbers reflect real query cost.
   *
+  * Noise robustness: every query runs `SPARK_GRAFT_REPS` times
+  * (default 3) and reports the MEDIAN — this host's contention can
+  * inflate a 0.5s query to 190s on a single run (see BASELINE.md), and
+  * a one-shot number is uninterpretable. All raw runs are emitted in
+  * `"runs"` and the per-query JVM GC time in `"gc_sec"`, so a
+  * contended run is visible instead of mistaken for a plan regression.
+  *
   * Optional env:
   *   SPARK_GRAFT_QUERIES  comma-separated subset to run (profiling)
+  *   SPARK_GRAFT_REPS     repetitions per query (default 3, median)
   */
 object Bench {
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,19 +49,32 @@ object Bench {
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val runs = (0 until reps).map { _ =>
+        val g0 = gcMillis()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%7.2fs")
-      name -> sec
+      val med = runs.map(_._1).sorted.apply(reps / 2)
+      val gc = runs.map(_._2).sum
+      System.err.println(f"[bench] $name%-24s $med%7.2fs  " +
+        f"(runs ${runs.map(r => f"${r._1}%.2f").mkString("/")}, gc $gc%.1fs)")
+      (name, med, runs.map(_._1), gc)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jnum(d: Double): String = "%.6f".format(d)
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, rs, _) =>
+      "\"" + k + "\":[" + rs.map(jnum).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, _, _, g) =>
+      "\"" + k + "\":" + jnum(g)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"runs":$runsJson,"gc_sec":$gcJson}""")
     spark.stop()
   }
 }

@@ -38,35 +38,56 @@ object GraftExtensions {
     case _ => default
   }
 
+  /** Arity gate: a wrong argument count surfaces as a clear analysis
+    * failure instead of an IndexOutOfBoundsException from the builder
+    * (input *types* are validated by each expression's
+    * checkInputDataTypes). */
+  private def arity(name: String, exprs: Seq[Expression], min: Int,
+      max: Int): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"$name expects $min" +
+        (if (max > min) s" to $max" else "") +
+        s" arguments, got ${exprs.length}")
+
   /** name → expression builder (1-arg form uses library defaults). */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> { exprs =>
+      arity("rolling_hash", exprs, 1, 3)
       RollingHash(exprs.head,
         if (exprs.length > 1) longArg(exprs(1), 31L) else 31L,
         if (exprs.length > 2) longArg(exprs(2), 2147483647L)
         else 2147483647L)
     },
     "minhash_sig" -> { exprs =>
+      arity("minhash_sig", exprs, 1, 2)
       MinHashSig(exprs.head,
         if (exprs.length > 1) longArg(exprs(1), 16L).toInt else 16)
     },
     "shingle_set" -> { exprs =>
+      arity("shingle_set", exprs, 1, 2)
       ShingleSet(exprs.head,
         if (exprs.length > 1) longArg(exprs(1), 3L).toInt else 3)
     },
     "sorted_intersect_size" -> { exprs =>
+      arity("sorted_intersect_size", exprs, 2, 2)
       SortedIntersectSize(exprs.head, exprs(1))
     },
     "dot_product" -> { exprs =>
+      arity("dot_product", exprs, 2, 2)
       DotProduct(exprs.head, exprs(1))
     },
     "array_poly_hash" -> { exprs =>
+      arity("array_poly_hash", exprs, 1, 3)
       ArrayPolyHash(exprs.head,
         if (exprs.length > 1) longArg(exprs(1), 31L) else 31L,
         if (exprs.length > 2) longArg(exprs(2), 2147483647L)
         else 2147483647L)
     },
-    "simhash32" -> { exprs => SimHash32(exprs.head) })
+    "simhash32" -> { exprs =>
+      arity("simhash32", exprs, 1, 1)
+      SimHash32(exprs.head)
+    })
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

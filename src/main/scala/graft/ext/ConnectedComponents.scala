@@ -73,6 +73,11 @@ object ConnectedComponents {
         .unionByName(neighborMin)
         .groupBy("id").agg(min(col("comp")).as("comp"),
           min(when(col("own"), col("comp"))).as("old_comp"))
+        // size the materialized per-round frame to the edge working
+        // set (like the fallback phase) — every subsequent round's
+        // join otherwise pays full scheduling overhead on
+        // mostly-empty session-default partitions
+        .repartition(parts, col("id"))
         .localCheckpoint() // truncate the growing lineage per round
       val changes = next
         .filter(col("comp") =!= col("old_comp")).count()

@@ -91,7 +91,7 @@ object Dedup {
       size(col("sh")).as("n_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
       size(col("sh")).as("n_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
+    val pairs = cand.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.ArrayOps
           .sorted_intersect_size(col("sh_a"), col("sh_b")).as("n_inter"),
@@ -100,6 +100,12 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (small) passing pair set, then release the
+    // shingle cache immediately — relying on GC + ContextCleaner leaks
+    // the blocks for as long as the caller holds the returned frame
+    val out = pairs.localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** MinHash signature over pre-hashed shingles: for permutation j,
@@ -161,7 +167,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verification: one merge-walk intersect per unique pair
-    candidates
+    val pairs = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
@@ -174,6 +180,10 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // same eager-materialize + release pattern as jaccardPairs
+    val out = pairs.localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** 32-bit SimHash from token hashes: per bit position, tokens vote

@@ -69,8 +69,7 @@ object Similarity {
     * recall for a |C|/2^planes candidate reduction; the corpus shuffle
     * is a single hash partition on the bucket id. */
   def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
-      numPlanes: Int, seed: Long): DataFrame = {
-    val dim = 64
+      numPlanes: Int, seed: Long, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
@@ -105,14 +104,20 @@ object Similarity {
     * broadcast-join dot product — cheaper than a 10⁷-row distinct
     * shuffle; the tiny passing set dedups at the end). */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double,
-      tables: Int, planesPerTable: Int, seed: Long): DataFrame = {
-    val dim = 64
+      tables: Int, planesPerTable: Int, seed: Long,
+      dim: Int = 64): DataFrame = {
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
     // feeds three plan subtrees (bucket keying + both reattaches) —
-    // persist like Dedup.jaccardPairs so the scan+norm runs once
+    // persist like Dedup.jaccardPairs so the scan+norm runs once.
+    // Fail fast on a dim mismatch: hyperplanes are generated at `dim`,
+    // and dot_product would silently truncate longer vectors, which
+    // degrades bucket recall with no visible error. assert_true is
+    // kept alive by the filter (a dropped column would be pruned).
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
+      .filter(coalesce(assert_true(size(col("emb")) === dim,
+        lit(s"cosineDupPairs: embedding dim != $dim")), lit(true)))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = base.select(col("vec_id"),
@@ -132,12 +137,19 @@ object Similarity {
       col("norm").as("norm_b"))
     // no broadcast hint: the optimizer broadcasts while base is small
     // and falls back to an id-partitioned shuffle join at scale
-    cand.join(ea, "vec_a").join(eb, "vec_b")
+    val pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("emb_a"), col("emb_b")) /
           (col("norm_a") * col("norm_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
+    // The passing pair set is orders smaller than the corpus:
+    // materialize it once (localCheckpoint) and release the cached
+    // base immediately, instead of leaking the persist until the
+    // caller's frame is GC'd (long-lived sessions accumulate blocks).
+    val out = pairs.localCheckpoint()
+    base.unpersist()
+    out
   }
 
   /** Deterministic Lloyd's k-means over an embedding frame
@@ -157,6 +169,10 @@ object Similarity {
       .select(col("cid"), col("emb").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assignClusters(base, centroids)
+      // localCheckpoint per Lloyd iteration: the centroid frame is k
+      // tiny rows, but without truncation each iteration's plan embeds
+      // the previous one's whole assign+aggregate subtree, so lineage
+      // (and analysis/codegen time) grows geometrically with `iters`.
       centroids = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
@@ -166,6 +182,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
+        .localCheckpoint()
     }
     centroids
   }
@@ -213,8 +230,13 @@ object Similarity {
         round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val topk = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    // top-k per query is tiny: materialize and release the corpus
+    // cache (same leak-avoidance pattern as cosineDupPairs)
+    val out = topk.localCheckpoint()
+    base.unpersist()
+    out
   }
 
   /** IVF-style coarse quantization using per-label centroids (the

@@ -87,8 +87,14 @@ object TextStats {
     * identical to `(qualityScore(text), predictedLang(tokens(text)))`
     * but with one token scan instead of two; used by the curation
     * pipeline, which needs both. */
-  def qualityAndLang(text: Column): (Column, Column) = {
-    val toks = tokens(text)
+  def qualityAndLang(text: Column): (Column, Column) =
+    qualityAndLangFrom(tokens(text))
+
+  /** [[qualityAndLang]] over an already-tokenized column. Callers that
+    * project the token array once (`withColumn("_toks", tokens(...))`)
+    * and pass the attribute here get a guaranteed single tokenize in
+    * the plan, independent of codegen subexpression elimination. */
+  def qualityAndLangFrom(toks: Column): (Column, Column) = {
     val counts = graft.functions.ArrayOps.token_set_counts(
       toks, AllStopwords +: StopwordsByLang.map(_._2))
     val nTok = size(toks).cast("double")

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -55,6 +56,13 @@ case class ShingleSet(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, false)
   override def prettyName: String = "shingle_set"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.simpleString}")
+    }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -134,6 +142,16 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if lt == rt && (lt == StringType || lt == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two arrays of the same element type " +
+        s"(string or bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+
   private lazy val elemType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
@@ -200,24 +218,39 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 /** Σ aᵢ·bᵢ over two double arrays, strict left-to-right accumulation —
   * the same order as the `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
   * HOF fold and DuckDB's `list_dot_product`, so cross-engine float
-  * parity is bit-exact. Extra elements of the longer array are
-  * ignored; null elements are skipped (embeddings carry neither).
+  * parity is bit-exact — INCLUDING the degenerate cases: a length
+  * mismatch or a null element yields NULL, exactly as the HOF fold
+  * does (`zip_with` pads the shorter side with nulls and a null
+  * product poisons the whole fold). Exposed as SQL `dot_product`, so
+  * users can feed it anything; silently truncating used to diverge
+  * from the documented equivalence.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+    }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i))
-        acc += a.getDouble(i) * b.getDouble(i)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc
@@ -230,13 +263,19 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i))
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -257,6 +296,13 @@ case class ArrayPolyHash(child: Expression, mult: Long, modulus: Long)
 
   override def dataType: DataType = ArrayType(LongType, false)
   override def prettyName: String = "array_poly_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.simpleString}")
+    }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -325,6 +371,13 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
 
   override def dataType: DataType = ArrayType(IntegerType, false)
   override def prettyName: String = "token_set_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.simpleString}")
+    }
 
   @transient private lazy val lookup: Array[java.util.HashSet[UTF8String]] =
     sets.map { words =>

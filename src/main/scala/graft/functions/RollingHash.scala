@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftShims
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd rolling polynomial hash over a string's Unicode code
@@ -21,6 +22,13 @@ case class RollingHash(child: Expression, mult: Long, modulus: Long)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString}")
+    }
 
   /** The hash itself — public so optimizer rules can fold literals. */
   def hashOf(input: Any): Long = {

@@ -253,11 +253,21 @@ object TrainingData {
     * query verifies their composition. */
   def dCurationPipeline(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-    val keep = Dedup.exact(base, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val (quality, predLang) = TextStats.qualityAndLang(col("text"))
+    // exact dedup inline as a window over the content hash: ONE corpus
+    // shuffle (by hash) replaces the groupBy-aggregate + semi-join
+    // formulation's two corpus passes; min-doc_id-per-hash semantics
+    // are identical to Dedup.exact's keep_id
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(Dedup.contentHash(col("text")))
+      .orderBy(col("doc_id"))
+    // the token array is projected ONCE and every downstream stage
+    // (quality + langid share a fused TokenSetCounts kernel) reads the
+    // attribute — a guaranteed single tokenize, not a CSE accident
+    val (quality, predLang) = TextStats.qualityAndLangFrom(col("_toks"))
     base
-      .join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("_rn", row_number().over(wDup))
+      .filter(col("_rn") === 1)
+      .withColumn("_toks", TextStats.tokens(col("text")))
       .withColumn("quality", quality)
       .withColumn("pred_lang", predLang)
       .withColumn("kept",

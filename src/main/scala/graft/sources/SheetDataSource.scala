@@ -109,14 +109,29 @@ private class SheetTable(schema: StructType, path: String)
 }
 
 private class SheetScan(schema: StructType, path: String)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns {
+
+  /** Pruned schema — Catalyst hands the required columns down before
+    * `build()`; the reader then materializes only those fields, so a
+    * 2-column projection of a 30-column sheet parses 2 values per row
+    * (and `readSchema()` advertises the narrow scan to the plan). */
+  private var prunedSchema: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep source field order; requiredSchema may reorder
+    val wanted = requiredSchema.fieldNames.toSet
+    prunedSchema = StructType(schema.fields.filter(f =>
+      wanted.contains(f.name)))
+  }
+
   override def build(): Scan = this
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(SheetPartition(path))
   override def createReaderFactory(): PartitionReaderFactory =
-    new SheetReaderFactory(schema)
+    new SheetReaderFactory(prunedSchema)
 }
 
 private case class SheetPartition(path: String) extends InputPartition

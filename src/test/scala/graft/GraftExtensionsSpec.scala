@@ -39,6 +39,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got._5 == (97L * 31 + 98) * 31 + 99) // one token votes its bits
   }
 
+  test("SQL surface rejects wrong arity and wrong input types at " +
+      "analysis, not execution") {
+    GraftExtensions.register(spark)
+    val badArity = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_size(array(1L))").collect()
+    }
+    assert(badArity.getMessage.contains("expects 2"))
+    val badType = intercept[Exception] {
+      spark.sql("SELECT dot_product(array('x'), array('y'))").collect()
+    }
+    assert(badType.getMessage.toLowerCase.contains("array<double>") ||
+      badType.getMessage.contains("DATATYPE_MISMATCH"))
+    val badScalar = intercept[Exception] {
+      spark.sql("SELECT rolling_hash(array(1, 2))").collect()
+    }
+    assert(badScalar.getMessage.contains("string") ||
+      badScalar.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("FoldRollingHash optimizer rule folds literal input to a " +
       "plain Literal") {
     spark.experimental.extraOptimizations =

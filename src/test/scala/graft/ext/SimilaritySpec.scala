@@ -71,6 +71,15 @@ class SimilaritySpec extends SparkSpec {
     val first = cents.orderBy("cid").select("centroid")
       .as[Seq[Double]].collect()
     assert(first.toSeq == again.toSeq)
+    // deeper fits stay cheap: per-iteration localCheckpoint truncates
+    // the Lloyd lineage, so iters=5 must not blow up plan size (it
+    // used to embed the full assign+aggregate subtree 5 deep) and on
+    // converged clusters extra iterations are a fixpoint
+    val deep = Similarity.kmeansCentroids(base, k = 2, iters = 5)
+    assert(deep.queryExecution.optimizedPlan.treeString.length <
+      20000, "per-iteration lineage not truncated")
+    assert(deep.orderBy("cid").select("centroid")
+      .as[Seq[Double]].collect().toSeq == first.toSeq)
   }
 
   test("cosine dup pairs finds duplicate/near-dup vectors, skips distant") {

@@ -62,6 +62,22 @@ class ArrayOpsSpec extends SparkSpec {
     }
   }
 
+  test("dot_product degenerate cases match the HOF fold: length " +
+      "mismatch and null elements yield NULL") {
+    val vs = Seq(
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0))),          // mismatch
+      (Seq(Some(1.0), None), Seq(Some(3.0), Some(4.0))),    // null elem
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val both = vs.select(
+      ArrayOps.dot_product($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (p, q) => p * q),
+        lit(0.0), _ + _).as("ref"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(both.toSeq ==
+      Seq((None, None), (None, None), (Some(11.0), Some(11.0))))
+  }
+
   test("array_poly_hash equals per-element rolling_hash") {
     val toks = docs.select(split($"text", " ").as("toks"))
     val both = toks.select(

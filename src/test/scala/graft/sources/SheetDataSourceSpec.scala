@@ -64,6 +64,25 @@ class SheetDataSourceSpec extends SparkSpec {
     assert(ada == ("1".padTo(30, '0'), "1".padTo(30, '0')))
   }
 
+  test("column pruning reaches the scan: narrow projection reads " +
+      "only requested fields") {
+    val path = writeSheet(
+      """[{"Name": "Ada", "Email": "ada@u.edu", "Major": "CS",
+        |  "Minor": "Math", "College": "Eng"}]""".stripMargin)
+    val narrow = spark.read.format("sheet").load(path)
+      .select("Email", "Name")
+    val scans = narrow.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1)
+    // the scan itself (not a project above it) carries only the two
+    // requested columns, in source field order
+    assert(scans.head.scan.readSchema().fieldNames.toSeq ==
+      Seq("Name", "Email"))
+    assert(narrow.as[(String, String)].collect().toSeq ==
+      Seq(("ada@u.edu", "Ada")))
+  }
+
   test("error taxonomy: unreadable path → E005, bad payload → E003") {
     val e5 = intercept[SheetReadError] {
       spark.read.format("sheet").load("/nonexistent/sheet.json")

@@ -35,6 +35,63 @@ class SinksSpec extends SparkSpec {
         .filter(year(col("o_orderdate")) === 1996).count())
   }
 
+  test("jdbc upsert generates staging merge script and prunes " +
+      "noop/keep rows") {
+    import graft.ops.Merge
+    import JdbcUpsertSink.JdbcTarget
+    import spark.implicits._
+    val cur = Seq(("a@x", "Alice", "old"), ("b@x", "Bob", "same"))
+      .toDF("email", "name", "note")
+    val st = Seq(("a@x", "Alice", "new"), ("b@x", "Bob", "same"),
+      ("c@x", "Cara", "fresh")).toDF("email", "name", "note")
+    val merged = Merge.merge(st, cur, Seq("email"), Seq("name", "note"))
+
+    var captured: Seq[String] = Nil
+    val t = JdbcTarget("jdbc:postgresql://db/ibc", "users", "u", "p")
+    val script = Merge.writeJdbc(merged, t, Seq("email"), batchId = 7,
+      runScript = Some(s => captured = s))
+
+    assert(captured == script && script.size == 2)
+    assert(script.head ==
+      """INSERT INTO "users" ("email", "name", "note") """ +
+      """SELECT "email", "name", "note" FROM "users_staging_7" """ +
+      """ON CONFLICT ("email") DO UPDATE SET """ +
+      """"name" = EXCLUDED."name", "note" = EXCLUDED."note"""")
+    assert(script(1) == """DROP TABLE IF EXISTS "users_staging_7"""")
+
+    // ANSI dialect renders a MERGE INTO with the same column set
+    val ansi = JdbcUpsertSink.ansiMergeSql("users", "stg",
+      Seq("email", "name"), Seq("email"))
+    assert(ansi ==
+      """MERGE INTO "users" t USING "stg" s ON t."email" = s."email" """ +
+      """WHEN MATCHED THEN UPDATE SET t."name" = s."name" """ +
+      """WHEN NOT MATCHED THEN INSERT ("email", "name") """ +
+      """VALUES (s."email", s."name")""")
+
+    // the payload the writer would ship excludes noop rows (b@x) and
+    // the action column — verified via the same pruning expression
+    val payload = merged
+      .filter(col(Merge.ActionCol).isin("insert", "update"))
+      .drop(Merge.ActionCol)
+    assert(payload.select("email").as[String].collect().sorted
+      .toSeq == Seq("a@x", "c@x"))
+  }
+
+  test("jdbc upsert without endpoint raises E004 connection error") {
+    import JdbcUpsertSink.JdbcTarget
+    import spark.implicits._
+    val df = Seq(("a@x", "n")).toDF("email", "name")
+    val t = JdbcTarget("jdbc:postgresql://nowhere:1/none", "users",
+      "u", "p", Map("connectTimeout" -> "1", "socketTimeout" -> "1",
+        "loginTimeout" -> "1"))
+    intercept[Exception] {
+      // live path: the staging write itself fails (no driver/endpoint
+      // in this container) — what matters is it fails loudly, not
+      // half-merged (the merge script only runs after a good write)
+      JdbcUpsertSink.upsert(df, t, Seq("email"))
+    }
+  }
+
   test("overwrite of a partitioned table replaces content atomically " +
       "per write") {
     val dir = Files.createTempDirectory("cust_part").toString
