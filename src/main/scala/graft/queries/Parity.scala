@@ -625,6 +625,73 @@ object Parity {
       |FROM (SELECT * FROM staged_out UNION ALL SELECT * FROM kept)
       |ORDER BY email""".stripMargin
 
+  // ---- S5: structured run report over the same staffing fixture -----
+  /** [[graft.ops.RunReport.staffing]] for the [[pStaffingPipeline]]
+    * run: stage/metric/count rows (validation split + per-merge action
+    * distributions). The oracle re-derives every count from the
+    * fixture's modular arithmetic. */
+  def pRunReport(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val sheet = c.select(
+      when(col("c_custkey") % 11 === 3, lit("")).otherwise(col("c_name"))
+        .as("Name"),
+      concat(lit("u"), col("c_custkey").cast("string"), lit("@x.com"))
+        .as("Email"),
+      col("c_mktsegment").as("Current Role"),
+      concat(lit("nid"), col("c_custkey").cast("string")).as("NetID"),
+      lit("Consulting").as("Major"))
+    val curUsers = c.filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").as("user_id"), col("c_name").as("name"),
+      concat(lit("u"), col("c_custkey").cast("string"), lit("@x.com"))
+        .as("email"),
+      lit(null).cast("string").as("gender"),
+      lit(null).cast("string").as("race"),
+      lit(false).as("us_citizen"), lit(false).as("residency"),
+      lit(false).as("first_gen"),
+      col("c_mktsegment").as("curr_role"),
+      concat(lit("nid"), col("c_custkey").cast("string")).as("netid"))
+    val curConsultants = curUsers.select(
+      Seq(col("user_id"), lit(null).cast("string").as("year"),
+        lit("Consulting").as("major"),
+        lit(null).cast("string").as("minor"),
+        lit(null).cast("string").as("college"),
+        lit(0).as("consultants_score"), lit(1).as("semesters_in_ibc"),
+        lit(null).cast("string").as("time_zone"),
+        lit("Sometimes").as("willing_to_travel"),
+        lit(null).cast("string").as("industry_interests"),
+        lit(null).cast("string").as("functional_area_interests"),
+        lit("active").as("status"),
+        lit(false).as("week_before_finals_availability")) ++
+      graft.ops.Availability.DayNames.map { case (n, _) =>
+        lit("00").as(n) }: _*)
+    val r = graft.pipelines.Staffing.run(sheet, curUsers, curConsultants)
+    graft.ops.RunReport.staffing(r).orderBy("stage", "metric")
+  }
+
+  /** Fixture decision tree (cf. [[pStaffingPipelineSql]]): k%11=3 →
+    * invalid; matched (k%3=0) rows always differ (staged residency
+    * NULL vs false; staged consultants semesters NULL vs 1) → update;
+    * unmatched valid → insert; quarantined current rows → keep. */
+  private val pRunReportSql =
+    """WITH c AS (SELECT c_custkey AS k FROM customer),
+      |v AS (SELECT
+      |    count(CASE WHEN k % 11 <> 3 THEN 1 END) AS n_valid,
+      |    count(CASE WHEN k % 11 = 3 THEN 1 END) AS n_invalid,
+      |    count(CASE WHEN k % 11 <> 3 AND k % 3 <> 0 THEN 1 END) AS n_ins,
+      |    count(CASE WHEN k % 11 <> 3 AND k % 3 = 0 THEN 1 END) AS n_upd,
+      |    count(CASE WHEN k % 11 = 3 AND k % 3 = 0 THEN 1 END) AS n_keep
+      |  FROM c)
+      |SELECT stage, metric, n FROM (
+      |  SELECT 'validate' AS stage, 'valid' AS metric, n_valid AS n FROM v
+      |  UNION ALL SELECT 'validate', 'invalid', n_invalid FROM v
+      |  UNION ALL SELECT 'users_merge', 'insert', n_ins FROM v
+      |  UNION ALL SELECT 'users_merge', 'update', n_upd FROM v
+      |  UNION ALL SELECT 'users_merge', 'keep', n_keep FROM v
+      |  UNION ALL SELECT 'consultants_merge', 'insert', n_ins FROM v
+      |  UNION ALL SELECT 'consultants_merge', 'update', n_upd FROM v
+      |  UNION ALL SELECT 'consultants_merge', 'keep', n_keep FROM v)
+      |ORDER BY stage, metric""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "p_staffing_pipeline" -> (pStaffingPipeline _),
@@ -641,6 +708,7 @@ object Parity {
     "p_returning_flag" -> (pReturningFlag _),
     "p_bulk_update" -> (pBulkUpdate _),
     "p_numeric_guard" -> (pNumericGuard _),
+    "p_run_report" -> (pRunReport _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -658,5 +726,6 @@ object Parity {
     "p_returning_flag" -> pReturningFlagSql,
     "p_bulk_update" -> pBulkUpdateSql,
     "p_numeric_guard" -> pNumericGuardSql,
+    "p_run_report" -> pRunReportSql,
   )
 }

@@ -79,11 +79,20 @@ object Streaming {
       |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  def stDedup(s: SparkSession, d: String): DataFrame =
+    EventsStream.dedupEvents(Tables.events(s, d))
+      .orderBy("user_id", "event_type")
+
+  private val stDedupSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
     "st_stream_join" -> (stStreamJoin _),
+    "st_dedup" -> (stDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,5 +100,6 @@ object Streaming {
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
     "st_stream_join" -> stStreamJoinSql,
+    "st_dedup" -> stDedupSql,
   )
 }

@@ -676,6 +676,112 @@ object TrainingData {
        |  greatest(CAST(trunc(height * scale) AS INTEGER), 1) AS out_h
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition/shape rules (Rae et al. 2021, public):
+    * per-doc token count, mean token length, duplicate-token fraction,
+    * duplicate-2-gram fraction, and the keep verdict. A pure
+    * projection — no shuffle, embarrassingly parallel at any scale;
+    * the 2-gram distinct count reuses the codegen'd ShingleSet
+    * kernel. Thresholds were chosen against this corpus's metric
+    * distribution so the verdict actually discriminates. */
+  def dGopherRules(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("_toks", TextStats.tokens(col("text")))
+    val n = size(col("_toks")).cast("double")
+    val nSafe = greatest(n, lit(1.0))
+    val meanLen = round(
+      length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nSafe, 6)
+    val dupTok = round(lit(1.0) -
+      size(array_distinct(col("_toks"))).cast("double") / nSafe, 6)
+    val dup2 = round(lit(1.0) -
+      size(graft.functions.ArrayOps.shingle_set(col("_toks"), 2))
+        .cast("double") / greatest(n - 1.0, lit(1.0)), 6)
+    base.select(col("doc_id"), n.cast("long").as("n_tok"),
+        meanLen.as("mean_tok_len"), dupTok.as("dup_tok_frac"),
+        dup2.as("dup_2gram_frac"))
+      .withColumn("keep", col("n_tok") >= 20 &&
+        col("mean_tok_len").between(3.0, 10.0) &&
+        col("dup_tok_frac") <= 0.6 && col("dup_2gram_frac") <= 0.05)
+      .orderBy("doc_id")
+  }
+
+  private val dGopherRulesSql =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    len(toks) AS n_tok,
+      |    round(len(replace(text, ' ', ''))::DOUBLE /
+      |      greatest(len(toks), 1), 6) AS mean_tok_len,
+      |    round(1 - len(list_distinct(toks))::DOUBLE /
+      |      greatest(len(toks), 1), 6) AS dup_tok_frac,
+      |    round(1 - len(list_distinct(list_transform(
+      |        range(1, greatest(len(toks) - 1, 1) + 1),
+      |        i -> array_to_string(toks[i:i+1], ' '))))::DOUBLE /
+      |      greatest(len(toks) - 1, 1), 6) AS dup_2gram_frac
+      |  FROM t)
+      |SELECT doc_id, n_tok, mean_tok_len, dup_tok_frac, dup_2gram_frac,
+      |  n_tok >= 20 AND mean_tok_len BETWEEN 3 AND 10
+      |    AND dup_tok_frac <= 0.6 AND dup_2gram_frac <= 0.05 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: per-source rate (10/25/40%,
+    * keyed off the portable source hash) applied via the portable
+    * doc-id hash — reproducible across runs AND engines, no RNG
+    * state. A pure filter: no shuffle, no driver involvement; the
+    * standard way to downsample a 100 TB corpus per stratum without a
+    * sort or a global count. */
+  def dStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val docHash = graft.functions.RollingHash.rolling_hash(
+      col("doc_id").cast("string"))
+    val srcHash = graft.functions.RollingHash.rolling_hash(col("source"))
+    docs(s, d)
+      .withColumn("rate_pct",
+        (lit(10) + pmod(srcHash, lit(3)) * 15).cast("long"))
+      .filter(pmod(docHash, lit(100)) < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"))
+      .orderBy("doc_id")
+  }
+
+  private val dStratifiedSampleSql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} AS dh,
+       |    ${sqlPolyHash("source")} AS sh
+       |  FROM documents)
+       |SELECT doc_id, source,
+       |  CAST(10 + (sh % 3) * 15 AS BIGINT) AS rate_pct
+       |FROM t WHERE dh % 100 < 10 + (sh % 3) * 15
+       |ORDER BY doc_id""".stripMargin
+
+  /** Context-window chunking: each document split into 32-token
+    * chunks on a 24-token stride (8-token overlap) — the packing
+    * precursor for LLM training. One narrow explode per doc (chunk
+    * count ≈ n/24), no shuffle; emitting indexes/counts rather than
+    * chunk text keeps the verified output compact (the text slice is
+    * `slice(_toks, start+1, 32)` when materializing for real). */
+  def dChunking(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("_n", size(TextStats.tokens(col("text"))))
+    base.select(col("doc_id"), col("_n"),
+        explode(sequence(lit(0), greatest(col("_n") - 1, lit(0)),
+          lit(24))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / 24).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(32), col("_n") - col("start")).cast("long")
+          .as("n_chunk_toks"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val dChunkingSql =
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n, unnest(range(0, greatest(n, 1), 24))
+      |    AS start
+      |  FROM t)
+      |SELECT doc_id, start // 24 AS chunk_idx, start AS start_tok,
+      |  least(32, n - start) AS n_chunk_toks
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
@@ -692,6 +798,9 @@ object TrainingData {
     "d_embed_dups" -> (dEmbedDups _),
     "d_curation_pipeline" -> (dCurationPipeline _),
     "d_dup_clusters" -> (dDupClusters _),
+    "d_gopher_rules" -> (dGopherRules _),
+    "d_stratified_sample" -> (dStratifiedSample _),
+    "d_chunking" -> (dChunking _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
     "m_frame_sample" -> (mFrameSample _),
@@ -709,6 +818,9 @@ object TrainingData {
     "d_fingerprint" -> dFingerprintSql,
     "d_curation_pipeline" -> dCurationPipelineSql,
     "d_dup_clusters" -> dDupClustersSql,
+    "d_gopher_rules" -> dGopherRulesSql,
+    "d_stratified_sample" -> dStratifiedSampleSql,
+    "d_chunking" -> dChunkingSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,

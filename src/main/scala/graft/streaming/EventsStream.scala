@@ -62,6 +62,30 @@ object EventsStream {
       spark.readStream.schema(schema).parquet(sourceDir)
         .withWatermark("ts", "30 minutes"))
 
+  /** Streaming deduplication: first event wins per (user_id,
+    * event_type). Projected to the key columns so batch and stream
+    * agree deterministically (which *row* survives depends on arrival
+    * order; the surviving key set does not). Batch form for the
+    * oracle; [[streamingDedup]] is the watermarked stream form. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
+  /** Streaming [[dedupEvents]] with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` expires a key's dedup state once
+    * the watermark passes its first sighting plus the delay — the
+    * pattern a streaming training-data ingest uses to drop replayed
+    * records indefinitely. (Plain `dropDuplicates` on a key subset
+    * without the event-time column never expires state; a key that
+    * recurs later than the delay is re-emitted here, which is the
+    * price of bounded state.) */
+  def streamingDedup(spark: SparkSession, sourceDir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Stream-stream interval join (attribution): each purchase joined
     * to the same user's clicks from the preceding 30 minutes. Defined
     * over arbitrary frames (batch or streaming); the time-range

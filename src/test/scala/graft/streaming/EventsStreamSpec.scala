@@ -51,6 +51,41 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup (bounded state) equals batch distinct when " +
+      "recurrences fall inside the watermark delay") {
+    import spark.implicits._
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_dedup_stream").toString
+    // every key recurs within minutes — well inside the 1h state
+    // window, so dropDuplicatesWithinWatermark ≡ DISTINCT here
+    Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 00:02:00", 7L, "view", 1.0, "{}"),   // dup
+      (3L, "2024-01-01 00:03:00", 7L, "click", 1.0, "{}"),
+      (4L, "2024-01-01 00:10:00", 8L, "view", 1.0, "{}"),
+      (5L, "2024-01-01 00:12:00", 7L, "view", 1.0, "{}"),   // dup again
+      (6L, "2024-01-01 00:20:00", 8L, "view", 1.0, "{}"))   // dup
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(staged)
+
+    val q = EventsStream.streamingDedup(spark, staged)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .as[(Long, String)].collect().toSeq.sorted
+      val batch = EventsStream.dedupEvents(
+          spark.read.schema(EventsStream.schema).parquet(staged))
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(streamed == batch,
+        s"stream/batch divergence: $streamed vs $batch")
+      assert(batch == Seq((7L, "click"), (7L, "view"), (8L, "view")))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val ev = Seq(
