@@ -23,9 +23,10 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("d_jaccard_pairs", "d_embed_dups", "q_hll_portable",
-        "s_ann_ivf", "d_minhash_lsh"))
-      audit(q, SparkEntry.queries(q)(spark, d))
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("d_jaccard_pairs", "d_embed_dups", "q_hll_portable",
+        "s_ann_ivf", "d_minhash_lsh")
+    for (q <- qs) audit(q, SparkEntry.queries(q)(spark, d))
     spark.stop()
   }
 }
