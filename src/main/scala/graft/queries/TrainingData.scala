@@ -782,6 +782,74 @@ object TrainingData {
       |  least(32, n - start) AS n_chunk_toks
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Sample packing for LLM pretraining: the token streams of each
+    * source's documents (doc_id order) are conceptually concatenated
+    * and cut into fixed 128-token training sequences; documents span
+    * cuts. Emitted per doc: its first/last sequence index — a running
+    * token-count window partitioned BY SOURCE, so the cumsum
+    * parallelizes across strata (a corpus-global pack would be one
+    * serial window; per-stratum is both the scalable shape and what a
+    * curriculum-by-source loader wants). */
+  def dPack(s: SparkSession, d: String): DataFrame = {
+    val cap = 128
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w),
+        lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        floor(col("cum_before") / cap).as("pack_start"),
+        floor((col("cum_before") + col("n_tok") - 1) / cap)
+          .as("pack_end"))
+      .orderBy("doc_id")
+  }
+
+  private val dPackSql =
+    """WITH t AS (SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tok,
+      |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM t)
+      |SELECT doc_id, source, n_tok,
+      |  CAST(cum_before // 128 AS BIGINT) AS pack_start,
+      |  CAST((cum_before + n_tok - 1) // 128 AS BIGINT) AS pack_end
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Per-source top-5 token frequencies (vocabulary analysis): one
+    * explode, a (source, token) hash aggregate with map-side partial
+    * combine, and a per-source rank window over the (tiny) aggregated
+    * frame — the counts shuffle carries (source, token, n), never
+    * text. */
+  def dTopTokens(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("n"), asc("token"))
+    docs(s, d)
+      .select(col("source"),
+        explode(TextStats.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+
+  private val dTopTokensSql =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2),
+      |r AS (SELECT source, token, n, row_number() OVER (
+      |    PARTITION BY source ORDER BY n DESC, token) AS rk
+      |  FROM c)
+      |SELECT source, token, n, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
@@ -801,6 +869,8 @@ object TrainingData {
     "d_gopher_rules" -> (dGopherRules _),
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_chunking" -> (dChunking _),
+    "d_pack" -> (dPack _),
+    "d_top_tokens" -> (dTopTokens _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
     "m_frame_sample" -> (mFrameSample _),
@@ -821,6 +891,8 @@ object TrainingData {
     "d_gopher_rules" -> dGopherRulesSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_chunking" -> dChunkingSql,
+    "d_pack" -> dPackSql,
+    "d_top_tokens" -> dTopTokensSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
