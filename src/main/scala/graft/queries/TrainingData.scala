@@ -850,6 +850,48 @@ object TrainingData {
       |SELECT source, token, n, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  /** TF-IDF top-3 terms per document. Shapes: term-frequency hash agg
+    * on (doc_id, token); document-frequency derived from the tf frame
+    * (token-partitioned agg — never re-reads the corpus); the 1-row
+    * doc count broadcast; rank window per doc over the aggregated
+    * frame. Ranking uses the ROUNDED score (then token) so a 1-ulp
+    * `ln` difference between engines cannot flip an ordering. */
+  def dTfidf(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val tf = base
+      .select(col("doc_id"),
+        explode(TextStats.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val dTfidfSql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, tf.token,
+      |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN dfq ON tf.token = dfq.token, n),
+      |r AS (SELECT doc_id, token, tfidf, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+      |  FROM sc)
+      |SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
@@ -871,6 +913,7 @@ object TrainingData {
     "d_chunking" -> (dChunking _),
     "d_pack" -> (dPack _),
     "d_top_tokens" -> (dTopTokens _),
+    "d_tfidf" -> (dTfidf _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
     "m_frame_sample" -> (mFrameSample _),
@@ -893,6 +936,7 @@ object TrainingData {
     "d_chunking" -> dChunkingSql,
     "d_pack" -> dPackSql,
     "d_top_tokens" -> dTopTokensSql,
+    "d_tfidf" -> dTfidfSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
