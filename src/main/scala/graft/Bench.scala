@@ -64,7 +64,10 @@ object Bench {
         f"(runs ${runs.map(r => f"${r._1}%.2f").mkString("/")}, gc $gc%.1fs)")
       (name, med, runs.map(_._1), gc)
     }
-    def jnum(d: Double): String = "%.6f".format(d)
+    // Locale.ROOT: a comma-decimal default locale would otherwise
+    // render 58,9 and break the driver's JSON parse
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, rs, _) =>

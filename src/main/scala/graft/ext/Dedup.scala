@@ -102,7 +102,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     // materialize the (small) passing pair set, then release the
     // shingle cache immediately — relying on GC + ContextCleaner leaks
-    // the blocks for as long as the caller holds the returned frame
+    // the blocks for as long as the caller holds the returned frame.
+    // Tradeoff (deliberate): localCheckpoint blocks have no lineage,
+    // so losing an executor after return makes the frame unreadable;
+    // on a preemptible cluster, set a checkpoint dir and swap in
+    // reliable checkpoint(), or re-run the operator on failure — the
+    // leak was the certain cost, executor loss the rare one.
     val out = pairs.localCheckpoint()
     sh.unpersist()
     out

@@ -71,8 +71,14 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
       numPlanes: Int, seed: Long, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
+    // same null-drop + dim fail-fast as cosineDupPairs: a mismatch
+    // would NULL every projection and collapse the corpus into one
+    // bucket (silent brute force)
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .filter(coalesce(assert_true(size(col("emb")) === dim,
+        lit(s"lshTopK: embedding dim != $dim")), lit(true)))
       .withColumn("bucket", lshBucket(col("emb"), planes))
     val q = base.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
@@ -110,12 +116,16 @@ object Similarity {
       graft.functions.ArrayOps.dot_product(x, y)
     // feeds three plan subtrees (bucket keying + both reattaches) —
     // persist like Dedup.jaccardPairs so the scan+norm runs once.
-    // Fail fast on a dim mismatch: hyperplanes are generated at `dim`,
-    // and dot_product would silently truncate longer vectors, which
-    // degrades bucket recall with no visible error. assert_true is
-    // kept alive by the filter (a dropped column would be pruned).
+    // NULL embeddings are dropped (they can never pair — pre-guard
+    // they bucketed to 0 and verified to null cos_sim, i.e. were
+    // dropped late); non-null rows fail fast on a dim mismatch:
+    // hyperplanes are generated at `dim`, and dot_product would
+    // otherwise NULL-out every projection, collapsing all vectors
+    // into one bucket with no visible error. assert_true is kept
+    // alive by the filter (a dropped column would be pruned).
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
       .filter(coalesce(assert_true(size(col("emb")) === dim,
         lit(s"cosineDupPairs: embedding dim != $dim")), lit(true)))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))

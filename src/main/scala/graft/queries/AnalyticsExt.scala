@@ -234,6 +234,13 @@ object AnalyticsExt {
       |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private val qPercentilesExtSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** The same exact interpolated percentiles computed the way that
     * SURVIVES 100 TB: Spark's `percentile()` buffers every value of a
     * group in the aggregation buffer (OOM at cluster scale); this
@@ -242,7 +249,18 @@ object AnalyticsExt {
     * linearly interpolates between the two bracketing values —
     * identical semantics (pos = p·(n−1), `lo + frac·(hi−lo)`), so it
     * verifies against the same quantile_cont oracle. */
-  def qPercentilesDist(s: SparkSession, d: String): DataFrame = {
+  def qPercentilesDist(s: SparkSession, d: String): DataFrame =
+    percentilesHistogram(s, d, Seq(0.5 -> "p50", 0.95 -> "p95"))
+
+  /** The dist catalog entry additionally reports p99 — it is not a
+    * duplicate of q_percentiles (which keeps the reference two-number
+    * surface), so Bench/Verify don't run the identical plan twice. */
+  def qPercentilesDistExt(s: SparkSession, d: String): DataFrame =
+    percentilesHistogram(s, d,
+      Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99"))
+
+  private def percentilesHistogram(s: SparkSession, d: String,
+      ps: Seq[(Double, String)]): DataFrame = {
     val counts = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("c"))
@@ -259,16 +277,18 @@ object AnalyticsExt {
         col("v")))
     def kOf(p: Double): Column =
       (col("n") - lit(1)).cast("double") * lit(p)
-    val agg = cum.groupBy(col("l_returnflag")).agg(
-      min(kOf(0.5)).as("k50"),
-      pick(floor(kOf(0.5))).as("lo50"), pick(ceil(kOf(0.5))).as("hi50"),
-      min(kOf(0.95)).as("k95"),
-      pick(floor(kOf(0.95))).as("lo95"), pick(ceil(kOf(0.95))).as("hi95"))
-    def interp(k: Column, lo: Column, hi: Column): Column =
-      round(lo + (k - floor(k)) * (hi - lo), 4)
-    agg.select(col("l_returnflag"),
-      interp(col("k50"), col("lo50"), col("hi50")).as("p50"),
-      interp(col("k95"), col("lo95"), col("hi95")).as("p95"))
+    val aggs = ps.flatMap { case (p, name) => Seq(
+      min(kOf(p)).as(s"k_$name"),
+      pick(floor(kOf(p))).as(s"lo_$name"),
+      pick(ceil(kOf(p))).as(s"hi_$name")) }
+    val agg = cum.groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+    def interp(name: String): Column = {
+      val (k, lo, hi) =
+        (col(s"k_$name"), col(s"lo_$name"), col(s"hi_$name"))
+      round(lo + (k - floor(k)) * (hi - lo), 4).as(name)
+    }
+    agg.select(col("l_returnflag") +: ps.map(p => interp(p._2)): _*)
       .orderBy("l_returnflag")
   }
 
@@ -343,9 +363,10 @@ object AnalyticsExt {
     // Both percentile catalog entries are the scale-safe histogram
     // formulation; the buffering percentile() form is spec-only
     // ([[percentilesBuffering]]) so no catalog query a user might
-    // copy carries the OOM-at-scale aggregate.
+    // copy carries the OOM-at-scale aggregate. The dist entry adds
+    // p99 so the two are not the same plan run twice.
     "q_percentiles" -> (qPercentilesDist _),
-    "q_percentiles_dist" -> (qPercentilesDist _),
+    "q_percentiles_dist" -> (qPercentilesDistExt _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_hll_portable" -> (qHllPortable _),
     "q_window_offsets" -> (qWindowOffsets _),
@@ -361,7 +382,7 @@ object AnalyticsExt {
     "q_json_extract" -> qJsonExtractSql,
     "q_hll_portable" -> qHllPortableSql,
     "q_percentiles" -> qPercentilesSql,
-    "q_percentiles_dist" -> qPercentilesSql,
+    "q_percentiles_dist" -> qPercentilesExtSql,
     "q_window_offsets" -> qWindowOffsetsSql,
     "q_cube_segment_year" -> qCubeSql,
     "q_pivot_priority" -> qPivotPrioritySql,

@@ -48,10 +48,12 @@ object JdbcUpsertSink {
       options: Map[String, String] = Map.empty)
 
   /** Quoted SQL identifier (lower-cased names come straight from
-    * DataFrame columns; quoting keeps reserved words safe). */
+    * DataFrame columns; quoting keeps reserved words safe). A
+    * schema-qualified name quotes each dot-separated part —
+    * `public.users` → `"public"."users"`. */
   private[sources] def q(ident: String): String = {
     require(!ident.contains("\""), s"illegal identifier: $ident")
-    "\"" + ident + "\""
+    ident.split('.').map("\"" + _ + "\"").mkString(".")
   }
 
   /** Deterministic per-batch staging table name; a replayed batch id
@@ -154,9 +156,12 @@ object JdbcUpsertSink {
           .drop(Merge.ActionCol)
       else df
     val staging = stagingTableFor(target.table, batchId)
+    // the writer gets the QUOTED name so the table it creates is
+    // byte-identical to the one the merge script references (an
+    // unquoted mixed-case name would be case-folded by the server)
     val writer = payload.write.format("jdbc")
       .option("url", target.url)
-      .option("dbtable", staging)
+      .option("dbtable", q(staging))
       .option("user", target.user)
       .option("password", target.password)
       .options(target.options)
