@@ -358,6 +358,125 @@ object AnalyticsExt {
        |FROM regs GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): segment×priority,
+    * segment-only, priority-only — one pass, grouping_id
+    * disambiguates. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val seg = col("c_mktsegment")
+    val pri = col("o_orderpriority")
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupingSets(Seq(Seq(seg, pri), Seq(seg), Seq(pri)), seg, pri)
+      .agg(sumDec(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first("c_mktsegment"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
+  private val qGroupingSetsSql =
+    s"""SELECT c_mktsegment, o_orderpriority,
+       |  ${sqlSumDec("o_totalprice")} AS sum_price, count(*) AS n,
+       |  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority)
+       |    AS BIGINT) AS gid
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+       |  (c_mktsegment), (o_orderpriority))
+       |ORDER BY gid ASC, c_mktsegment ASC NULLS FIRST,
+       |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Time-series gap filling: daily order counts per priority with
+    * every missing calendar day materialized as an explicit zero over
+    * the priority's own [min, max] span. The day scaffold is
+    * `sequence(min_day, max_day)` exploded from a 5-row aggregate —
+    * generated, never scanned — and the left join back to the daily
+    * counts is hash-partitioned on (priority, day). */
+  def qGapfill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .groupBy("pri", "day").agg(count(lit(1)).as("n"))
+    val scaffold = daily.groupBy("pri")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("pri"), explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    scaffold.join(daily, Seq("pri", "day"), "left")
+      // ISO string on both sides: pandas renders Spark DATE as object
+      // and DuckDB DATE as datetime64, an avoidable compare hazard
+      .select(col("pri"), col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("pri", "day")
+  }
+
+  private val qGapfillSql =
+    """WITH daily AS (SELECT o_orderpriority AS pri,
+      |    CAST(o_orderdate AS DATE) AS day, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |span AS (SELECT pri, min(day) AS d0, max(day) AS d1
+      |  FROM daily GROUP BY pri),
+      |scaffold AS (SELECT pri, CAST(unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT s.pri, strftime(s.day, '%Y-%m-%d') AS day,
+      |  coalesce(daily.n, 0) AS n
+      |FROM scaffold s LEFT JOIN daily
+      |  ON s.pri = daily.pri AND s.day = daily.day
+      |ORDER BY s.pri, strftime(s.day, '%Y-%m-%d')""".stripMargin
+
+  /** Portable count-min sketch (completing the oracle-verifiable
+    * sketch family next to [[qHllPortable]]): depth 3 × width 64,
+    * row hashes = the polynomial family at mults 31/37/41. The
+    * sketch build is three (bucket → count) hash aggregates over one
+    * scan; the probe reads each row's single bucket counter and takes
+    * the min — every step distributive, so per-partition sketches
+    * merge by addition exactly as they would across 1000 executors.
+    * Overestimation (est ≥ exact) is a structural guarantee. */
+  def qCmsPortable(s: SparkSession, d: String): DataFrame = {
+    val w = 64
+    val mults = Seq(31L, 37L, 41L)
+    def h(m: Long): Column = pmod(
+      graft.functions.RollingHash.rolling_hash(
+        col("l_suppkey").cast("string"), mult = m), lit(w))
+    val base = Tables.lineitem(s, d).select(
+      col("l_suppkey") +: mults.zipWithIndex.map { case (m, i) =>
+        h(m).as(s"b$i") }: _*)
+    val sketches = mults.indices.map { i =>
+      base.groupBy(col(s"b$i")).agg(count(lit(1)).as(s"c$i"))
+    }
+    val probes = base.filter(col("l_suppkey") <= 5)
+      .groupBy(col("l_suppkey"),
+        col("b0"), col("b1"), col("b2"))
+      .agg(count(lit(1)).as("exact_n"))
+    val est = sketches.zipWithIndex.foldLeft(probes) {
+      case (acc, (sk, i)) => acc.join(broadcast(sk), Seq(s"b$i"))
+    }
+    est.select(col("l_suppkey"), col("exact_n"),
+        least(col("c0"), col("c1"), col("c2")).as("cms_n"))
+      .orderBy("l_suppkey")
+  }
+
+  private val qCmsPortableSql = {
+    def polyHash(m: Long): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(CAST(l_suppkey AS VARCHAR), ''), " +
+      s"c -> ord(c)::BIGINT)), (a, b) -> (a * $m + b) % 2147483647)"
+    val buckets = Seq(31L, 37L, 41L).zipWithIndex.map { case (m, i) =>
+      s"${polyHash(m)} % 64 AS b$i" }.mkString(",\n    ")
+    s"""WITH base AS (SELECT l_suppkey,
+       |    $buckets
+       |  FROM lineitem),
+       |s0 AS (SELECT b0, count(*) AS c0 FROM base GROUP BY b0),
+       |s1 AS (SELECT b1, count(*) AS c1 FROM base GROUP BY b1),
+       |s2 AS (SELECT b2, count(*) AS c2 FROM base GROUP BY b2),
+       |probes AS (SELECT l_suppkey, b0, b1, b2, count(*) AS exact_n
+       |  FROM base WHERE l_suppkey <= 5 GROUP BY 1, 2, 3, 4)
+       |SELECT l_suppkey, exact_n, least(c0, c1, c2) AS cms_n
+       |FROM probes JOIN s0 USING (b0) JOIN s1 USING (b1)
+       |  JOIN s2 USING (b2)
+       |ORDER BY l_suppkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> (qJsonExtract _),
     // Both percentile catalog entries are the scale-safe histogram
@@ -371,6 +490,9 @@ object AnalyticsExt {
     "q_hll_portable" -> (qHllPortable _),
     "q_window_offsets" -> (qWindowOffsets _),
     "q_cube_segment_year" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_gapfill" -> (qGapfill _),
+    "q_cms_portable" -> (qCmsPortable _),
     "q_pivot_priority" -> (qPivotPriority _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_levenshtein" -> (qLevenshtein _),
@@ -385,6 +507,9 @@ object AnalyticsExt {
     "q_percentiles_dist" -> qPercentilesExtSql,
     "q_window_offsets" -> qWindowOffsetsSql,
     "q_cube_segment_year" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_gapfill" -> qGapfillSql,
+    "q_cms_portable" -> qCmsPortableSql,
     "q_pivot_priority" -> qPivotPrioritySql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_levenshtein" -> qLevenshteinSql,
