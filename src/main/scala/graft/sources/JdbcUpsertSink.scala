@@ -179,11 +179,13 @@ object JdbcUpsertSink {
 
   /** Structured-streaming adapter: upsert each micro-batch, staging
     * table keyed by `batchId` so a replayed epoch is idempotent.
-    * Usage: `ds.writeStream.foreachBatch(foreachBatchUpsert(t, keys))`. */
+    * Usage: `ds.writeStream.foreachBatch(foreachBatchUpsert(t, keys))`.
+    * `runScript` injects a recorder in tests (same as [[upsert]]). */
   def foreachBatchUpsert(target: JdbcTarget, keys: Seq[String],
-      dialect: String = "postgres")
+      dialect: String = "postgres",
+      runScript: Option[Seq[String] => Unit] = None)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      upsert(batch, target, keys, batchId, dialect); ()
+      upsert(batch, target, keys, batchId, dialect, runScript); ()
     }
 }

@@ -77,6 +77,36 @@ class SinksSpec extends SparkSpec {
       .toSeq == Seq("a@x", "c@x"))
   }
 
+  test("streaming foreachBatch upsert generates per-batch idempotent " +
+      "staging names") {
+    import JdbcUpsertSink.JdbcTarget
+    import spark.implicits._
+    val scripts = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val t = JdbcTarget("jdbc:postgresql://db/ibc", "events_agg", "u", "p")
+    val sink = JdbcUpsertSink.foreachBatchUpsert(t, Seq("k"),
+      runScript = Some(s => scripts.synchronized { scripts += s }))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)](spark)
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .outputMode("update").foreachBatch(sink).start()
+    try {
+      mem.addData(("a", 1L)); q.processAllAvailable()
+      mem.addData(("a", 2L), ("b", 1L)); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(scripts.size == 2)
+    // each epoch gets its own staging table (replay overwrites the
+    // same one → idempotent), merged with the same ON CONFLICT shape
+    assert(scripts(0).head.contains("\"events_agg_staging_0\""))
+    assert(scripts(1).head.contains("\"events_agg_staging_1\""))
+    scripts.foreach { s =>
+      assert(s.head.startsWith("INSERT INTO \"events_agg\""))
+      assert(s.head.contains("ON CONFLICT (\"k\") DO UPDATE"))
+      assert(s(1).startsWith("DROP TABLE IF EXISTS"))
+    }
+  }
+
   test("jdbc upsert without endpoint raises E004 connection error") {
     import JdbcUpsertSink.JdbcTarget
     import spark.implicits._
