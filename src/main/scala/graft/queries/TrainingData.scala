@@ -892,6 +892,47 @@ object TrainingData {
       |SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Benchmark decontamination: find corpus documents sharing any
+    * 5-gram with a held-out eval set (doc_id % 10 == 0 stands in for
+    * the benchmark), reporting the shared-gram count per (eval,
+    * corpus) pair — the GPT-3-style n-gram overlap scrub. Scale
+    * shape: both sides explode to (doc_id, gram-HASH) — the join key
+    * is an 8-byte long from the portable poly-hash family, never the
+    * gram text — and the equi-join hash-partitions on it; shingle
+    * sets are per-doc distinct so the per-pair count needs no
+    * distinct. A hash collision could only add a phantom shared gram
+    * (flag-for-review semantics, not deletion). */
+  def dDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d).select(col("doc_id"),
+      explode(graft.functions.ArrayOps.array_poly_hash(
+        graft.functions.ArrayOps.shingle_set(
+          TextStats.tokens(col("text")), 5))).as("g"))
+    val eval = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_doc"), col("g"))
+    val corpus = grams.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("corpus_doc"), col("g"))
+    eval.join(corpus, "g")
+      .groupBy(col("eval_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("eval_doc", "corpus_doc")
+  }
+
+  private val dDecontaminateSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(toks) - 4, 1) + 1),
+       |      i -> array_to_string(toks[i:i+4], ' '))),
+       |    s -> ${sqlPolyHash("s")})) AS g
+       |  FROM t),
+       |e AS (SELECT doc_id AS eval_doc, g FROM sh WHERE doc_id % 10 = 0),
+       |c AS (SELECT doc_id AS corpus_doc, g FROM sh
+       |  WHERE doc_id % 10 <> 0)
+       |SELECT eval_doc, corpus_doc, count(*) AS n_shared
+       |FROM e JOIN c USING (g) GROUP BY 1, 2
+       |ORDER BY eval_doc, corpus_doc""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
@@ -914,6 +955,7 @@ object TrainingData {
     "d_pack" -> (dPack _),
     "d_top_tokens" -> (dTopTokens _),
     "d_tfidf" -> (dTfidf _),
+    "d_decontaminate" -> (dDecontaminate _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
     "m_frame_sample" -> (mFrameSample _),
@@ -937,6 +979,7 @@ object TrainingData {
     "d_pack" -> dPackSql,
     "d_top_tokens" -> dTopTokensSql,
     "d_tfidf" -> dTfidfSql,
+    "d_decontaminate" -> dDecontaminateSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
