@@ -426,12 +426,14 @@ object AnalyticsExt {
 
   /** Portable count-min sketch (completing the oracle-verifiable
     * sketch family next to [[qHllPortable]]): depth 3 × width 64,
-    * row hashes = the polynomial family at mults 31/37/41. The
-    * sketch build is three (bucket → count) hash aggregates over one
-    * scan; the probe reads each row's single bucket counter and takes
-    * the min — every step distributive, so per-partition sketches
-    * merge by addition exactly as they would across 1000 executors.
-    * Overestimation (est ≥ exact) is a structural guarantee. */
+    * row hashes = the polynomial family at mults 31/37/41. The sketch
+    * build is ONE scan: each row emits its 3 (level, bucket) cells
+    * via posexplode into a single hash aggregate (map-side combined);
+    * the tiny 3×64-row sketch is materialized once and broadcast into
+    * the probe join. Every step is distributive — per-partition
+    * sketches merge by addition exactly as they would across 1000
+    * executors. Overestimation (est ≥ exact) is a structural
+    * guarantee. */
   def qCmsPortable(s: SparkSession, d: String): DataFrame = {
     val w = 64
     val mults = Seq(31L, 37L, 41L)
@@ -441,15 +443,21 @@ object AnalyticsExt {
     val base = Tables.lineitem(s, d).select(
       col("l_suppkey") +: mults.zipWithIndex.map { case (m, i) =>
         h(m).as(s"b$i") }: _*)
-    val sketches = mults.indices.map { i =>
-      base.groupBy(col(s"b$i")).agg(count(lit(1)).as(s"c$i"))
-    }
+    // one scan → all three sketch rows; ≤ 192 cells, materialized
+    // once so the three probe joins don't re-aggregate the corpus
+    val sketch = base.select(posexplode(
+        array(col("b0"), col("b1"), col("b2"))).as(Seq("lvl", "bucket")))
+      .groupBy(col("lvl"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val probes = base.filter(col("l_suppkey") <= 5)
       .groupBy(col("l_suppkey"),
         col("b0"), col("b1"), col("b2"))
       .agg(count(lit(1)).as("exact_n"))
-    val est = sketches.zipWithIndex.foldLeft(probes) {
-      case (acc, (sk, i)) => acc.join(broadcast(sk), Seq(s"b$i"))
+    val est = mults.indices.foldLeft(probes) { case (acc, i) =>
+      acc.join(broadcast(sketch.filter(col("lvl") === i)
+        .select(col("bucket").as(s"b$i"), col("n").as(s"c$i"))),
+        Seq(s"b$i"))
     }
     est.select(col("l_suppkey"), col("exact_n"),
         least(col("c0"), col("c1"), col("c2")).as("cms_n"))
@@ -457,12 +465,9 @@ object AnalyticsExt {
   }
 
   private val qCmsPortableSql = {
-    def polyHash(m: Long): String =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(string_split(CAST(l_suppkey AS VARCHAR), ''), " +
-      s"c -> ord(c)::BIGINT)), (a, b) -> (a * $m + b) % 2147483647)"
     val buckets = Seq(31L, 37L, 41L).zipWithIndex.map { case (m, i) =>
-      s"${polyHash(m)} % 64 AS b$i" }.mkString(",\n    ")
+      s"${sqlPolyHash("CAST(l_suppkey AS VARCHAR)", m)} % 64 AS b$i"
+    }.mkString(",\n    ")
     s"""WITH base AS (SELECT l_suppkey,
        |    $buckets
        |  FROM lineitem),

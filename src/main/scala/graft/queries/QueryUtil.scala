@@ -34,4 +34,15 @@ object QueryUtil {
   /** SQL fragment mirroring [[avgDec]]. */
   def sqlAvgDec(e: String): String =
     s"round(${sqlSumDec(e)} / count(*), 6)"
+
+  /** DuckDB fragment: polynomial hash of string expression `e` —
+    * mirrors [[graft.functions.RollingHash]]/[[graft.functions.ArrayPolyHash]]
+    * (h = (h·mult + codepoint) mod 2^31−1). The ONE definition of the
+    * oracle-side hash family; every sketch/sampling/fingerprint oracle
+    * must use it so a constant change cannot drift between query
+    * files. */
+  def sqlPolyHash(e: String, mult: Long = 31L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"list_transform(string_split($e, ''), c -> ord(c)::BIGINT)), " +
+    s"(a, b) -> (a * $mult + b) % 2147483647)"
 }

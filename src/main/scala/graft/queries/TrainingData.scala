@@ -89,14 +89,8 @@ object TrainingData {
 
   private val minhashP = 2147483647L
 
-  /** DuckDB fragment: polynomial hash of string expression `e` —
-    * mirrors [[graft.functions.ArrayPolyHash]] / RollingHash
-    * (h = (h*31 + codepoint) mod 2^31−1; same family as the
-    * d_fingerprint oracle, whose parity is already proven). */
-  private def sqlPolyHash(e: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-    s"list_transform(string_split($e, ''), c -> ord(c)::BIGINT)), " +
-    s"(a, b) -> (a * 31 + b) % $minhashP)"
+  // oracle-side polynomial hash: the single shared definition lives
+  // in QueryUtil.sqlPolyHash (imported via `QueryUtil._`)
 
   private val sqlShingles =
     """list_sort(list_distinct(list_transform(
@@ -903,18 +897,25 @@ object TrainingData {
     * distinct. A hash collision could only add a phantom shared gram
     * (flag-for-review semantics, not deletion). */
   def dDecontaminate(s: SparkSession, d: String): DataFrame = {
+    // the gram frame feeds both join sides — persist so the
+    // tokenize→shingle→hash work runs once, then eager-release (the
+    // repo's standard persist/localCheckpoint/unpersist hygiene)
     val grams = docs(s, d).select(col("doc_id"),
-      explode(graft.functions.ArrayOps.array_poly_hash(
-        graft.functions.ArrayOps.shingle_set(
-          TextStats.tokens(col("text")), 5))).as("g"))
+        explode(graft.functions.ArrayOps.array_poly_hash(
+          graft.functions.ArrayOps.shingle_set(
+            TextStats.tokens(col("text")), 5))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eval = grams.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_doc"), col("g"))
     val corpus = grams.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("corpus_doc"), col("g"))
-    eval.join(corpus, "g")
+    val pairs = eval.join(corpus, "g")
       .groupBy(col("eval_doc"), col("corpus_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("eval_doc", "corpus_doc")
+    val out = pairs.localCheckpoint()
+    grams.unpersist()
+    out
   }
 
   private val dDecontaminateSql =
