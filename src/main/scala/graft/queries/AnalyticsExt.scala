@@ -482,8 +482,99 @@ object AnalyticsExt {
        |ORDER BY l_suppkey""".stripMargin
   }
 
+  /** Portable Bloom-filter join pruning: the custkeys of high-value
+    * orders are summarized into a 4096-bit Bloom filter (128 ×
+    * 32-bit words, k=3 poly-hashes — 32-bit words so `1 << bit`
+    * never touches the BIGINT sign bit in either engine), and every
+    * customer probes it before the exact semi-join would run. m is
+    * sized to the ~300-key build side at the verification SF so the
+    * sketch's false positives are observable; at production scale m
+    * grows ∝ n (bits-per-key constant) — the shape is unchanged, a
+    * broadcastable (word, bits) table however large n gets. This
+    * is the sketch that makes a 100 TB probe-side scan skippable:
+    * the build side reduces to ≤2048 (word, bits) rows — broadcast
+    * to every executor — and rows failing the membership test never
+    * enter the join exchange. No false negatives is structural
+    * (n_actual ≤ n_bloom_pass by construction); the emitted
+    * false-positive count per segment is the sketch's measured
+    * precision. Build is one scan: distinct keys → posexplode of the
+    * 3 hash cells → bit_or hash-aggregate (map-side combined,
+    * order-independent). */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val mults = Seq(31L, 37L, 41L)
+    val mBits = 4096
+    val wBits = 32
+    def cells(key: Column): Column = posexplode(array(
+      mults.map(mu => pmod(graft.functions.RollingHash.rolling_hash(
+        key.cast("string"), mult = mu), lit(mBits))): _*))
+    val keys = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 490000)
+      .select(col("o_custkey")).distinct()
+    val bloom = keys
+      .select(cells(col("o_custkey")).as(Seq("lvl", "hv")))
+      .select(floor(col("hv") / wBits).as("word"),
+        pmod(col("hv"), lit(wBits)).as("bit"))
+      .groupBy("word")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .as("bits"))
+      .localCheckpoint() // ≤128 rows; built once, broadcast below
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val passed = cust
+      .select(col("c_custkey"), cells(col("c_custkey")).as(Seq("lvl", "hv")))
+      .select(col("c_custkey"), floor(col("hv") / wBits).as("word"),
+        pmod(col("hv"), lit(wBits)).as("bit"))
+      .join(broadcast(bloom), "word")
+      .filter(expr(
+        "(bits & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === mults.size)
+      .select(col("c_custkey"), lit(true).as("bloom_pass"))
+    val actual = keys
+      .select(col("o_custkey").as("c_custkey"), lit(true).as("actual"))
+    cust.join(passed, Seq("c_custkey"), "left")
+      .join(actual, Seq("c_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L))
+          .as("n_bloom_pass"),
+        sum(when(col("actual"), 1L).otherwise(0L)).as("n_actual"))
+      .withColumn("n_false_pos", col("n_bloom_pass") - col("n_actual"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qBloomJoinSql = {
+    def cellRows(key: String, src: String): String =
+      Seq(31L, 37L, 41L).map { m =>
+        s"SELECT $key AS k, ${sqlPolyHash(s"CAST($key AS VARCHAR)", m)}" +
+        s" % 4096 AS hv FROM $src"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH keys AS (SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_totalprice > 490000),
+       |bcells AS (${cellRows("o_custkey", "keys")}),
+       |bloom AS (SELECT hv // 32 AS word,
+       |    bit_or(CAST(1 AS BIGINT) << (hv % 32)) AS bits
+       |  FROM bcells GROUP BY 1),
+       |pcells AS (${cellRows("c_custkey", "customer")}),
+       |passed AS (SELECT k AS c_custkey FROM pcells
+       |  JOIN bloom ON hv // 32 = word
+       |  WHERE (bits & (CAST(1 AS BIGINT) << (hv % 32))) <> 0
+       |  GROUP BY k HAVING count(*) = 3),
+       |flags AS (SELECT c.c_mktsegment,
+       |    CASE WHEN p.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS bp,
+       |    CASE WHEN k.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS ac
+       |  FROM customer c
+       |  LEFT JOIN passed p ON c.c_custkey = p.c_custkey
+       |  LEFT JOIN keys k ON c.c_custkey = k.o_custkey)
+       |SELECT c_mktsegment, CAST(sum(bp) AS BIGINT) AS n_bloom_pass,
+       |  CAST(sum(ac) AS BIGINT) AS n_actual,
+       |  CAST(sum(bp) - sum(ac) AS BIGINT) AS n_false_pos
+       |FROM flags GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_json_extract" -> (qJsonExtract _),
+    "q_bloom_join" -> (qBloomJoin _),
     // Both percentile catalog entries are the scale-safe histogram
     // formulation; the buffering percentile() form is spec-only
     // ([[percentilesBuffering]]) so no catalog query a user might
@@ -507,6 +598,7 @@ object AnalyticsExt {
 
   val oracle: Map[String, String] = Map(
     "q_json_extract" -> qJsonExtractSql,
+    "q_bloom_join" -> qBloomJoinSql,
     "q_hll_portable" -> qHllPortableSql,
     "q_percentiles" -> qPercentilesSql,
     "q_percentiles_dist" -> qPercentilesExtSql,

@@ -934,6 +934,168 @@ object TrainingData {
        |FROM e JOIN c USING (g) GROUP BY 1, 2
        |ORDER BY eval_doc, corpus_doc""".stripMargin
 
+  /** Greedy (next-fit) sample packing: per source, documents in
+    * doc_id order are placed whole into 128-token bins — a document
+    * that would overflow the current bin starts a new one (an
+    * oversized document gets a bin to itself). Unlike [[dPack]]'s
+    * concatenate-and-cut, no document spans a bin boundary, which is
+    * what instruction-tuning loaders want. The running-fill state is
+    * inherently sequential WITHIN a source, so the scalable unit is
+    * the stratum: `groupByKey(source).flatMapSortedGroups` shuffles
+    * only (source, doc_id, n_tok) — never text — and each source
+    * packs independently in one pass over its sorted group. The
+    * DuckDB oracle is a recursive CTE carrying the same
+    * (bin, fill) state. */
+  def dPackGreedy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 128L
+    val toks = docs(s, d)
+      .select(col("source"), col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+    toks.groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+        var bin = 0L
+        var fill = 0L
+        it.map { case (_, id, n) =>
+          if (fill > 0L && fill + n > cap) { bin += 1L; fill = 0L }
+          fill += n
+          (id, src, n, bin)
+        }
+      }
+      .toDF("doc_id", "source", "n_tok", "bin_idx")
+      .orderBy("doc_id")
+  }
+
+  private val dPackGreedySql =
+    """WITH RECURSIVE t AS (SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS rn
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_tok, rn,
+      |    CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+      |    CASE WHEN r.fill + t.n_tok > 128 THEN r.bin_idx + 1
+      |         ELSE r.bin_idx END,
+      |    CASE WHEN r.fill + t.n_tok > 128 THEN t.n_tok
+      |         ELSE r.fill + t.n_tok END
+      |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+      |SELECT doc_id, source, n_tok, bin_idx
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** PII redaction: the corpus text is deterministically augmented
+    * with synthetic contact strings (the testdata itself carries no
+    * PII — injection makes the scrub observable and the oracle able
+    * to reproduce it), then emails / IPv4s / phone numbers are
+    * counted and replaced with typed placeholder tags. A pure
+    * projection: no shuffle, no UDF — `regexp_extract_all` +
+    * `regexp_replace` are codegen'd built-ins, and the patterns stay
+    * inside the RE2 ∩ java.util.regex common subset (character
+    * classes, bounded repeats, `\b`; no lookaround) so both engines
+    * match identically. Redaction order (email → ip → phone) is part
+    * of the contract. */
+  def dPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit(" reach user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(id, lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" from 10."), pmod(id, lit(200)).cast("string"), lit(".0.7"))
+    docs(s, d)
+      .withColumn("_aug", aug)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("_aug"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("_aug"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("_aug"), lit(ip), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("_aug"),
+          lit(email), lit("<EMAIL>")),
+          lit(ip), lit("<IP>")),
+          lit(phone), lit("<PHONE>")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  private val dPiiRedactSql =
+    """WITH t AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' reach user' || doc_id ||
+      |      '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' call 555-' ||
+      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    ' from 10.' || (doc_id % 200) || '.0.7' AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug,
+      |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(aug,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+      |    AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |    '<EMAIL>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      |    '<IP>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
+      |    AS redacted
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Weighted source mixing (epoch upsampling): each source gets a
+    * deterministic weight in eighths (1.0×–2.875×, keyed off the
+    * portable source hash); every document is repeated floor(w)
+    * times plus one more for the hash-selected fraction — the
+    * standard way to over-represent high-quality sources in a
+    * training mix without RNG state (reproducible across runs,
+    * engines, and retries). A narrow explode: no shuffle, output
+    * rows ≈ Σ weights, and the copy decision is per-row arithmetic
+    * on the already-computed hashes. */
+  def dMixSources(s: SparkSession, d: String): DataFrame = {
+    val srcHash = graft.functions.RollingHash.rolling_hash(col("source"))
+    val docHash = graft.functions.RollingHash.rolling_hash(
+      col("doc_id").cast("string"))
+    docs(s, d)
+      .withColumn("w8", (lit(8) + pmod(srcHash, lit(16))).cast("long"))
+      .withColumn("n_copies", floor(col("w8") / 8) +
+        when(pmod(docHash, lit(8)) < pmod(col("w8"), lit(8)), 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  private val dMixSourcesSql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} AS dh,
+       |    ${sqlPolyHash("source")} AS sh
+       |  FROM documents),
+       |c AS (SELECT doc_id, source,
+       |    CAST(8 + sh % 16 AS BIGINT) AS w8, dh FROM t),
+       |n AS (SELECT doc_id, source,
+       |    CAST(w8 // 8 +
+       |      CASE WHEN dh % 8 < w8 % 8 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS n_copies
+       |  FROM c)
+       |SELECT doc_id, source, n_copies,
+       |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+       |FROM n ORDER BY doc_id, copy_idx""".stripMargin
+
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
@@ -957,6 +1119,9 @@ object TrainingData {
     "d_top_tokens" -> (dTopTokens _),
     "d_tfidf" -> (dTfidf _),
     "d_decontaminate" -> (dDecontaminate _),
+    "d_pack_greedy" -> (dPackGreedy _),
+    "d_pii_redact" -> (dPiiRedact _),
+    "d_mix_sources" -> (dMixSources _),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
     "m_frame_sample" -> (mFrameSample _),
@@ -981,6 +1146,9 @@ object TrainingData {
     "d_top_tokens" -> dTopTokensSql,
     "d_tfidf" -> dTfidfSql,
     "d_decontaminate" -> dDecontaminateSql,
+    "d_pack_greedy" -> dPackGreedySql,
+    "d_pii_redact" -> dPiiRedactSql,
+    "d_mix_sources" -> dMixSourcesSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,

@@ -55,6 +55,87 @@ class TrainingDataSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("d_pack_greedy: bins never overflow (except single oversized " +
+      "docs), indices contiguous, and every doc is packed once") {
+    val cap = 128L
+    val p = TrainingData.dPackGreedy(spark, sf0001).cache()
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(p.count() == total)
+    assert(p.select("doc_id").distinct().count() == total)
+    // a bin's fill exceeds cap only when it holds exactly one doc
+    val bins = p.groupBy("source", "bin_idx")
+      .agg(sum(col("n_tok")).as("fill"), count(lit(1)).as("n_docs"))
+      .cache()
+    assert(bins.filter(col("fill") > cap && col("n_docs") > 1).isEmpty)
+    // bin indices per source are 0..max with no gaps
+    val gaps = bins.groupBy("source")
+      .agg(min(col("bin_idx")).as("lo"), max(col("bin_idx")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+    assert(gaps.isEmpty)
+    // greedy: a doc opens a new bin only because it did not fit —
+    // prev bin fill + the new bin's first doc must exceed cap
+    val firsts = p.groupBy("source", "bin_idx")
+      .agg(min(col("doc_id")).as("first_doc"))
+      .join(p.select(col("doc_id").as("first_doc"),
+        col("n_tok").as("first_tok"), col("source"), col("bin_idx")),
+        Seq("source", "bin_idx", "first_doc"))
+    val lazyOpen = bins
+      .join(firsts.withColumn("bin_idx", col("bin_idx") - 1),
+        Seq("source", "bin_idx"))
+      .filter(col("fill") + col("first_tok") <= cap)
+    assert(lazyOpen.isEmpty)
+    bins.unpersist(); p.unpersist()
+  }
+
+  test("d_pii_redact: no raw PII survives redaction and counts " +
+      "follow the injection rule") {
+    val r = TrainingData.dPiiRedact(spark, sf0001).cache()
+    val pats = Seq(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b")
+    pats.foreach { pat =>
+      assert(r.filter(col("redacted").rlike(pat)).isEmpty,
+        s"unredacted match for $pat")
+    }
+    // every doc had an IP injected; email/phone per the modulo rule
+    assert(r.filter(col("n_ips") < 1).isEmpty)
+    assert(r.filter(col("n_emails") =!=
+      when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).isEmpty)
+    assert(r.filter(col("n_phones") =!=
+      when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).isEmpty)
+    assert(r.filter(!col("redacted").contains("<IP>")).isEmpty)
+    r.unpersist()
+  }
+
+  test("d_mix_sources: copy counts bounded, per-source weight " +
+      "consistent, copy indices dense, deterministic") {
+    val m = TrainingData.dMixSources(spark, sf0001).cache()
+    assert(m.filter(col("n_copies") < 1 || col("n_copies") > 3).isEmpty)
+    // copy_idx per doc is exactly 1..n_copies
+    val bad = m.groupBy("doc_id", "n_copies")
+      .agg(count(lit(1)).as("n"), min(col("copy_idx")).as("lo"),
+        max(col("copy_idx")).as("hi"))
+      .filter(col("n") =!= col("n_copies") || col("lo") =!= 1 ||
+        col("hi") =!= col("n_copies"))
+    assert(bad.isEmpty)
+    // all docs present; mix expands the corpus but never beyond 3x
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(m.select("doc_id").distinct().count() == total)
+    val rows = m.count()
+    assert(rows > total && rows <= 3 * total)
+    // a source's docs differ by at most 1 copy (the hash fraction)
+    val spread = m.select("doc_id", "source", "n_copies").distinct()
+      .groupBy("source")
+      .agg((max(col("n_copies")) - min(col("n_copies"))).as("d"))
+      .filter(col("d") > 1)
+    assert(spread.isEmpty)
+    val again = TrainingData.dMixSources(spark, sf0001)
+    assert(m.exceptAll(again).isEmpty && again.exceptAll(m).isEmpty)
+    m.unpersist()
+  }
+
   test("d_stratified_sample: rates legal, sample is a strict subset " +
       "and deterministic") {
     val s1 = TrainingData.dStratifiedSample(spark, sf0001)
