@@ -16,6 +16,10 @@ run / fork := true
 // bare JSON line on stdout, and the round-1 driver failed to parse it
 // ("parsed": null in BENCH_r01.json) because of the sbt log prefix.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" stdout line: the
+// driver captures only the LAST 2000 bytes of stdout, and that ~75-byte
+// epilogue would eat into the window holding Bench's final JSON line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

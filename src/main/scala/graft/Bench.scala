@@ -68,16 +68,42 @@ object Bench {
     // render 58,9 and break the driver's JSON parse
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + jnum(v) }
-      .mkString("{", ",", "}")
+    // Compact number for the stdout line: the driver captures only the
+    // LAST 2000 bytes of stdout, so the final JSON line must fit
+    // entirely in that window or it is truncated mid-line and
+    // unparseable (this is exactly what broke BENCH_r01..r03).
+    // 2 decimals with trailing zeros trimmed keeps 83 queries around
+    // 1.8 KB; full precision plus raw runs and GC time go to stderr.
+    def cnum(d: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
     val runsJson = results.map { case (k, _, rs, _) =>
       "\"" + k + "\":[" + rs.map(jnum).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val gcJson = results.map { case (k, _, _, g) =>
       "\"" + k + "\":" + jnum(g)
     }.mkString("{", ",", "}")
+    System.err.println(s"""{"detail":"raw_runs","runs":$runsJson,"gc_sec":$gcJson}""")
+    def onedec(d: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      if (s.endsWith(".0")) s.dropRight(2) + ".0" else s
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"runs":$runsJson,"gc_sec":$gcJson}""")
+    // sf as a bare number ("sf0.1" -> 0.1) to shave bytes off the line
+    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir + "\"")
+    def mkLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"reps":$reps}"""
+    }
+    // Fallback to 1 decimal if a heavily contended run (many ≥10 s
+    // medians) would push the 2-decimal line past the capture window.
+    val line2 = mkLine(cnum)
+    val line = if (line2.length <= 1950) line2 else mkLine(onedec)
+    println(line)
     spark.stop()
   }
 }

@@ -71,7 +71,9 @@ object Dedup {
     * cluster instead of pinning a hot block's m²/2 pairs on the one
     * task that owns the block key. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxBlockSize: Int = 1000,
+      rescueBands: Int = 32, rescueRowsPerBand: Int = 4): DataFrame = {
+    require(maxBlockSize >= 2, "a block of <2 docs yields no pairs")
     // the shingle frame feeds four plan subtrees (both sides of the
     // block join + both verification reattaches); persist so the
     // shingle construction runs once, not four times. MEMORY_AND_DISK:
@@ -83,8 +85,26 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle sets are sorted, so element 0 is the min shingle
     val slim = sh.select(col("doc_id"), col("sh").getItem(0).as("block"))
-    val cand = slim.alias("a")
-      .join(slim.alias("b"), col("a.block") === col("b.block") &&
+    // Hot-block guard: a corpus-common min shingle (boilerplate header,
+    // "the" in a stopword-heavy corpus) would otherwise make candidate
+    // generation O(m²) on ONE join key — the one shape that doesn't
+    // survive a 100× scale-up. Count block frequency first (map-side-
+    // combined agg on the short block key) and split: blocks ≤
+    // maxBlockSize take the exact equi-join; docs of over-cap blocks
+    // are rescued through MinHash banding, where collisions track
+    // *whole-document* similarity instead of one shared shingle, so
+    // pair generation is quadratic only in genuine near-dup clusters.
+    // The rescue widens recall slightly across hot blocks (band
+    // collisions are not confined to the min-shingle block); every
+    // emitted pair still passes the same exact-Jaccard verification.
+    val freq = slim.groupBy("block").agg(count(lit(1)).as("_bn"))
+    val tagged = slim.join(freq, "block")
+    val cold = tagged.filter(col("_bn") <= maxBlockSize)
+      .select("doc_id", "block")
+    val hotIds = tagged.filter(col("_bn") > maxBlockSize)
+      .select("doc_id")
+    val cand = cold.alias("a")
+      .join(cold.alias("b"), col("a.block") === col("b.block") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
@@ -100,6 +120,26 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Rescue path for over-cap blocks. The hot-doc subset re-enters
+    // through minhashLshPairs (its own persist/release cycle); at most
+    // one of the two paths can emit a given pair — a pair sharing a
+    // min shingle has both docs in the same block, which is either
+    // wholly cold or wholly hot — so a plain union suffices.
+    val hotStats = freq.filter(col("_bn") > maxBlockSize)
+      .agg(count(lit(1)).as("blocks"),
+        coalesce(sum("_bn"), lit(0L)).as("docs")).head()
+    val all =
+      if (hotStats.getLong(1) == 0L) pairs
+      else {
+        System.err.println(s"[graft.Dedup] jaccardPairs: " +
+          s"${hotStats.getLong(1)} docs in ${hotStats.getLong(0)} " +
+          s"block(s) over maxBlockSize=$maxBlockSize routed to " +
+          s"MinHash rescue ($rescueBands×$rescueRowsPerBand)")
+        val hotDocs = docs.join(hotIds,
+          docs(idCol) === hotIds("doc_id"), "left_semi")
+        pairs.unionByName(minhashLshPairs(hotDocs, idCol, textCol, n,
+          rescueBands, rescueRowsPerBand, threshold))
+      }
     // materialize the (small) passing pair set, then release the
     // shingle cache immediately — relying on GC + ContextCleaner leaks
     // the blocks for as long as the caller holds the returned frame.
@@ -108,7 +148,10 @@ object Dedup {
     // on a preemptible cluster, set a checkpoint dir and swap in
     // reliable checkpoint(), or re-run the operator on failure — the
     // leak was the certain cost, executor loss the rare one.
-    val out = pairs.localCheckpoint()
+    // The hot-stats probe above is the one extra action; it reads the
+    // persisted shingle frame, so the guard costs a short agg job, not
+    // a second shingle build.
+    val out = all.localCheckpoint()
     sh.unpersist()
     out
   }

@@ -625,6 +625,260 @@ object Parity {
       |FROM (SELECT * FROM staged_out UNION ALL SELECT * FROM kept)
       |ORDER BY email""".stripMargin
 
+  // ---- full projects pipeline (composed §3.2 lifecycle) -------------
+  /** The reference's second pipeline end-to-end (`pipelines/
+    * projects-pipeline.py:341-400`): sheet normalize (P2) → validate
+    * (F3) → netid resolution with unknown-netid quarantine (J2) →
+    * projects MERGE with no-op change detection (J6) + deterministic id
+    * assignment → link melt (R2/J9, insert path) → role reconciliation
+    * (J7) → returning marks (J8) → run summary (A1), all emitted as one
+    * tagged union frame so the composed dataflow — not just each piece —
+    * is hash-verified. Fixture: sheet rows from `orders` (blank names
+    * k%13=1, unknown `ghost` netids k%17=4, per-role NULL injection),
+    * users from `customer`, current projects = the k%4=0 subset with
+    * client drift on k%8=0 (→ update) and match elsewhere (→ noop). */
+  def pProjectsPipeline(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    val c = col("o_custkey")
+    val sheet = o.select(
+      when(k % 13 === 1, lit(""))
+        .otherwise(concat(lit("proj"), k.cast("string")))
+        .as("Project Name"),
+      when(k % 2 === 0, lit("Fall 2025")).otherwise(lit("Spring 2026"))
+        .as("Semester"),
+      concat(lit("client"), (k % 97).cast("string")).as("Client Name"),
+      when(k % 17 === 4, concat(lit("ghost"), c.cast("string")))
+        .otherwise(concat(lit("nid"), c.cast("string"))).as("EM net-id"),
+      when(k % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("nid"), ((c + 1) % 150).cast("string")))
+        .as("SM net-id"),
+      when(k % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("nid"), ((c + 2) % 150).cast("string")))
+        .as("PM net-id"),
+      when(k % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("nid"), ((c + 3) % 150).cast("string")))
+        .as("SC 1 net-id"),
+      when(k % 2 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("nid"), ((c + 4) % 150).cast("string")))
+        .as("SC 2 NetID"))
+    val users = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("user_id"),
+      concat(lit("nid"), col("c_custkey").cast("string")).as("netid"),
+      when(col("c_custkey") % 4 === 0, lit("EM"))
+        .when(col("c_custkey") % 4 === 1, lit("SM"))
+        .when(col("c_custkey") % 4 === 2, lit("PM"))
+        .otherwise(lit("SC")).as("curr_role"))
+    val curProjects = o.filter(k % 4 === 0).select(
+      k.cast("long").as("project_id"),
+      concat(lit("proj"), k.cast("string")).as("project_name"),
+      lit("Fall 2025").as("project_semester"), // k%4=0 ⇒ k even
+      when(k % 8 === 0, lit("clientOLD"))
+        .otherwise(concat(lit("client"), (k % 97).cast("string")))
+        .as("client_name"),
+      c.cast("long").as("em_id"),
+      when(k % 7 === 0, lit(null).cast("long"))
+        .otherwise(((c + 1) % 150).cast("long")).as("sm_id"),
+      when(k % 5 === 0, lit(null).cast("long"))
+        .otherwise(((c + 2) % 150).cast("long")).as("pm_id"),
+      when(k % 3 === 0, lit(null).cast("long"))
+        .otherwise(((c + 3) % 150).cast("long")).as("sc1_id"),
+      lit(null).cast("long").as("sc2_id")) // k even ⇒ staged sc2 NULL
+    val r = graft.pipelines.Projects.run(sheet, users, curProjects)
+    val idsV = Seq("em_id", "sm_id", "pm_id", "sc1_id", "sc2_id")
+      .map(cn => coalesce(col(cn).cast("string"), lit("-")))
+    val vProj = concat_ws("|",
+      col(Merge.ActionCol) +:
+        coalesce(col("project_semester"), lit("-")) +:
+        coalesce(col("client_name"), lit("-")) +: idsV: _*)
+    val projRows = r.projects.select(lit("project").as("section"),
+      col("project_id").cast("long").as("id"),
+      col("project_name").as("k"), vProj.as("v"))
+    val linkRows = r.links.select(lit("link").as("section"),
+      col("project_id").cast("long").as("id"), col("role").as("k"),
+      col("user_id").cast("string").as("v"))
+    val roleRows = r.userRoleUpdates.select(
+      lit("role_update").as("section"),
+      col("user_id").cast("long").as("id"), col("curr_role").as("k"),
+      col("new_role").as("v"))
+    val retRows = r.returningMarks.select(lit("returning").as("section"),
+      col("user_id").cast("long").as("id"), col("status").as("k"),
+      lit(null).cast("string").as("v"))
+    val qRows = r.quarantine.select(lit("quarantine").as("section"),
+      lit(null).cast("long").as("id"), col("project_name").as("k"),
+      col("_error_code").as("v"))
+    val sumRows = r.summary.select(lit("summary").as("section"),
+      col("valid_rows").cast("long").as("id"), lit("valid_rows").as("k"),
+      lit(null).cast("string").as("v"))
+      .unionByName(r.summary.select(lit("summary").as("section"),
+        col("invalid_rows").cast("long").as("id"),
+        lit("invalid_rows").as("k"), lit(null).cast("string").as("v")))
+    projRows.unionByName(linkRows).unionByName(roleRows)
+      .unionByName(retRows).unionByName(qRows).unionByName(sumRows)
+      .orderBy("section", "id", "k", "v")
+  }
+
+  /** Mirrors [[pProjectsPipeline]] as the straight relational form of
+    * the lifecycle — same joins/windows replayed in ANSI SQL (the
+    * insert-id rule is the documented max(cur)+row_number-by-name,
+    * cf. [[pUsersMergeSql]]). */
+  private val pProjectsPipelineSql = {
+    val unknownCond = Seq("em", "sm", "pm", "sc1", "sc2")
+      .map(r => s"(${r}_netid IS NOT NULL AND ${r}_id IS NULL)")
+      .mkString("\n    (", " OR\n     ", ")")
+    s"""WITH users AS (SELECT CAST(c_custkey AS BIGINT) AS user_id,
+       |    'nid' || c_custkey AS netid,
+       |    CASE WHEN c_custkey % 4 = 0 THEN 'EM'
+       |         WHEN c_custkey % 4 = 1 THEN 'SM'
+       |         WHEN c_custkey % 4 = 2 THEN 'PM' ELSE 'SC' END AS curr_role
+       |  FROM customer),
+       |sheet AS (SELECT
+       |    CASE WHEN o_orderkey % 13 = 1 THEN ''
+       |         ELSE 'proj' || o_orderkey END AS project_name,
+       |    CASE WHEN o_orderkey % 2 = 0 THEN 'Fall 2025'
+       |         ELSE 'Spring 2026' END AS project_semester,
+       |    'client' || (o_orderkey % 97) AS client_name,
+       |    CASE WHEN o_orderkey % 17 = 4 THEN 'ghost' || o_custkey
+       |         ELSE 'nid' || o_custkey END AS em_netid,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+       |         ELSE 'nid' || ((o_custkey + 1) % 150) END AS sm_netid,
+       |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+       |         ELSE 'nid' || ((o_custkey + 2) % 150) END AS pm_netid,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       |         ELSE 'nid' || ((o_custkey + 3) % 150) END AS sc1_netid,
+       |    CASE WHEN o_orderkey % 2 = 0 THEN NULL
+       |         ELSE 'nid' || ((o_custkey + 4) % 150) END AS sc2_netid
+       |  FROM orders),
+       |valid AS (SELECT * FROM sheet
+       |  WHERE trim(coalesce(project_name, '')) <> ''),
+       |resolved AS (SELECT v.*, em.user_id AS em_id, sm.user_id AS sm_id,
+       |    pm.user_id AS pm_id, s1.user_id AS sc1_id, s2.user_id AS sc2_id
+       |  FROM valid v
+       |  LEFT JOIN users em ON v.em_netid = em.netid
+       |  LEFT JOIN users sm ON v.sm_netid = sm.netid
+       |  LEFT JOIN users pm ON v.pm_netid = pm.netid
+       |  LEFT JOIN users s1 ON v.sc1_netid = s1.netid
+       |  LEFT JOIN users s2 ON v.sc2_netid = s2.netid),
+       |quar AS (SELECT * FROM resolved WHERE$unknownCond),
+       |ok AS (SELECT * FROM resolved WHERE NOT$unknownCond),
+       |cur AS (SELECT CAST(o_orderkey AS BIGINT) AS project_id,
+       |    'proj' || o_orderkey AS project_name,
+       |    'Fall 2025' AS project_semester,
+       |    CASE WHEN o_orderkey % 8 = 0 THEN 'clientOLD'
+       |         ELSE 'client' || (o_orderkey % 97) END AS client_name,
+       |    CAST(o_custkey AS BIGINT) AS em_id,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+       |         ELSE CAST((o_custkey + 1) % 150 AS BIGINT) END AS sm_id,
+       |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+       |         ELSE CAST((o_custkey + 2) % 150 AS BIGINT) END AS pm_id,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       |         ELSE CAST((o_custkey + 3) % 150 AS BIGINT) END AS sc1_id,
+       |    CAST(NULL AS BIGINT) AS sc2_id
+       |  FROM orders WHERE o_orderkey % 4 = 0),
+       |m AS (SELECT coalesce(ok.project_name, cur.project_name)
+       |      AS project_name,
+       |    cur.project_id AS project_id0,
+       |    CASE WHEN ok.project_name IS NOT NULL THEN ok.project_semester
+       |         ELSE cur.project_semester END AS project_semester,
+       |    CASE WHEN ok.project_name IS NOT NULL THEN ok.client_name
+       |         ELSE cur.client_name END AS client_name,
+       |    CASE WHEN ok.project_name IS NOT NULL THEN ok.em_id
+       |         ELSE cur.em_id END AS em_id,
+       |    CASE WHEN ok.project_name IS NOT NULL THEN ok.sm_id
+       |         ELSE cur.sm_id END AS sm_id,
+       |    CASE WHEN ok.project_name IS NOT NULL THEN ok.pm_id
+       |         ELSE cur.pm_id END AS pm_id,
+       |    CASE WHEN ok.project_name IS NOT NULL THEN ok.sc1_id
+       |         ELSE cur.sc1_id END AS sc1_id,
+       |    CASE WHEN ok.project_name IS NOT NULL THEN ok.sc2_id
+       |         ELSE cur.sc2_id END AS sc2_id,
+       |    CASE WHEN cur.project_name IS NULL THEN 'insert'
+       |         WHEN ok.project_name IS NULL THEN 'keep'
+       |         WHEN ok.project_semester IS NOT DISTINCT FROM
+       |            cur.project_semester
+       |          AND ok.client_name IS NOT DISTINCT FROM cur.client_name
+       |          AND ok.em_id IS NOT DISTINCT FROM cur.em_id
+       |          AND ok.sm_id IS NOT DISTINCT FROM cur.sm_id
+       |          AND ok.pm_id IS NOT DISTINCT FROM cur.pm_id
+       |          AND ok.sc1_id IS NOT DISTINCT FROM cur.sc1_id
+       |          AND ok.sc2_id IS NOT DISTINCT FROM cur.sc2_id THEN 'noop'
+       |         ELSE 'update' END AS _action
+       |  FROM ok FULL OUTER JOIN cur ON ok.project_name = cur.project_name),
+       |mx AS (SELECT coalesce(max(project_id), 0) AS max_id FROM cur),
+       |proj AS (SELECT project_name, project_semester, client_name,
+       |    em_id, sm_id, pm_id, sc1_id, sc2_id, _action,
+       |    CASE WHEN _action = 'insert' THEN mx.max_id + row_number()
+       |        OVER (PARTITION BY _action = 'insert' ORDER BY project_name)
+       |      ELSE project_id0 END AS project_id
+       |  FROM m CROSS JOIN mx),
+       |ins AS (SELECT * FROM proj WHERE _action = 'insert'),
+       |links AS (
+       |  SELECT project_id, 'EM' AS role, em_id AS user_id FROM ins
+       |    WHERE em_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'SM', sm_id FROM ins
+       |    WHERE sm_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'PM', pm_id FROM ins
+       |    WHERE pm_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'SC', sc1_id FROM ins
+       |    WHERE sc1_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'SC', sc2_id FROM ins
+       |    WHERE sc2_id IS NOT NULL),
+       |asg AS (
+       |  SELECT project_id, 'EM' AS role, em_id AS user_id, 1 AS prec
+       |    FROM proj WHERE em_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'SM', sm_id, 2 FROM proj
+       |    WHERE sm_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'PM', pm_id, 3 FROM proj
+       |    WHERE pm_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'SC', sc1_id, 4 FROM proj
+       |    WHERE sc1_id IS NOT NULL
+       |  UNION ALL SELECT project_id, 'SC', sc2_id, 4 FROM proj
+       |    WHERE sc2_id IS NOT NULL),
+       |expected AS (SELECT user_id, role AS expected_role FROM (
+       |    SELECT user_id, role, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY prec ASC, project_id ASC) AS rn
+       |      FROM asg) WHERE rn = 1),
+       |role_upd AS (SELECT u.user_id, u.curr_role,
+       |    e.expected_role AS new_role
+       |  FROM users u JOIN expected e ON u.user_id = e.user_id
+       |  WHERE u.curr_role <> e.expected_role),
+       |ret AS (SELECT DISTINCT user_id FROM (
+       |  SELECT sm_id AS user_id FROM ins WHERE sm_id IS NOT NULL
+       |  UNION ALL SELECT pm_id FROM ins WHERE pm_id IS NOT NULL
+       |  UNION ALL SELECT sc1_id FROM ins WHERE sc1_id IS NOT NULL
+       |  UNION ALL SELECT sc2_id FROM ins WHERE sc2_id IS NOT NULL)),
+       |summ AS (SELECT
+       |    count(CASE WHEN trim(coalesce(project_name, '')) <> ''
+       |      THEN 1 END) AS valid_rows,
+       |    count(CASE WHEN trim(coalesce(project_name, '')) = ''
+       |      THEN 1 END) AS invalid_rows
+       |  FROM sheet)
+       |SELECT section, id, k, v FROM (
+       |  SELECT 'project' AS section, project_id AS id,
+       |      project_name AS k,
+       |      concat_ws('|', _action, coalesce(project_semester, '-'),
+       |        coalesce(client_name, '-'),
+       |        coalesce(CAST(em_id AS VARCHAR), '-'),
+       |        coalesce(CAST(sm_id AS VARCHAR), '-'),
+       |        coalesce(CAST(pm_id AS VARCHAR), '-'),
+       |        coalesce(CAST(sc1_id AS VARCHAR), '-'),
+       |        coalesce(CAST(sc2_id AS VARCHAR), '-')) AS v
+       |    FROM proj
+       |  UNION ALL SELECT 'link', project_id, role,
+       |      CAST(user_id AS VARCHAR) FROM links
+       |  UNION ALL SELECT 'role_update', user_id, curr_role, new_role
+       |    FROM role_upd
+       |  UNION ALL SELECT 'returning', user_id, 'returning',
+       |      CAST(NULL AS VARCHAR) FROM ret
+       |  UNION ALL SELECT 'quarantine', CAST(NULL AS BIGINT), project_name,
+       |      'E003' FROM quar
+       |  UNION ALL SELECT 'summary', valid_rows, 'valid_rows',
+       |      CAST(NULL AS VARCHAR) FROM summ
+       |  UNION ALL SELECT 'summary', invalid_rows, 'invalid_rows',
+       |      CAST(NULL AS VARCHAR) FROM summ)
+       |ORDER BY section, id, k, v""".stripMargin
+  }
+
   // ---- S5: structured run report over the same staffing fixture -----
   /** [[graft.ops.RunReport.staffing]] for the [[pStaffingPipeline]]
     * run: stage/metric/count rows (validation split + per-merge action
@@ -695,6 +949,7 @@ object Parity {
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "p_staffing_pipeline" -> (pStaffingPipeline _),
+    "p_projects_pipeline" -> (pProjectsPipeline _),
     "p_scd2_merge" -> (pScd2Merge _),
     "p_validation_split" -> (pValidationSplit _),
     "p_parse_boolean" -> (pParseBoolean _),
@@ -713,6 +968,7 @@ object Parity {
 
   val oracle: Map[String, String] = Map(
     "p_staffing_pipeline" -> pStaffingPipelineSql,
+    "p_projects_pipeline" -> pProjectsPipelineSql,
     "p_scd2_merge" -> pScd2MergeSql,
     "p_validation_split" -> pValidationSplitSql,
     "p_parse_boolean" -> pParseBooleanSql,

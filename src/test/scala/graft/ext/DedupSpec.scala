@@ -40,6 +40,52 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("hot-block cap bounds exact candidates and rescues via MinHash") {
+    // Adversarial corpus: every doc opens with the same boilerplate
+    // header, whose 3-gram sorts first — one min-shingle block holds
+    // ALL docs, the case where uncapped blocking is O(m²) on one key.
+    // ("aaa aaa aaa" < any other shingle lexicographically.)
+    val header = "aaa aaa aaa"
+    val boiler = (1 to 40).map(i =>
+      (i.toLong, s"$header unique$i filler$i differs$i entirely$i"))
+    // one genuine near-dup pair inside the hot block
+    val nearDup = Seq(
+      (100L, s"$header the quick brown fox jumps over the lazy dog"),
+      (101L, s"$header the quick brown fox jumps over the lazy cat"))
+    val corpus = (boiler ++ nearDup).toDF("doc_id", "text")
+
+    // cap smaller than the block: exact path must see zero candidates,
+    // rescue must still surface the true near-dup pair
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+      maxBlockSize = 10, rescueBands = 16, rescueRowsPerBand = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)),
+      "MinHash rescue must recover the near-dup pair in the hot block")
+    // boilerplate-only docs share just the 1 header shingle of ~9 →
+    // jaccard « 0.5; nothing else may pass verification
+    assert(capped == Set((100L, 101L)))
+
+    // cap above the block size → behavior identical to uncapped
+    val uncapped = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+      maxBlockSize = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == capped)
+  }
+
+  test("hot-block cap: normal corpus output is unchanged by the cap") {
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      maxBlockSize = 2, rescueBands = 16, rescueRowsPerBand = 2)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // every emitted pair is exact-verified on both routes, so a tiny
+    // cap may only widen candidate recall, never change verification
+    assert(b.subsetOf(a))
+    assert(a.forall(_._3 >= 0.5))
+  }
+
   test("codegen SimHash32 equals the HOF simhash formulation") {
     val both = docs.select(
       Dedup.simhash32($"text").as("fast"),
