@@ -115,6 +115,29 @@ object Merge {
     closed.unionByName(emitted)
   }
 
+  /** Narrowing cast for a generated id, guarded against silent wrap:
+    * `next` is computed in long; casting to an existing narrow id
+    * column (int near Int.MaxValue, say) would otherwise wrap to
+    * duplicate/negative ids. Overflow raises instead. */
+  private def castIdGuarded(next: Column,
+      idType: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val bound = idType match {
+      case IntegerType => Some(Int.MaxValue.toLong)
+      case ShortType   => Some(Short.MaxValue.toLong)
+      case ByteType    => Some(Byte.MaxValue.toLong)
+      case _           => None
+    }
+    bound match {
+      case Some(mx) =>
+        when(next <= mx, next.cast(idType))
+          .otherwise(raise_error(concat(
+            lit(s"assignIds: generated id overflows $idType: "),
+            next.cast("string"))).cast(idType))
+      case None => next.cast(idType)
+    }
+  }
+
   /** Deterministic serial-id assignment for merge inserts, replacing
     * the reference's `INSERT ... RETURNING id` (SURVEY.md §7.4): new
     * rows get `max(existing id) + row_number()` ordered by the
@@ -145,7 +168,7 @@ object Merge {
     val numbered = merged.filter(col(ActionCol) === "insert")
       .crossJoin(broadcast(maxId))
       .withColumn(idCol,
-        (col("_max_id") + row_number().over(w)).cast(idType))
+        castIdGuarded(col("_max_id") + row_number().over(w), idType))
       .drop("_max_id")
     others.unionByName(numbered)
   }
@@ -199,8 +222,8 @@ object Merge {
       .join(broadcast(offsets), "_pid")
       .crossJoin(broadcast(maxId))
       .withColumn(idCol,
-        (col("_max_id") + col("_off") + row_number().over(wIn))
-          .cast(idType))
+        castIdGuarded(
+          col("_max_id") + col("_off") + row_number().over(wIn), idType))
       .drop("_pid", "_off", "_max_id")
     others.unionByName(numbered)
   }

@@ -47,13 +47,20 @@ object JdbcUpsertSink {
       password: String,
       options: Map[String, String] = Map.empty)
 
-  /** Quoted SQL identifier (lower-cased names come straight from
-    * DataFrame columns; quoting keeps reserved words safe). A
-    * schema-qualified name quotes each dot-separated part —
-    * `public.users` → `"public"."users"`. */
+  /** Quoted *table* identifier: a schema-qualified name quotes each
+    * dot-separated part — `public.users` → `"public"."users"`. Never
+    * use for column names (see [[qcol]]): a column literally named
+    * `a.b` must render as one identifier, not a qualification. */
   private[sources] def q(ident: String): String = {
     require(!ident.contains("\""), s"illegal identifier: $ident")
     ident.split('.').map("\"" + _ + "\"").mkString(".")
+  }
+
+  /** Quoted *column* identifier: quoted whole, dots and all, so a
+    * column named `a.b` references the column, not schema `a`. */
+  private[sources] def qcol(ident: String): String = {
+    require(!ident.contains("\""), s"illegal identifier: $ident")
+    "\"" + ident + "\""
   }
 
   /** Deterministic per-batch staging table name; a replayed batch id
@@ -71,15 +78,15 @@ object JdbcUpsertSink {
     require(keys.nonEmpty && keys.forall(cols.contains),
       "keys must be a subset of cols")
     val updatable = cols.filterNot(keys.contains)
-    val colList = cols.map(q).mkString(", ")
+    val colList = cols.map(qcol).mkString(", ")
     val setList = updatable
-      .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      .map(c => s"${qcol(c)} = EXCLUDED.${qcol(c)}").mkString(", ")
     val action =
       if (updatable.isEmpty) "DO NOTHING"
       else s"DO UPDATE SET $setList"
     s"INSERT INTO ${q(target)} ($colList) " +
       s"SELECT $colList FROM ${q(staging)} " +
-      s"ON CONFLICT (${keys.map(q).mkString(", ")}) $action"
+      s"ON CONFLICT (${keys.map(qcol).mkString(", ")}) $action"
   }
 
   /** ANSI `MERGE INTO` variant for targets without ON CONFLICT. */
@@ -88,11 +95,12 @@ object JdbcUpsertSink {
     require(keys.nonEmpty && keys.forall(cols.contains),
       "keys must be a subset of cols")
     val updatable = cols.filterNot(keys.contains)
-    val onCond = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val onCond = keys.map(k => s"t.${qcol(k)} = s.${qcol(k)}")
+      .mkString(" AND ")
     val setList = updatable
-      .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
-    val insCols = cols.map(q).mkString(", ")
-    val insVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+      .map(c => s"t.${qcol(c)} = s.${qcol(c)}").mkString(", ")
+    val insCols = cols.map(qcol).mkString(", ")
+    val insVals = cols.map(c => s"s.${qcol(c)}").mkString(", ")
     val matched =
       if (updatable.isEmpty) ""
       else s"WHEN MATCHED THEN UPDATE SET $setList "
@@ -117,12 +125,50 @@ object JdbcUpsertSink {
     Seq(merge, dropStagingSql(staging))
   }
 
+  /** Option keys consumed by the Spark JDBC *writer* only — not
+    * meaningful as java.sql connection properties, so they are
+    * excluded when the merge connection is opened. Everything else in
+    * `JdbcTarget.options` (sslmode, ssl certs, connectTimeout,
+    * loginTimeout, …) flows to BOTH legs, so the server-side merge
+    * connects with exactly the same settings as the staging write. */
+  private val SparkWriterOnlyKeys = Set(
+    "url", "dbtable", "query", "user", "password", "driver",
+    "batchsize", "numpartitions", "truncate", "cascadetruncate",
+    "isolationlevel", "createtableoptions", "createtablecolumntypes",
+    "partitioncolumn", "lowerbound", "upperbound", "fetchsize",
+    "pushdownpredicate", "pushdownaggregate", "pushdownlimit",
+    "keytab", "principal", "refreshkrb5config", "tablesample")
+
   /** Default executor: one driver-side connection, one transaction for
     * the whole script (the batch-level commit the reference approximates
-    * with commit-at-end, minus its per-row rollback hazards). */
-  private def execute(t: JdbcTarget)(script: Seq[String]): Unit = {
+    * with commit-at-end, minus its per-row rollback hazards).
+    *
+    * The connection honors `t.options`: a `driver` option is loaded via
+    * `Class.forName` (drivers without SPI auto-registration would
+    * otherwise fail with "No suitable driver" here even though the
+    * staging write succeeded), and connection-relevant options are
+    * passed as properties so both legs use identical settings.
+    *
+    * `cleanup` is best-effort SQL run (auto-commit) if the transaction
+    * fails after the staging write committed — without it the rolled-
+    * back DROP leaves the staging table behind. */
+  private def execute(t: JdbcTarget, cleanup: Seq[String] = Nil)(
+      script: Seq[String]): Unit = {
+    t.options.get("driver").foreach { cls =>
+      try Class.forName(cls)
+      catch { case _: ClassNotFoundException =>
+        throw DatabaseConnectionError(s"JDBC driver class not found: $cls")
+      }
+    }
+    val props = new java.util.Properties()
+    t.options.foreach { case (k, v) =>
+      if (!SparkWriterOnlyKeys.contains(k.toLowerCase(java.util.Locale.ROOT)))
+        props.setProperty(k, v)
+    }
+    props.setProperty("user", t.user)
+    props.setProperty("password", t.password)
     val conn =
-      try DriverManager.getConnection(t.url, t.user, t.password)
+      try DriverManager.getConnection(t.url, props)
       catch { case e: Exception =>
         throw DatabaseConnectionError(
           s"Database connection failed: ${e.getMessage}")
@@ -134,6 +180,11 @@ object JdbcUpsertSink {
       conn.commit()
     } catch { case e: Exception =>
       try conn.rollback() catch { case _: Exception => () }
+      try {
+        conn.setAutoCommit(true)
+        val st = conn.createStatement()
+        try cleanup.foreach(st.execute) finally st.close()
+      } catch { case _: Exception => () } // best-effort only
       throw e
     } finally conn.close()
   }
@@ -143,6 +194,11 @@ object JdbcUpsertSink {
     * If `df` carries a [[Merge.ActionCol]] column (i.e. it is a
     * [[graft.ops.Merge.merge]] output), only insert/update rows are
     * shipped — noop/keep rows are pruned before any bytes move.
+    *
+    * `batchId` names the staging table: concurrent batch callers
+    * upserting into the SAME target must pass distinct batch ids
+    * (streaming callers get this for free from the epoch id), or one
+    * job's staging overwrite clobbers another's in-flight data.
     *
     * `runScript` defaults to the live JDBC execution; tests inject a
     * recorder. Returns the generated script (also handed to
@@ -172,7 +228,7 @@ object JdbcUpsertSink {
       case Some(run) => run(script) // test path: no live endpoint
       case None =>
         writer.save()
-        execute(target)(script)
+        execute(target, cleanup = Seq(dropStagingSql(staging)))(script)
     }
     script
   }

@@ -60,13 +60,22 @@ object SheetDataSource {
     p
   }
 
+  /** HTTP connect/read timeout, ms — the reference hardcodes 10 s on
+    * its sheet fetch (`pipelines/staffing-roster-pipeline.py:79`);
+    * without it a hung web app hangs the whole scan. */
+  val FetchTimeoutMs = 10000
+
   /** Fetch + parse the payload; error taxonomy per the reference. */
-  def fetch(path: String): JsonNode = {
+  def fetch(path: String, timeoutMs: Int = FetchTimeoutMs): JsonNode = {
     val bytes =
       try {
-        if (path.contains("://"))
-          new java.net.URL(path).openStream().readAllBytes()
-        else java.nio.file.Files.readAllBytes(
+        if (path.contains("://")) {
+          val conn = new java.net.URL(path).openConnection()
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          val in = conn.getInputStream
+          try in.readAllBytes() finally in.close()
+        } else java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path))
       } catch { case e: Exception =>
         throw SheetReadError(s"cannot read sheet at $path: ${e.getMessage}")

@@ -76,6 +76,31 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("assignIds keeps a narrow int id type but raises on overflow " +
+      "instead of wrapping") {
+    val curInt = Seq(("a@x", Int.MaxValue - 1, "Alice"))
+      .toDF("email", "user_id", "name")
+    val stOk = Seq(("b@x", "Bob")).toDF("email", "name")
+    val m1 = Merge.merge(stOk, curInt, Seq("email"), Seq("name"))
+    val ok = Merge.assignIds(m1, "user_id", "email", curInt)
+    assert(ok.schema("user_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = ok.filter($"email" === "b@x").select("user_id")
+      .as[Int].collect().head
+    assert(got == Int.MaxValue) // max-1 + 1, no wrap
+    // a second insert would need Int.MaxValue + 1 → must raise
+    val stOver = Seq(("b@x", "Bob"), ("c@x", "Carl"))
+      .toDF("email", "name")
+    val m2 = Merge.merge(stOver, curInt, Seq("email"), Seq("name"))
+    val e = intercept[Exception] {
+      Merge.assignIds(m2, "user_id", "email", curInt).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflows")))
+  }
+
   test("assignIdsDistributed matches assignIds on a bulk insert batch") {
     val curBig = (1 to 7).map(i => (f"u$i%03d@x", i.toLong, s"N$i", "v"))
       .toDF("email", "user_id", "name", "note")

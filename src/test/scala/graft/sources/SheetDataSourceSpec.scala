@@ -94,4 +94,26 @@ class SheetDataSourceSpec extends SparkSpec {
     }
     assert(e3.code == "E003")
   }
+
+  test("HTTP fetch times out promptly on a hung endpoint (E005)") {
+    // a bound socket that never accepts/responds: the connect backlog
+    // accepts the TCP handshake but no bytes ever arrive, which is
+    // exactly the hung-web-app case the reference guards with its 10 s
+    // timeout (staffing-roster-pipeline.py:79)
+    val srv = new java.net.ServerSocket(0, 1)
+    try {
+      val url = s"http://127.0.0.1:${srv.getLocalPort}/sheet.json"
+      val t0 = System.nanoTime()
+      val e = intercept[SheetReadError] {
+        SheetDataSource.fetch(url, timeoutMs = 500)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(e.code == "E005")
+      assert(secs < 10.0, s"fetch hung ${secs}s — timeout not applied")
+    } finally srv.close()
+  }
+
+  test("default fetch timeout matches the reference's 10s") {
+    assert(SheetDataSource.FetchTimeoutMs == 10000)
+  }
 }

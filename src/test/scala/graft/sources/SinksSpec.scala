@@ -77,6 +77,19 @@ class SinksSpec extends SparkSpec {
       .toSeq == Seq("a@x", "c@x"))
   }
 
+  test("identifier quoting: tables split schema on dots, columns never") {
+    // schema-qualified table → per-part quoting
+    assert(JdbcUpsertSink.dropStagingSql("public.users_staging_1") ==
+      """DROP TABLE IF EXISTS "public"."users_staging_1"""")
+    // a column literally named "a.b" is ONE identifier in the
+    // generated SQL, not a schema qualification
+    val sql = JdbcUpsertSink.onConflictSql("public.users", "stg",
+      Seq("id", "a.b"), Seq("id"))
+    assert(sql.contains("\"a.b\" = EXCLUDED.\"a.b\""))
+    assert(!sql.contains("\"a\".\"b\""))
+    assert(sql.startsWith("""INSERT INTO "public"."users" """))
+  }
+
   test("streaming foreachBatch upsert generates per-batch idempotent " +
       "staging names") {
     import JdbcUpsertSink.JdbcTarget
