@@ -560,12 +560,14 @@ object TrainingData {
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Typed mapPartitions decode pipeline. The codec is a stub, but a
-    * deterministic one (byte-wise polynomial checksum + derived
-    * dimensions), and this corpus is pure ASCII (byte == codepoint),
-    * so even the stub is oracle-verified — the SQL below derives the
-    * identical MediaMeta from the text. A real codec swap would
-    * return this query to rows-only. */
+  /** Typed mapPartitions decode pipeline. PNG and WAV payloads get a
+    * REAL pure-JVM header parse ([[graft.ext.Multimodal.decode]] —
+    * true width/height/format, spec'd against genuine fixtures);
+    * other formats fall back to a deterministic stub (byte-wise
+    * polynomial checksum + derived dimensions). This corpus is pure
+    * ASCII text — no PNG/WAV magic — so every row takes the stub
+    * path and the SQL below derives the identical MediaMeta from the
+    * text, keeping the query hash-verified. */
   def mMediaDecode(s: SparkSession, d: String): DataFrame =
     graft.ext.Multimodal.decodePipeline(s, d)
 
