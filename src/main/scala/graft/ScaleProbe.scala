@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× scale probe (not part of the driver contract): the
+  * harness ships sf0.1 as its largest dataset, so the 100×-design
+  * claims of the dedup/ANN family are substantiated by synthesizing a
+  * 10× corpus (sf1-equivalent: 50k docs / 20k vectors) and timing the
+  * operators on it.
+  *
+  * Corpus construction is deterministic: replica i of a document gets
+  * doc_id + i·10⁷ and every token suffixed with a replica tag
+  * (regexp_replace), so cross-replica Jaccard is exactly 0 — the
+  * true-duplicate structure scales linearly (10× blocks, 10× pairs),
+  * which is the honest scaling question. (A first attempt used a
+  * consonant `translate`; this corpus's short vocabulary mostly
+  * survived it, silently merging min-shingle blocks across replicas
+  * into 100× candidate counts — a useful stress, but not the
+  * linear-scaling measurement.) Embedding replicas keep their vectors
+  * (denser clusters — the realistic shape for a larger corpus) under
+  * shifted ids.
+  *
+  * Usage: ScaleProbe [reps] — writes parquet under /tmp/sf1probe once,
+  * then times d_minhash_lsh, d_jaccard_pairs, d_dup_clusters,
+  * s_ann_ivf_kmeans against it and prints plan audit lines.
+  */
+object ScaleProbe {
+
+  val ProbeDir = "/tmp/sf1probe"
+  val Queries = Seq("d_minhash_lsh", "d_jaccard_pairs",
+    "d_dup_clusters", "s_ann_ivf_kmeans")
+
+  def buildCorpus(spark: SparkSession, srcDir: String): Unit = {
+    val docs = Tables.documents(spark, srcDir)
+    val emb = Tables.embeddings(spark, srcDir)
+    val replicasD = (0 until 10).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "([a-z0-9]+)", "$1x" + i))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    replicasD.reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$ProbeDir/documents.parquet")
+    val replicasE = (0 until 10).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }
+    replicasE.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$ProbeDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[probe] building 10x corpus at $ProbeDir")
+    val tBuild = System.nanoTime()
+    buildCorpus(spark, "/root/testdata/sf0.1")
+    println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs")
+    for (q <- Queries) {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, ProbeDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = times.sorted.apply(reps / 2)
+      println(f"[probe] $q%-20s median ${med}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+      Scratch.audit(q, SparkEntry.queries(q)(spark, ProbeDir))
+    }
+    spark.stop()
+  }
+}

@@ -41,9 +41,18 @@ object Projects {
       returningMarks: DataFrame, summary: DataFrame)
 
   /** Run against current `users(user_id, netid, curr_role)` and
-    * `projects` state. `sheet` is the all-string staged frame. */
+    * `projects` state. `sheet` is the all-string staged frame.
+    *
+    * `materialize` is applied to the merged projects frame before the
+    * four downstream consumers (links, reconciliation, returning
+    * marks, output) fan out — pass `_.localCheckpoint()` (or
+    * `persist`) when all outputs are consumed, so the full-outer merge
+    * join + id window run once instead of once per consumer. Default
+    * is identity: callers that consume a single output keep a fully
+    * lazy plan (and Spark's ReuseExchange still dedups the shuffles). */
   def run(sheet: DataFrame, users: DataFrame,
-      curProjects: DataFrame): Result = {
+      curProjects: DataFrame,
+      materialize: DataFrame => DataFrame = identity): Result = {
     // P2: multi-candidate header coalesce (absent headers → skip)
     val resolvedCols = KeyMap.map { case (target, cands) =>
       val present = cands.filter(sheet.columns.contains)
@@ -83,8 +92,8 @@ object Projects {
       Seq("project_name"),
       Seq("project_semester", "client_name") ++
         Roles.map { case (r, _) => s"${r}_id" })
-    val projects = Merge.assignIds(merged0, "project_id",
-      "project_name", curProjects)
+    val projects = materialize(Merge.assignIds(merged0, "project_id",
+      "project_name", curProjects))
 
     // R2/J9: link rows — insert path only (reference behavior)
     val inserted = projects

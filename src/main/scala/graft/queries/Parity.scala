@@ -684,7 +684,11 @@ object Parity {
       when(k % 3 === 0, lit(null).cast("long"))
         .otherwise(((c + 3) % 150).cast("long")).as("sc1_id"),
       lit(null).cast("long").as("sc2_id")) // k even ⇒ staged sc2 NULL
-    val r = graft.pipelines.Projects.run(sheet, users, curProjects)
+    // all six output sections consume the merged frame → materialize
+    // it once (the full-outer merge + id window would otherwise
+    // re-execute per union branch)
+    val r = graft.pipelines.Projects.run(sheet, users, curProjects,
+      materialize = _.localCheckpoint())
     val idsV = Seq("em_id", "sm_id", "pm_id", "sc1_id", "sc2_id")
       .map(cn => coalesce(col(cn).cast("string"), lit("-")))
     val vProj = concat_ws("|",
