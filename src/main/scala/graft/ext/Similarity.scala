@@ -291,4 +291,56 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic
+    * k-means of [[kmeansCentroids]], compute exact pairwise cosine
+    * only WITHIN each cluster, and drop every vector that is
+    * ≥ `threshold`-similar to a smaller-id vector in its cluster
+    * (greedy keep-smallest-id — deterministic and SQL-mirrorable).
+    * Output: one row per input vector — (vec_id, cid, kept).
+    *
+    * Scale shape: the quadratic step is confined to clusters. Total
+    * pair work is Σ|cluster|² ≈ N²/k for balanced clusters, so at
+    * corpus scale `kClusters` grows with N (the paper runs k≈11k on
+    * 100M embeddings, mean cluster ≈10⁴) — the per-cluster join is an
+    * equi-join on `cid`, hash-partitioned, never all-pairs. A skewed
+    * (oversized) cluster concentrates work on one key; the mitigation
+    * at scale is raising k (cluster size is a tuning invariant, like
+    * the Jaccard block cap). Only (vec_id, cid) rows shuffle into the
+    * pair join; vectors reattach by id equi-join afterward — same
+    * ship-ids-not-payload shape as [[cosineDupPairs]]. */
+  def semDedup(embeddings: DataFrame, kClusters: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = kmeansCentroids(base, kClusters, iters)
+    // members feeds the pair join (twice) and the final output —
+    // checkpoint so assignment runs once, not three times
+    val members = assignClusters(base, centroids)
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+      .localCheckpoint()
+    val ids = members.select(col("cid"), col("vec_id"))
+    val cand = ids.alias("a").join(ids.alias("b"),
+        col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val ea = members.select(col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val eb = members.select(col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    val dropped = cand.join(ea, "vec_a").join(eb, "vec_b")
+      .filter(round(dot(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val out = members
+      .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("_drop").isNull.as("kept"))
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
 }

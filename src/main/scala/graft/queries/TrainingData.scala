@@ -459,8 +459,12 @@ object TrainingData {
       nprobe = 3, kClusters = 8, iters = 2)
       .orderBy("query_id", "rank")
 
-  private val sAnnIvfKmeansSql = {
-    val kClusters = 8
+  /** Shared oracle prefix: the unrolled deterministic k-means fit
+    * (smallest-vec_id seeds → 2×(assign, update) → final membership)
+    * as a WITH-clause body ending in CTEs `c2` (fitted centroids) and
+    * `members` (vec_id, emb, cid). Used by both the IVF-k-means ANN
+    * oracle and the SemDeDup oracle so the two can never drift. */
+  private def kmUnrolledSql(kClusters: Int): String = {
     def assignSql(cent: String, out: String): String =
       s"""$out AS (SELECT vec_id, emb, cid FROM (
          |  SELECT b.vec_id, b.emb, c.cid,
@@ -476,7 +480,7 @@ object TrainingData {
          |  GROUP BY cid, i),
          |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
          |  FROM ${out}d GROUP BY cid)""".stripMargin
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings),
        |init AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
        |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
@@ -485,7 +489,11 @@ object TrainingData {
        |${updateSql("a1", "c1")},
        |${assignSql("c1", "a2")},
        |${updateSql("a2", "c2")},
-       |${assignSql("c2", "members")},
+       |${assignSql("c2", "members")}""".stripMargin
+  }
+
+  private val sAnnIvfKmeansSql =
+    s"""WITH ${kmUnrolledSql(8)},
        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
        |  WHERE vec_id % 40 = 0),
        |probes AS (SELECT query_id, q_emb, cid,
@@ -504,7 +512,29 @@ object TrainingData {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    * clustering (same deterministic fit as [[sAnnIvfKmeans]], shared
+    * oracle fragment) + exact within-cluster cosine pruning with a
+    * greedy keep-smallest-id rule. One row per vector: cluster id and
+    * whether the vector survives at threshold 0.45. The quadratic
+    * step is confined to clusters (Σ|cluster|²), so at corpus scale
+    * `kClusters` grows with N — see [[Similarity.semDedup]]. */
+  def dSemdedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(embs(s, d), kClusters = 8, iters = 2,
+      threshold = 0.45)
+      .orderBy("vec_id")
+
+  private val dSemdedupSql =
+    s"""WITH ${kmUnrolledSql(8)},
+       |p AS (SELECT b.vec_id AS vid
+       |  FROM members a JOIN members b
+       |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCosine("a.emb", "b.emb")} >= 0.45),
+       |d AS (SELECT DISTINCT vid FROM p)
+       |SELECT m.vec_id, m.cid, (d.vid IS NULL) AS kept
+       |FROM members m LEFT JOIN d ON m.vec_id = d.vid
+       |ORDER BY vec_id""".stripMargin
 
   /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
     * multi-table hyperplane LSH blocking + exact cosine verification.
@@ -936,6 +966,106 @@ object TrainingData {
        |FROM e JOIN c USING (g) GROUP BY 1, 2
        |ORDER BY eval_doc, corpus_doc""".stripMargin
 
+  /** Exact substring-span duplication stats (the corpus-internal
+    * signal behind exact-substring dedup, Lee et al. 2022,
+    * arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, the fraction of its distinct
+    * 8-token spans that also occur in at least one OTHER document.
+    * Downstream policy (cut the spans / drop the doc above a
+    * threshold) consumes (doc_id, n_grams, n_dup_grams, dup_frac).
+    *
+    * Scale shape mirrors [[dDecontaminate]]: spans travel as 8-byte
+    * poly-hash longs (never text); span doc-frequency is one hash
+    * aggregation; the join back to per-doc grams re-partitions on the
+    * same key, so the df exchange is reused. A span shared by k docs
+    * contributes k join rows (not k²) — no quadratic blow-up on
+    * boilerplate, unlike pair-forming ops. A hash collision can only
+    * over-count a dup span (flag-for-review semantics). */
+  def dSpanDedup(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d).select(col("doc_id"),
+        explode(graft.functions.ArrayOps.array_poly_hash(
+          graft.functions.ArrayOps.shingle_set(
+            TextStats.tokens(col("text")), 8))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle_set is per-doc distinct → count(*) = span doc-frequency
+    val docFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val out = grams.join(docFreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_dup_grams"))
+      .withColumn("dup_frac", round(
+        col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    grams.unpersist()
+    out
+  }
+
+  private val dSpanDedupSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(toks) - 7, 1) + 1),
+       |      i -> array_to_string(toks[i:i+7], ' '))),
+       |    s -> ${sqlPolyHash("s")})) AS g
+       |  FROM t),
+       |df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  count(CASE WHEN df >= 2 THEN 1 END) AS n_dup_grams,
+       |  round(count(CASE WHEN df >= 2 THEN 1 END)::DOUBLE / count(*), 6)
+       |    AS dup_frac
+       |FROM sh JOIN df USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM quality score (the perplexity-filter family, CCNet /
+    * Wenzek et al. 2020 shape, with the LM trained on the corpus
+    * itself): per-token negative log-probability −ln(cnt/total) under
+    * the corpus unigram distribution, averaged per document. Junk and
+    * off-distribution documents score high; fluent in-distribution
+    * text scores low — the standard cheap quality gate before an
+    * expensive model-based filter.
+    *
+    * Scale shape: the vocabulary frame (token, cnt) is tiny relative
+    * to the corpus (Heaps' law) and aggregates with partial combine;
+    * the corpus total attaches as a broadcast 1-row cross join; the
+    * score join back to token positions is an equi-join on the token —
+    * hot tokens ("the") skew that key, which is exactly what AQE
+    * skew-join splitting handles (at 100 TB the vocab side is still
+    * broadcastable after a min-count cut). Cross-engine parity: the
+    * per-token score is rounded to 6 decimals BEFORE the per-doc
+    * decimal-sum average (order-independent; ln parity with DuckDB is
+    * already exercised by [[dTfidf]]). */
+  def dLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), round(
+        log(col("total").cast("double") / col("cnt")), 6).as("nll_tok"))
+    val out = toks.join(scored, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), avgDec(col("nll_tok")).as("nll"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
+  private val dLmScoreSql =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' '))
+       |    AS tok FROM documents),
+       |v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS total FROM v),
+       |sc AS (SELECT tok, round(ln(total::DOUBLE / cnt), 6) AS nll_tok
+       |  FROM v, tot)
+       |SELECT doc_id, count(*) AS n_tok,
+       |  ${sqlAvgDec("nll_tok")} AS nll
+       |FROM tk JOIN sc USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -1121,6 +1251,9 @@ object TrainingData {
     "d_top_tokens" -> (dTopTokens _),
     "d_tfidf" -> (dTfidf _),
     "d_decontaminate" -> (dDecontaminate _),
+    "d_span_dedup" -> (dSpanDedup _),
+    "d_lm_score" -> (dLmScore _),
+    "d_semdedup" -> (dSemdedup _),
     "d_pack_greedy" -> (dPackGreedy _),
     "d_pii_redact" -> (dPiiRedact _),
     "d_mix_sources" -> (dMixSources _),
@@ -1148,6 +1281,9 @@ object TrainingData {
     "d_top_tokens" -> dTopTokensSql,
     "d_tfidf" -> dTfidfSql,
     "d_decontaminate" -> dDecontaminateSql,
+    "d_span_dedup" -> dSpanDedupSql,
+    "d_lm_score" -> dLmScoreSql,
+    "d_semdedup" -> dSemdedupSql,
     "d_pack_greedy" -> dPackGreedySql,
     "d_pii_redact" -> dPiiRedactSql,
     "d_mix_sources" -> dMixSourcesSql,

