@@ -82,6 +82,26 @@ object ScaleProbe {
         f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
       Scratch.audit(q, SparkEntry.queries(q)(spark, ProbeDir))
     }
+    // The catalog d_semdedup holds k=8 (sized for the 2k-vector sf0.1
+    // corpus) — at 10× that is the deliberate WORST case: mean cluster
+    // size grows 10×, pair work Σ|c|² grows ~100×. The production
+    // recipe keeps mean cluster size constant by scaling k with N;
+    // measure it so both points are on record.
+    {
+      val kScaled = 80
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ext.Similarity.semDedup(
+            graft.Tables.embeddings(spark, ProbeDir),
+            kClusters = kScaled, iters = 2, threshold = 0.45)
+          .orderBy("vec_id")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = times.sorted.apply(reps / 2)
+      println(f"[probe] d_semdedup(k=$kScaled) median ${med}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+    }
     spark.stop()
   }
 }

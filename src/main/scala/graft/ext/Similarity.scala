@@ -311,11 +311,19 @@ object Similarity {
     * pair join; vectors reattach by id equi-join afterward — same
     * ship-ids-not-payload shape as [[cosineDupPairs]]. */
   def semDedup(embeddings: DataFrame, kClusters: Int, iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, dim: Int = 64): DataFrame = {
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
+    // same input guard as cosineDupPairs/lshTopK: NULL embeddings drop
+    // (they can never pair), a dim mismatch fails fast — dot_product
+    // would otherwise NULL every cosine and the threshold filter would
+    // silently drop nothing (dedup no-op with bogus cids; a NULL seed
+    // would even NULL assignments corpus-wide)
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .filter(coalesce(assert_true(size(col("emb")) === dim,
+        lit(s"semDedup: embedding dim != $dim")), lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = kmeansCentroids(base, kClusters, iters)
     // members feeds the pair join (twice) and the final output —

@@ -58,11 +58,7 @@ object TrainingData {
       .orderBy("doc_a", "doc_b")
 
   private val dJaccardPairsSql =
-    """WITH sh AS (SELECT doc_id,
-      |    list_sort(list_distinct(list_transform(
-      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))))
-      |      AS sh
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sh
       |  FROM documents),
       |blocked AS (SELECT doc_id, sh, sh[1] AS block FROM sh
       |  WHERE len(sh) > 0)
@@ -92,11 +88,24 @@ object TrainingData {
   // oracle-side polynomial hash: the single shared definition lives
   // in QueryUtil.sqlPolyHash (imported via `QueryUtil._`)
 
-  private val sqlShingles =
-    """list_sort(list_distinct(list_transform(
-      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))))"""
-      .stripMargin
+  /** DuckDB fragment: the distinct word-n-gram list over token-list
+    * expression `toks` — the ONE oracle-side mirror of
+    * [[graft.functions.ShingleSet]], including its truncated
+    * whole-doc gram when a doc has fewer than `n` tokens. Every
+    * gram-building oracle (Jaccard/MinHash n=3, decontamination n=5,
+    * span dedup n=8) must use it so an edge-case fix cannot drift
+    * between copies (defs, not vals: order-independent within the
+    * object). */
+  private def sqlShingleList(toks: String, n: Int): String =
+    s"list_distinct(list_transform(" +
+    s"range(1, greatest(len($toks) - ${n - 1}, 1) + 1), " +
+    s"i -> array_to_string($toks[i:i+${n - 1}], ' ')))"
+
+  /** Sorted n=3 variant over raw `text` (Jaccard/MinHash oracles —
+    * sorted because [[Dedup.shingles]] sorts for the min-shingle
+    * block and the merge-walk intersect). */
+  private def sqlShingles: String =
+    s"list_sort(${sqlShingleList("(string_split(text, ' '))", 3)})"
 
   private val dMinhashLshSql = {
     val numHashes = 64
@@ -954,9 +963,7 @@ object TrainingData {
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
        |  FROM documents),
        |sh AS (SELECT doc_id, unnest(list_transform(
-       |    list_distinct(list_transform(
-       |      range(1, greatest(len(toks) - 4, 1) + 1),
-       |      i -> array_to_string(toks[i:i+4], ' '))),
+       |    ${sqlShingleList("toks", 5)},
        |    s -> ${sqlPolyHash("s")})) AS g
        |  FROM t),
        |e AS (SELECT doc_id AS eval_doc, g FROM sh WHERE doc_id % 10 = 0),
@@ -1005,9 +1012,7 @@ object TrainingData {
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
        |  FROM documents),
        |sh AS (SELECT doc_id, unnest(list_transform(
-       |    list_distinct(list_transform(
-       |      range(1, greatest(len(toks) - 7, 1) + 1),
-       |      i -> array_to_string(toks[i:i+7], ' '))),
+       |    ${sqlShingleList("toks", 8)},
        |    s -> ${sqlPolyHash("s")})) AS g
        |  FROM t),
        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
@@ -1036,8 +1041,14 @@ object TrainingData {
     * per-token score is rounded to 6 decimals BEFORE the per-doc
     * decimal-sum average (order-independent; ln parity with DuckDB is
     * already exercised by [[dTfidf]]). */
-  def dLmScore(s: SparkSession, d: String): DataFrame = {
-    val toks = docs(s, d).select(col("doc_id"),
+  def dLmScore(s: SparkSession, d: String): DataFrame =
+    lmScore(docs(s, d))
+
+  /** Operator body of [[dLmScore]] over any (doc_id, text) frame —
+    * separate so specs can assert the ordering property on a
+    * constructed corpus. */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
         explode(TextStats.tokens(col("text"))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

@@ -110,10 +110,13 @@ class SimilaritySpec extends SparkSpec {
       (3L, v(0, 0.9)), // same half-space, far from 0/1/2
       (10L, v(32, 0.0)), (11L, v(32, 0.001)), (12L, v(32, 0.9)))
       .toDF("vec_id", "embedding")
-    val got = Similarity.semDedup(vecs, kClusters = 2, iters = 2,
+    val rows = Similarity.semDedup(vecs, kClusters = 2, iters = 2,
       threshold = 0.999)
-      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
-    assert(got.size == 7, "one row per input vector")
+      .select("vec_id", "kept").as[(Long, Boolean)].collect()
+    // length BEFORE toMap — a duplicate-row regression (join fan-out,
+    // lost distinct) would survive a size check on the deduped Map
+    assert(rows.length == 7, "one row per input vector")
+    val got = rows.toMap
     // smallest id of each near-dup group survives; others dropped
     assert(got(0L) && !got(1L) && !got(2L))
     assert(got(10L) && !got(11L))

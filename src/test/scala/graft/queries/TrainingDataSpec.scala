@@ -190,5 +190,14 @@ class TrainingDataSpec extends SparkSpec {
     val again = TrainingData.dLmScore(spark, sf0001)
     assert(lm.exceptAll(again).isEmpty && again.exceptAll(lm).isEmpty)
     lm.unpersist()
+    // the property in the title, on a constructed corpus: a doc of
+    // corpus-common tokens scores strictly lower NLL than a doc of
+    // hapax tokens
+    val synth = Seq((1L, "the the the the"), (2L, "qqq www eee rrr"),
+      (3L, "the of and to")).toDF("doc_id", "text")
+    val nll = TrainingData.lmScore(synth)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(nll(2L) > nll(1L) && nll(2L) > nll(3L),
+      s"hapax doc must score highest: $nll")
   }
 }
