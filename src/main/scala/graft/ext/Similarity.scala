@@ -351,4 +351,21 @@ object Similarity {
     base.unpersist()
     out
   }
+
+  /** [[semDedup]] with the cluster count derived from the corpus:
+    * k = ⌈n / targetClusterSize⌉ (min 2). This is the production
+    * recipe as code — the 10× scale probe measured fixed-k as ~56×
+    * slower for 10× data (pair work Σ|c|² is quadratic in cluster
+    * size) while scaled-k restores ~linear cost; see BASELINE.md.
+    * Costs one count() job up front; the catalog query keeps an
+    * explicit k because its unrolled-iteration SQL oracle needs a
+    * literal cluster count. */
+  def semDedupAuto(embeddings: DataFrame, targetClusterSize: Long,
+      iters: Int, threshold: Double, dim: Int = 64): DataFrame = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    val n = embeddings.count()
+    val k = math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)
+      .min(Int.MaxValue).toInt
+    semDedup(embeddings, k, iters, threshold, dim)
+  }
 }

@@ -122,5 +122,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got(10L) && !got(11L))
     // distinct vectors survive even when sharing a cluster
     assert(got(3L) && got(12L))
+    // the auto-sized variant (k = ceil(n / targetClusterSize); here
+    // ceil(7/4) = 2) must reproduce the explicit k=2 result exactly
+    val auto = Similarity.semDedupAuto(vecs, targetClusterSize = 4,
+      iters = 2, threshold = 0.999)
+      .select("vec_id", "cid", "kept")
+    val explicit = Similarity.semDedup(vecs, kClusters = 2, iters = 2,
+      threshold = 0.999).select("vec_id", "cid", "kept")
+    assert(auto.exceptAll(explicit).isEmpty &&
+      explicit.exceptAll(auto).isEmpty)
   }
 }
