@@ -99,10 +99,14 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"reps":$reps}"""
     }
-    // Fallback to 1 decimal if a heavily contended run (many ≥10 s
-    // medians) would push the 2-decimal line past the capture window.
-    val line2 = mkLine(cnum)
-    val line = if (line2.length <= 1950) line2 else mkLine(onedec)
+    // Fallback chain: 2 decimals → 1 decimal → whole seconds. At 90
+    // queries the 1-decimal line is ~1.95 KB, so a heavily contended
+    // run (many ≥10 s medians, +1 char each) could still overflow the
+    // capture window without the integer last resort (full precision
+    // is always on stderr regardless).
+    def isec(d: Double): String = math.round(d).toString
+    val line = Seq(mkLine(cnum), mkLine(onedec), mkLine(isec))
+      .find(_.length <= 1950).getOrElse(mkLine(isec))
     println(line)
     spark.stop()
   }

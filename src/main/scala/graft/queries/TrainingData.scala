@@ -522,6 +522,80 @@ object TrainingData {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** ANN quality evaluation: recall@k of the LSH path against the
+    * brute-force ground truth — the number that decides whether an
+    * approximate index may replace the exact scan. Per query: how
+    * many of the true top-k neighbors the LSH probe recovered.
+    *
+    * Scale shape: the two searches dominate; the comparison itself
+    * joins two k-rows-per-query frames on (query_id, neighbor_id)
+    * and aggregates — negligible. At 100 TB recall is estimated the
+    * same way but on a SAMPLE of queries (brute force over the full
+    * corpus per sampled query is one broadcast-scan each — linear,
+    * not quadratic, because the sample is small and fixed). */
+  def sAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = Similarity.bruteForceTopK(e, isQuery, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(e, isQuery, k = 5,
+        numPlanes = 4, seed = 42L)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val out = truth.join(approx,
+        truth("query_id") === approx("aq") &&
+          truth("neighbor_id") === approx("an"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("an")).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_truth"), 6))
+      .orderBy("query_id")
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
+  private val sAnnRecallSql = {
+    // same plan-literal hyperplanes as sAnnLshSql — both inline
+    // Similarity.hyperplanes(4, 64, 42L), so they cannot drift
+    val planes = Similarity.hyperplanes(numPlanes = 4, dim = 64,
+      seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (pl, i) =>
+      val arr = "[" + pl.mkString(", ") + "]"
+      s"CASE WHEN list_dot_product(emb, $arr) > 0 " +
+      s"THEN ${1 << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
+       |  WHERE vec_id % 40 = 0),
+       |bscored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${sqlCosine("q_emb", "emb")} AS cos_sim
+       |  FROM base CROSS JOIN q WHERE vec_id <> query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |    FROM bscored) WHERE rank <= 5),
+       |bk AS (SELECT vec_id, emb,
+       |    $bucket AS bucket
+       |  FROM base),
+       |qb AS (SELECT vec_id AS query_id, emb AS q_emb,
+       |    bucket AS q_bucket
+       |  FROM bk WHERE vec_id % 40 = 0),
+       |ascored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${sqlCosine("q_emb", "emb")} AS cos_sim
+       |  FROM bk JOIN qb ON bucket = q_bucket AND vec_id <> query_id),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |    FROM ascored) WHERE rank <= 5)
+       |SELECT t.query_id, count(*) AS n_truth,
+       |  count(a.neighbor_id) AS n_hits,
+       |  round(count(a.neighbor_id)::DOUBLE / count(*), 6) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
     * clustering (same deterministic fit as [[sAnnIvfKmeans]], shared
     * oracle fragment) + exact within-cluster cosine pruning with a
@@ -1077,6 +1151,145 @@ object TrainingData {
        |FROM tk JOIN sc USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Chunk-level exact dedup-and-rewrite (the paragraph-dedup stage
+    * of CCNet, Wenzek et al. 2020 — over fixed 8-token chunks here,
+    * since the corpus carries no paragraph breaks): every chunk whose
+    * hash already occurred at a smaller (doc_id, position) anywhere
+    * in the corpus is cut, and each document is recomposed from its
+    * surviving chunks. Unlike [[dSpanDedup]] (stats only) this is the
+    * rewriting form: output is per-doc chunk accounting plus the
+    * deduplicated text.
+    *
+    * Scale shape: first-occurrence election is one hash aggregation
+    * on the chunk hash (`min(struct(doc_id, idx))` — no sort, partial
+    * combine applies); winners join back on the same key, so the
+    * exchange is reused and a chunk shared by k docs costs k join
+    * rows, never k². Chunk text rides along only for recomposition
+    * (it must reach the output anyway); recomposition sorts ≤
+    * n_chunks elements inside a per-doc hash aggregate — no global
+    * sort. A hash collision can only cut a unique chunk —
+    * conservative for training data. */
+  def dChunkDedup(s: SparkSession, d: String): DataFrame =
+    chunkDedup(docs(s, d), c = 8)
+
+  /** Operator body of [[dChunkDedup]] over any (doc_id, text) frame —
+    * separate so specs can assert the rewrite semantics on a
+    * constructed corpus. */
+  def chunkDedup(documents: DataFrame, c: Int): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / c).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * c + 1, lit(c)), " "))
+    val ch = documents
+      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+      .withColumn("g", TextStats.fingerprint(col("chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = ch.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val out = ch.join(first, "g")
+      .withColumn("kept", col("doc_id") === col("first.doc_id") &&
+        col("idx") === col("first.idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("dedup_text"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    ch.unpersist()
+    out
+  }
+
+  private val dChunkDedupSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |ch0 AS (SELECT doc_id, list_transform(
+       |    range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+       |    i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS chunks
+       |  FROM t),
+       |ch AS (SELECT doc_id,
+       |    CAST(unnest(range(0, len(chunks))) AS INT) AS idx,
+       |    unnest(chunks) AS chunk FROM ch0),
+       |h AS (SELECT doc_id, idx, chunk, ${sqlPolyHash("chunk")} AS g
+       |  FROM ch),
+       |f AS (SELECT doc_id, idx, chunk,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, idx)
+       |      AS rn
+       |  FROM h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       |  coalesce(string_agg(chunk, ' ' ORDER BY idx)
+       |    FILTER (WHERE rn = 1), '') AS dedup_text
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-source distribution shift: KL divergence of each source's
+    * unigram token distribution from the whole-corpus distribution —
+    * the standard data-mixing diagnostic (which sources sit off the
+    * corpus distribution, and how far a mixture reweight would move
+    * it). KL(P_s ‖ P) = Σ_t p_s(t)·ln(p_s(t)/p(t)); every source
+    * token is by construction in the corpus, so p(t) > 0 and every
+    * term is finite.
+    *
+    * Scale shape: one partial-combined (source, token) count is the
+    * only pass over corpus-sized data; everything downstream is
+    * vocabulary-sized (Heaps' law). The corpus distribution is
+    * derived FROM the per-source counts — a second aggregation of the
+    * counted frame, not a re-scan — the corpus total attaches as a
+    * broadcast 1-row cross join, and the per-term join is an
+    * equi-join on the token (AQE splits the hot-token skew, as in
+    * [[dLmScore]]). Per-term rounding before the decimal sum keeps
+    * the result order-independent and engine-portable. */
+  def dKlSources(s: SparkSession, d: String): DataFrame =
+    klSources(docs(s, d))
+
+  /** Operator body of [[dKlSources]] over any (source, text) frame —
+    * separate so specs can assert KL's defining properties
+    * (non-negativity, zero iff the source matches the corpus). */
+  def klSources(documents: DataFrame): DataFrame = {
+    val srcCnt = documents
+      .select(col("source"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTot = srcCnt.groupBy(col("source"))
+      .agg(sum(col("c_s")).as("t_s"))
+    val corpCnt = srcCnt.groupBy(col("tok")).agg(sum(col("c_s")).as("c"))
+    val corpTot = corpCnt.agg(sum(col("c")).as("t"))
+    val out = srcCnt.join(corpCnt, "tok").join(srcTot, "source")
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("t_s"), round(
+        (col("c_s").cast("double") / col("t_s")) *
+          log((col("c_s").cast("double") / col("t_s")) /
+            (col("c").cast("double") / col("t"))), 6).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tok"),
+        round(sumDec(col("term")), 6).as("kl"))
+      .orderBy("source")
+      .localCheckpoint()
+    srcCnt.unpersist()
+    out
+  }
+
+  private val dKlSourcesSql =
+    s"""WITH tk AS (SELECT source, unnest(string_split(text, ' '))
+       |    AS tok FROM documents),
+       |sc AS (SELECT source, tok, count(*) AS c_s FROM tk
+       |  GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM sc
+       |  GROUP BY 1),
+       |cc AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM sc
+       |  GROUP BY 1),
+       |ct AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cc),
+       |terms AS (SELECT source, t_s,
+       |    round((c_s::DOUBLE / t_s) *
+       |      ln((c_s::DOUBLE / t_s) / (c::DOUBLE / t)), 6) AS term
+       |  FROM sc JOIN cc USING (tok) JOIN st USING (source), ct)
+       |SELECT source, max(t_s) AS n_tok,
+       |  round(${sqlSumDec("term")}, 6) AS kl
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -1265,6 +1478,9 @@ object TrainingData {
     "d_span_dedup" -> (dSpanDedup _),
     "d_lm_score" -> (dLmScore _),
     "d_semdedup" -> (dSemdedup _),
+    "d_chunk_dedup" -> (dChunkDedup _),
+    "d_kl_sources" -> (dKlSources _),
+    "s_ann_recall" -> (sAnnRecall _),
     "d_pack_greedy" -> (dPackGreedy _),
     "d_pii_redact" -> (dPiiRedact _),
     "d_mix_sources" -> (dMixSources _),
@@ -1295,6 +1511,9 @@ object TrainingData {
     "d_span_dedup" -> dSpanDedupSql,
     "d_lm_score" -> dLmScoreSql,
     "d_semdedup" -> dSemdedupSql,
+    "d_chunk_dedup" -> dChunkDedupSql,
+    "d_kl_sources" -> dKlSourcesSql,
+    "s_ann_recall" -> sAnnRecallSql,
     "d_pack_greedy" -> dPackGreedySql,
     "d_pii_redact" -> dPiiRedactSql,
     "d_mix_sources" -> dMixSourcesSql,

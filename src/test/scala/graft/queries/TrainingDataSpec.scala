@@ -200,4 +200,68 @@ class TrainingDataSpec extends SparkSpec {
     assert(nll(2L) > nll(1L) && nll(2L) > nll(3L),
       s"hapax doc must score highest: $nll")
   }
+
+  test("d_chunk_dedup: accounting consistent, rewrite drops exactly " +
+      "the repeated chunks, first occurrence always survives") {
+    val cd = TrainingData.dChunkDedup(spark, sf0001).cache()
+    assert(cd.filter(col("n_kept") > col("n_chunks") ||
+      col("n_kept") < 0).isEmpty)
+    // rewritten token count == 8·(n_kept−1) … 8·n_kept (last chunk
+    // of a doc may be short); empty rewrite ⇔ n_kept = 0
+    val toksOut = when(col("dedup_text") === "", lit(0))
+      .otherwise(size(split(col("dedup_text"), " ")))
+    assert(cd.filter(toksOut > col("n_kept") * 8).isEmpty)
+    assert(cd.filter((col("n_kept") > 0) =!= (toksOut > 0)).isEmpty)
+    cd.unpersist()
+    // rewrite semantics on a constructed corpus (chunk size 2):
+    // doc 1 = A B, doc 2 = B C, doc 3 = A  (A,B,C are 2-tok chunks)
+    val synth = Seq(
+      (1L, "a b c d"),          // chunks: [a b], [c d]
+      (2L, "c d e f"),          // [c d] repeats → kept [e f]
+      (3L, "a b")               // [a b] repeats → nothing left
+    ).toDF("doc_id", "text")
+    val got = TrainingData.chunkDedup(synth, c = 2)
+      .select("doc_id", "n_chunks", "n_kept", "dedup_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, nc, nk, t) => id -> ((nc, nk, t)) }.toMap
+    assert(got(1L) == ((2L, 2L, "a b c d")))
+    assert(got(2L) == ((2L, 1L, "e f")))
+    assert(got(3L) == ((1L, 0L, "")))
+  }
+
+  test("d_kl_sources: KL is zero for an identical-distribution " +
+      "source and strictly positive for a shifted one") {
+    val kl = TrainingData.dKlSources(spark, sf0001).cache()
+    // per-term 6-decimal rounding can leave ~1e-4 of noise, no more
+    assert(kl.filter(col("kl") < -0.001).isEmpty)
+    assert(kl.filter(col("n_tok") <= 0).isEmpty)
+    kl.unpersist()
+    // a corpus of two identically-distributed sources: each source's
+    // distribution IS the corpus distribution → every term is
+    // ln(1) = 0 exactly
+    val same = Seq(("s1", "x x y"), ("s2", "x x y"))
+      .toDF("source", "text")
+    val gotSame = TrainingData.klSources(same)
+      .select("source", "kl").as[(String, Double)].collect().toMap
+    assert(gotSame("s1") == 0.0 && gotSame("s2") == 0.0, s"$gotSame")
+    // disjoint-vocabulary sources: both must diverge from the blend
+    val shifted = Seq(("s1", "x x y"), ("s3", "z z z"))
+      .toDF("source", "text")
+    val gotShift = TrainingData.klSources(shifted)
+      .select("source", "kl").as[(String, Double)].collect().toMap
+    assert(gotShift("s1") > 0.1 && gotShift("s3") > 0.1,
+      s"shifted sources must diverge: $gotShift")
+  }
+
+  test("s_ann_recall: ground truth is complete, hits are bounded " +
+      "by k, and recall matches the hit ratio") {
+    val r = TrainingData.sAnnRecall(spark, sf0001).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("n_truth") =!= 5).isEmpty,
+      "brute force must find a full top-5 for every query")
+    assert(r.filter(col("n_hits") < 0 || col("n_hits") > 5).isEmpty)
+    assert(r.filter(col("recall") =!=
+      round(col("n_hits").cast("double") / col("n_truth"), 6)).isEmpty)
+    r.unpersist()
+  }
 }
