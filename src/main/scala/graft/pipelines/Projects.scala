@@ -95,17 +95,20 @@ object Projects {
     val projects = materialize(Merge.assignIds(merged0, "project_id",
       "project_name", curProjects))
 
-    // R2/J9: link rows — insert path only (reference behavior)
-    val inserted = projects
-      .filter(col(Merge.ActionCol) === "insert")
-    val links = Melt.melt(inserted, Seq("project_id"),
+    // ONE melt of the merged frame feeds links (R2/J9), role
+    // reconciliation (J7), and returning marks (J8) — stack is a
+    // narrow codegen'd Generator, but three copies still meant three
+    // scans and three explode stages over the merged output
+    val melted = Melt.melt(projects, Seq("project_id", Merge.ActionCol),
       Roles.map { case (r, code) => code -> s"${r}_id" },
       "role", "user_id")
 
+    // R2/J9: link rows — insert path only (reference behavior)
+    val links = melted.filter(col(Merge.ActionCol) === "insert")
+      .select("project_id", "role", "user_id")
+
     // J7: role reconciliation with documented precedence EM>SM>PM>SC
-    val assignments = Melt.melt(projects, Seq("project_id"),
-      Roles.map { case (r, code) => code -> s"${r}_id" },
-      "role", "user_id")
+    val assignments = melted
       .withColumn("prec", when(col("role") === "EM", 1)
         .when(col("role") === "SM", 2)
         .when(col("role") === "PM", 3).otherwise(4))
@@ -120,10 +123,8 @@ object Projects {
         col("expected_role").as("new_role"))
 
     // J8: returning marks — non-EM staff of newly inserted projects
-    val returningMarks = Melt.melt(inserted, Seq("project_id"),
-      Roles.filterNot(_._2 == "EM")
-        .map { case (r, code) => code -> s"${r}_id" },
-      "role", "user_id")
+    val returningMarks = melted
+      .filter(col(Merge.ActionCol) === "insert" && col("role") =!= "EM")
       .select("user_id").distinct()
       .withColumn("status", lit("returning"))
 
