@@ -114,6 +114,107 @@ object AnalyticsExt {
        |  ${sqlSumDec("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Ordered conversion funnel over the event stream: users who
+    * viewed, then clicked strictly after their first view, then
+    * purchased strictly after that first click — the sequential
+    * product-analytics query (a plain per-stage distinct count would
+    * overcount users whose stages happened out of order).
+    *
+    * Scale shape: each stage is one filtered min-aggregation on
+    * user_id and a join back on the same key — the exchanges share
+    * partitioning, and AQE handles per-stage size skew. No windows
+    * over the raw stream, no event-level self-join (an event-pair
+    * join on user_id would be quadratic in events-per-user). */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val stages = views.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage"), lit("view").as("event_type"),
+        col("n_users"))
+      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage"), lit("click").as("event_type"),
+          col("n_users")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage"), lit("purchase").as("event_type"),
+          col("n_users")))
+    val top = views.agg(count(lit(1)).as("n_top"))
+    stages.crossJoin(broadcast(top))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_top"), 6)
+          .as("conv_from_top"))
+      .orderBy("stage")
+  }
+
+  private val qFunnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |stages AS (
+      |  SELECT 1 AS stage, 'view' AS event_type,
+      |    count(*) AS n_users FROM v
+      |  UNION ALL SELECT 2, 'click', count(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM p),
+      |top AS (SELECT count(*) AS n_top FROM v)
+      |SELECT stage, event_type, n_users,
+      |  round(n_users::DOUBLE / n_top, 6) AS conv_from_top
+      |FROM stages, top ORDER BY stage""".stripMargin
+
+  /** Weekly cohort retention: users are grouped by the ISO week of
+    * their first event (the cohort); each (cohort, week-offset) cell
+    * counts the cohort's users active that week — the retention
+    * triangle.
+    *
+    * Scale shape: first-event election is one min-aggregation on
+    * user_id; distinct (user, week) activity aggregates with partial
+    * combine BEFORE the cohort join (so the join input is bounded by
+    * users × weeks, not raw events); the cohort frame re-joins on
+    * user_id, reusing the election's partitioning. Week offsets are
+    * day-difference/7 over week-truncated dates — both engines
+    * truncate to ISO Monday, so the division is always exact. */
+  def qRetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    // cohort_week stays a timestamp (the date_trunc result): the
+    // driver's compare is proven on timestamp columns (o_orderdate
+    // queries), not on DATE
+    val cohorts = e.groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_week"))
+    val active = e.select(col("user_id"), col("wk").as("week"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val qRetentionCohortsSql =
+    """WITH e AS (SELECT user_id,
+      |    date_trunc('week', ts) AS wk FROM events),
+      |cohorts AS (SELECT user_id, min(wk) AS cohort_week FROM e
+      |  GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, wk AS week FROM e)
+      |SELECT cohort_week,
+      |  CAST(floor(date_diff('day', cohort_week, week) / 7.0)
+      |    AS BIGINT) AS week_offset,
+      |  count(*) AS n_active
+      |FROM active JOIN cohorts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Edit distance between adjacent sampled documents. */
   def qLevenshtein(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(
@@ -591,6 +692,8 @@ object AnalyticsExt {
     "q_cms_portable" -> (qCmsPortable _),
     "q_pivot_priority" -> (qPivotPriority _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_levenshtein" -> (qLevenshtein _),
     "q_setops" -> (qSetOps _),
     "q_corr_stats" -> (qCorrStats _),
@@ -609,6 +712,8 @@ object AnalyticsExt {
     "q_cms_portable" -> qCmsPortableSql,
     "q_pivot_priority" -> qPivotPrioritySql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_funnel" -> qFunnelSql,
+    "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_levenshtein" -> qLevenshteinSql,
     "q_setops" -> qSetOpsSql,
     "q_corr_stats" -> qCorrStatsSql,

@@ -50,4 +50,35 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(!hasBuffering,
       "catalog q_percentiles must not buffer group values")
   }
+
+  test("q_funnel: stage counts are monotonically non-increasing and " +
+      "conversion is bounded") {
+    val f = AnalyticsExt.queries("q_funnel")(spark, sf0001)
+      .orderBy("stage").collect()
+    assert(f.length == 3)
+    val counts = f.map(_.getAs[Long]("n_users"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"ordered funnel can only narrow: ${counts.mkString(",")}")
+    f.foreach { r =>
+      val conv = r.getAs[Double]("conv_from_top")
+      assert(conv >= 0.0 && conv <= 1.0)
+    }
+    assert(f(0).getAs[Double]("conv_from_top") == 1.0)
+  }
+
+  test("q_retention_cohorts: offsets non-negative and offset-0 " +
+      "actives cover every user exactly once") {
+    import org.apache.spark.sql.functions._
+    val r = AnalyticsExt.queries("q_retention_cohorts")(spark, sf0001)
+      .cache()
+    assert(r.filter(col("week_offset") < 0).isEmpty)
+    // every user is active in their own cohort week, and in exactly
+    // one cohort → Σ offset-0 n_active == distinct users
+    val atZero = r.filter(col("week_offset") === 0)
+      .agg(sum(col("n_active"))).head().getLong(0)
+    val users = graft.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(atZero == users, s"offset-0 total $atZero != users $users")
+    r.unpersist()
+  }
 }
