@@ -45,11 +45,62 @@ object TrainingData {
     Dedup.exact(docs(s, d), "doc_id", "text")
       .orderBy("content_hash")
 
+  /** DuckDB mirror of [[Dedup.contentHash]] — the ONE oracle-side
+    * definition of the normalized content hash (exact dedup family). */
+  private val sqlContentHash =
+    """sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+
   private val dDedupExactSql =
-    """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    s"""SELECT $sqlContentHash
       |    AS content_hash,
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** Incremental (cross-snapshot) exact dedup — the daily-ingest
+    * shape: a new batch (doc_id % 5 == 0 here) is reduced against the
+    * EXISTING corpus. A batch doc is `dup_corpus` if its normalized
+    * content hash already exists in the corpus, `dup_batch` if a
+    * smaller-id batch doc carries the same hash, else `kept`.
+    *
+    * Scale shape: at production scale the existing side is a hash
+    * MANIFEST (one 64-char column per historical doc), not corpus
+    * text — the corpus leg here projects to exactly that. Both the
+    * corpus probe and the within-batch min-id election key on the
+    * same hash column, so the batch exchange is reused; no text ever
+    * shuffles. */
+  def dIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"),
+        Dedup.contentHash(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = base.filter(col("doc_id") % 5 === 0)
+    val manifest = base.filter(col("doc_id") % 5 =!= 0)
+      .select(col("h")).distinct().withColumn("in_corpus", lit(true))
+    val keepers = batch.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val out = batch.join(keepers, "h")
+      .join(manifest, Seq("h"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("in_corpus"), lit("dup_corpus"))
+          .when(col("doc_id") =!= col("keep_id"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
+  private val dIncrementalDedupSql =
+    s"""WITH b AS (SELECT doc_id, source, $sqlContentHash AS h
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |c AS (SELECT DISTINCT $sqlContentHash AS h FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |k AS (SELECT h, min(doc_id) AS keep_id FROM b GROUP BY 1)
+       |SELECT b.doc_id, b.source,
+       |  CASE WHEN c.h IS NOT NULL THEN 'dup_corpus'
+       |       WHEN b.doc_id <> k.keep_id THEN 'dup_batch'
+       |       ELSE 'kept' END AS verdict
+       |FROM b JOIN k USING (h) LEFT JOIN c ON b.h = c.h
+       |ORDER BY doc_id""".stripMargin
 
   def dJaccardPairs(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(docs(s, d), "doc_id", "text",
@@ -1455,6 +1506,7 @@ object TrainingData {
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
+    "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_simhash" -> (dSimhash _),
@@ -1493,6 +1545,7 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" -> dDedupExactSql,
+    "d_incremental_dedup" -> dIncrementalDedupSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_simhash" -> dSimhashSql,

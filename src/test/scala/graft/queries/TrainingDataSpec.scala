@@ -253,6 +253,36 @@ class TrainingDataSpec extends SparkSpec {
       s"shifted sources must diverge: $gotShift")
   }
 
+  test("d_incremental_dedup: every batch doc gets one verdict; " +
+      "corpus hits dominate; exactly one keeper per fresh hash") {
+    import graft.ext.Dedup
+    val out = TrainingData.dIncrementalDedup(spark, sf0001).cache()
+    val docs = graft.Tables.documents(spark, sf0001)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    assert(out.count() == batch.count())
+    // re-derive hash groups independently and check verdict structure
+    val withH = out.join(batch.select(col("doc_id"),
+      Dedup.contentHash(col("text")).as("h")), "doc_id")
+    val corpusH = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(Dedup.contentHash(col("text")).as("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val byHash = withH.join(corpusH, Seq("h"), "left")
+      .groupBy("h")
+      .agg(max(col("in_corpus")).as("in_corpus"),
+        count(when(col("verdict") === "kept", 1)).as("n_kept"),
+        count(when(col("verdict") === "dup_corpus", 1)).as("n_dc"),
+        count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        min(when(col("verdict") === "kept", col("doc_id"))).as("kept_id"))
+    // hash in corpus → all rows dup_corpus; fresh hash → exactly one
+    // keeper and it is the min id
+    assert(byHash.filter(col("in_corpus") &&
+      col("n_dc") =!= col("n")).isEmpty)
+    assert(byHash.filter(!coalesce(col("in_corpus"), lit(false)) &&
+      (col("n_kept") =!= 1 || col("kept_id") =!= col("min_id"))).isEmpty)
+    out.unpersist()
+  }
+
   test("s_ann_recall: ground truth is complete, hits are bounded " +
       "by k, and recall matches the hit ratio") {
     val r = TrainingData.sAnnRecall(spark, sf0001).cache()
