@@ -34,7 +34,16 @@ object ScaleProbe {
     // within-cluster pair join is Σ|cluster|² — at 10× with k fixed
     // at 8 this measures the WORST case, clusters 10× oversized;
     // production raises k with N)
-    "d_semdedup", "d_span_dedup", "d_lm_score")
+    "d_semdedup", "d_span_dedup", "d_lm_score",
+    // second-half round-4 additions. s_ann_recall is deliberately NOT
+    // probed: its brute-force ground-truth leg is the documented
+    // O(queries·corpus) baseline and the query set scales with the
+    // corpus here (vec_id % 40), so 10× data = 100× work by design —
+    // at scale recall is estimated on a fixed query sample (see its
+    // scaladoc), which the probe corpus can't express without
+    // changing the query.
+    "d_chunk_dedup", "d_kl_sources", "d_incremental_dedup",
+    "q_funnel", "q_retention_cohorts")
 
   def buildCorpus(spark: SparkSession, srcDir: String): Unit = {
     val docs = Tables.documents(spark, srcDir)
@@ -57,6 +66,21 @@ object ScaleProbe {
     replicasE.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$ProbeDir/embeddings.parquet")
+    // events: shifted event ids AND user ids → 10× users with the
+    // per-user event distribution preserved (the linear-scaling
+    // question for funnel/retention, whose state is per-user).
+    // Read RAW (ts stays a nanos long) so Tables.events' `ts div
+    // 1000` conversion still applies to the probe copy.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val replicasV = (0 until 10).map { i =>
+      ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    replicasV.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$ProbeDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {

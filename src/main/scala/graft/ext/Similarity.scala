@@ -50,6 +50,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * (anchor) vector, the k most cosine-similar vectors carrying a
+    * DIFFERENT label — close to the anchor in embedding space but of
+    * another class, the negatives that actually move a contrastive
+    * loss. Brute-force form over a small anchor set (same broadcast
+    * argument as [[bruteForceTopK]]); the IVF/LSH scale paths apply
+    * unchanged because the label exclusion is a post-filter on the
+    * candidate stream. */
+  def hardNegatives(embeddings: DataFrame, isQuery: Column, k: Int)
+      : DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("emb"))
+    val q = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("q_label"), col("emb").as("q_emb"))
+    val scored = base.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: numPlanes × dim doubles
     * from a seeded JVM PRNG, shipped as plan literals. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

@@ -647,6 +647,29 @@ object TrainingData {
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 
+  /** Hard-negative mining (contrastive-training data prep): per
+    * anchor, the top-k nearest vectors of a different label. See
+    * [[Similarity.hardNegatives]]. */
+  def sHardNegatives(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(embs(s, d), isQuery, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val sHardNegativesSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
+       |  FROM base WHERE vec_id % 40 = 0),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    label AS neg_label,
+       |    ${sqlCosine("q_emb", "emb")} AS cos_sim
+       |  FROM base CROSS JOIN q
+       |  WHERE vec_id <> query_id AND label <> q_label),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, neg_label, cos_sim, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
     * clustering (same deterministic fit as [[sAnnIvfKmeans]], shared
     * oracle fragment) + exact within-cluster cosine pruning with a
@@ -1533,6 +1556,7 @@ object TrainingData {
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_kl_sources" -> (dKlSources _),
     "s_ann_recall" -> (sAnnRecall _),
+    "s_hard_negatives" -> (sHardNegatives _),
     "d_pack_greedy" -> (dPackGreedy _),
     "d_pii_redact" -> (dPiiRedact _),
     "d_mix_sources" -> (dMixSources _),
@@ -1567,6 +1591,7 @@ object TrainingData {
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_kl_sources" -> dKlSourcesSql,
     "s_ann_recall" -> sAnnRecallSql,
+    "s_hard_negatives" -> sHardNegativesSql,
     "d_pack_greedy" -> dPackGreedySql,
     "d_pii_redact" -> dPiiRedactSql,
     "d_mix_sources" -> dMixSourcesSql,

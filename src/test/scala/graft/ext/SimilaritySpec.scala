@@ -132,4 +132,22 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.exceptAll(explicit).isEmpty &&
       explicit.exceptAll(auto).isEmpty)
   }
+
+  test("hard negatives exclude the anchor's own label and rank the " +
+      "nearest other-label vector first") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 1),  // anchor, label 1
+      (1L, Seq(1.0f, 0.0f, 0.0f), 1),  // identical but SAME label
+      (2L, Seq(0.9f, 0.1f, 0.0f), 2),  // close, other label
+      (3L, Seq(0.5f, 0.5f, 0.0f), 2),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 3))  // orthogonal, other label
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, col("vec_id") === 0, k = 2)
+      .select("neighbor_id", "neg_label", "rank")
+      .as[(Long, Int, Int)].collect().sortBy(_._3)
+    // the same-label twin (id 1) must NOT appear despite cos = 1
+    assert(!got.exists(_._1 == 1L))
+    assert(got.map(_._1).toSeq == Seq(2L, 3L))
+    assert(got.forall(_._2 != 1))
+  }
 }
