@@ -120,35 +120,38 @@ object AnalyticsExt {
     * product-analytics query (a plain per-stage distinct count would
     * overcount users whose stages happened out of order).
     *
-    * Scale shape: each stage is one filtered min-aggregation on
-    * user_id and a join back on the same key — the exchanges share
-    * partitioning, and AQE handles per-stage size skew. No windows
-    * over the raw stream, no event-level self-join (an event-pair
-    * join on user_id would be quadratic in events-per-user). */
+    * Scale shape: ONE scan of the event stream and ONE hash exchange
+    * on user_id. The three stage timestamps are dependent per-user
+    * window minima over the same partition spec (no re-shuffle
+    * between layers), the per-user rollup reuses the window's
+    * partitioning, and the stage rows come out of a 1-row global
+    * aggregate via stack. No joins, no cache, no second pass — the
+    * shape that survives a 100 TB events table. */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+    val perEvent = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"))
-    val views = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-    val clicks = e.filter(col("event_type") === "click")
-      .join(views, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .join(clicks, "user_id").filter(col("ts") > col("t_click"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
-    val stages = views.agg(count(lit(1)).as("n_users"))
-      .select(lit(1).as("stage"), lit("view").as("event_type"),
-        col("n_users"))
-      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
-        .select(lit(2).as("stage"), lit("click").as("event_type"),
-          col("n_users")))
-      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
-        .select(lit(3).as("stage"), lit("purchase").as("event_type"),
-          col("n_users")))
-    val top = views.agg(count(lit(1)).as("n_top"))
-    stages.crossJoin(broadcast(top))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"), col("ts"))).over(w))
+    val perUser = perEvent.groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("t_view"),
+        max(col("t_click")).as("t_click"),
+        max(col("t_purchase")).as("t_purchase"))
+    val totals = perUser.agg(
+      count(col("t_view")).as("n1"), count(col("t_click")).as("n2"),
+      count(col("t_purchase")).as("n3"))
+    totals.select(expr(
+        "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3)" +
+        " AS (stage, event_type, n_users)"),
+        col("n1"))
       .select(col("stage"), col("event_type"), col("n_users"),
-        round(col("n_users").cast("double") / col("n_top"), 6)
+        round(col("n_users").cast("double") / col("n1"), 6)
           .as("conv_from_top"))
       .orderBy("stage")
   }
@@ -177,24 +180,24 @@ object AnalyticsExt {
     * counts the cohort's users active that week — the retention
     * triangle.
     *
-    * Scale shape: first-event election is one min-aggregation on
-    * user_id; distinct (user, week) activity aggregates with partial
-    * combine BEFORE the cohort join (so the join input is bounded by
-    * users × weeks, not raw events); the cohort frame re-joins on
-    * user_id, reusing the election's partitioning. Week offsets are
-    * day-difference/7 over week-truncated dates — both engines
-    * truncate to ISO Monday, so the division is always exact. */
+    * Scale shape: ONE scan of raw events into a partial-combined
+    * (user, week) distinct — everything after is bounded by
+    * users × weeks. The cohort is a per-user window minimum over the
+    * deduped frame (no join, no second scan; at 100M users a
+    * cohort-side broadcast would flip to a sort-merge join, the
+    * window form never has that cliff). Week offsets are
+    * day-difference/7 over week-truncated timestamps — both engines
+    * truncate to ISO Monday, so the division is always exact.
+    * cohort_week stays a timestamp (the date_trunc result): the
+    * driver's compare is proven on timestamp columns (o_orderdate
+    * queries), not on DATE. */
   def qRetentionCohorts(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-    // cohort_week stays a timestamp (the date_trunc result): the
-    // driver's compare is proven on timestamp columns (o_orderdate
-    // queries), not on DATE
-    val cohorts = e.groupBy("user_id")
-      .agg(min(col("wk")).as("cohort_week"))
-    val active = e.select(col("user_id"), col("wk").as("week"))
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).as("week"))
       .distinct()
-    active.join(cohorts, "user_id")
+    val w = Window.partitionBy(col("user_id"))
+    uw.withColumn("cohort_week", min(col("week")).over(w))
       .groupBy(col("cohort_week"),
         floor(datediff(col("week"), col("cohort_week")) / 7)
           .cast("long").as("week_offset"))
