@@ -88,12 +88,12 @@ object Bench {
     System.err.println(s"""{"detail":"raw_runs","runs":$runsJson,"gc_sec":$gcJson}""")
     def onedec(d: Double): String = {
       val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
-      if (s.endsWith(".0")) s.dropRight(2) + ".0" else s
+      if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val total = results.map(_._2).sum
     // sf as a bare number ("sf0.1" -> 0.1) to shave bytes off the line
-    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .getOrElse("\"" + sfDir + "\"")
+    val sfNum = """sf([0-9]+(?:\.[0-9]+)?)$""".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     def mkLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

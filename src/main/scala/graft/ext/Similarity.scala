@@ -246,8 +246,12 @@ object Similarity {
     * nearest centroids per query. */
   def ivfTopKKmeans(embeddings: DataFrame, isQuery: Column, k: Int,
       nprobe: Int, kClusters: Int, iters: Int): DataFrame = {
+    // same NULL-drop as semDedup (they share the k-means fit AND the
+    // unrolled-SQL oracle base, which filters NULLs — a NULL vector
+    // would otherwise NULL its assignment cosines corpus-wide)
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = kmeansCentroids(base, kClusters, iters)
     val members = assignClusters(base, centroids)

@@ -129,8 +129,12 @@ object AnalyticsExt {
     * shape that survives a 100 TB events table. */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
+    // non-funnel event types can never satisfy a stage predicate —
+    // filter them before the shuffle (at scale they are most of the
+    // stream); pushes to the parquet scan as an In filter
     val perEvent = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t_click",

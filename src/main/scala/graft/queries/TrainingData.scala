@@ -541,7 +541,7 @@ object TrainingData {
          |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
          |  FROM ${out}d GROUP BY cid)""".stripMargin
     s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
        |init AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
        |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
        |    FROM base) WHERE rn <= $kClusters),
