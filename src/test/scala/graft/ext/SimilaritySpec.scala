@@ -133,6 +133,26 @@ class SimilaritySpec extends SparkSpec {
       explicit.exceptAll(auto).isEmpty)
   }
 
+  test("NULL embeddings are dropped consistently by the k-means " +
+      "family (engine and oracle share the filtered base)") {
+    def v(i: Int, x: Double) =
+      Seq.tabulate(3)(j => if (j == i) x.toFloat else 0.0f)
+    val vecs = Seq(
+      (0L, Some(v(0, 1.0))), (1L, Some(v(0, 0.99))),
+      (2L, None), // NULL embedding
+      (3L, Some(v(1, 1.0))), (4L, Some(v(2, 1.0))))
+      .toDF("vec_id", "embedding")
+    val sd = Similarity.semDedup(vecs, kClusters = 2, iters = 1,
+      threshold = 0.9, dim = 3)
+    assert(sd.count() == 4, "NULL vector contributes no output row")
+    assert(sd.filter(col("vec_id") === 2L).isEmpty)
+    val ivf = Similarity.ivfTopKKmeans(vecs,
+      col("vec_id") === 0L, k = 2, nprobe = 2, kClusters = 2,
+      iters = 1)
+    assert(ivf.filter(col("neighbor_id") === 2L).isEmpty,
+      "NULL vector is never a neighbor")
+  }
+
   test("hard negatives exclude the anchor's own label and rank the " +
       "nearest other-label vector first") {
     val vecs = Seq(
