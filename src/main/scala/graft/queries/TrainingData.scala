@@ -1364,6 +1364,72 @@ object TrainingData {
        |  round(${sqlSumDec("term")}, 6) AS kl
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** Bigram-LM quality score — the conditional-probability upgrade of
+    * [[dLmScore]] (the real CCNet filter is a 5-gram Kneser-Ney LM;
+    * add-one-smoothed bigrams are the SQL-reproducible stand-in with
+    * the same shape): per position, −ln P(tᵢ | tᵢ₋₁) with
+    * P = (c₂(tᵢ₋₁ tᵢ) + 1) / (c₁(tᵢ₋₁) + V), averaged per document.
+    * Catches locally-incoherent text (right words, wrong order) that
+    * a unigram score cannot.
+    *
+    * Scale shape mirrors [[dLmScore]]: the bigram vocabulary is
+    * larger but still corpus-sublinear (Zipf); counts aggregate with
+    * partial combine, V and the totals broadcast, and the score
+    * join-back is an equi-join on the bigram (AQE skew case). Docs
+    * under 2 tokens have no bigrams and are excluded (documented). */
+  def dLmBigram(s: SparkSession, d: String): DataFrame =
+    lmBigram(docs(s, d))
+
+  /** Operator body of [[dLmBigram]] over any (doc_id, text) frame. */
+  def lmBigram(documents: DataFrame): DataFrame = {
+    val toksF = documents.select(col("doc_id"),
+      TextStats.tokens(col("text")).as("toks"))
+    val uni = toksF.select(explode(col("toks")).as("tok"))
+    val c1 = uni.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val bi = toksF.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("prefix"),
+          concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)).as("big")))).as("p"))
+      .select(col("doc_id"), col("p.prefix"), col("p.big"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = bi.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+    val out = bi.join(c2, "big")
+      .join(c1, col("prefix") === col("tok"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), round(log(
+        (col("c1") + col("v")).cast("double") / (col("c2") + lit(1L))),
+        6).as("nll_tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"), avgDec(col("nll_tok")).as("nll2"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    bi.unpersist()
+    out
+  }
+
+  private val dLmBigramSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |uni AS (SELECT unnest(toks) AS tok FROM t),
+       |c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+       |vv AS (SELECT count(*) AS v FROM c1),
+       |b AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i])) AS prefix,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS big
+       |  FROM t WHERE len(toks) >= 2),
+       |c2 AS (SELECT big, count(*) AS c2 FROM b GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_big,
+       |  ${sqlAvgDec("round(ln((c1 + v)::DOUBLE / (c2 + 1)), 6)")}
+       |    AS nll2
+       |FROM b JOIN c2 USING (big) JOIN c1 ON b.prefix = c1.tok, vv
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -1552,6 +1618,7 @@ object TrainingData {
     "d_decontaminate" -> (dDecontaminate _),
     "d_span_dedup" -> (dSpanDedup _),
     "d_lm_score" -> (dLmScore _),
+    "d_lm_bigram" -> (dLmBigram _),
     "d_semdedup" -> (dSemdedup _),
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_kl_sources" -> (dKlSources _),
@@ -1587,6 +1654,7 @@ object TrainingData {
     "d_decontaminate" -> dDecontaminateSql,
     "d_span_dedup" -> dSpanDedupSql,
     "d_lm_score" -> dLmScoreSql,
+    "d_lm_bigram" -> dLmBigramSql,
     "d_semdedup" -> dSemdedupSql,
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_kl_sources" -> dKlSourcesSql,

@@ -201,6 +201,28 @@ class TrainingDataSpec extends SparkSpec {
       s"hapax doc must score highest: $nll")
   }
 
+  test("d_lm_bigram: word order matters — a locally-incoherent " +
+      "shuffle of common words scores higher than fluent text") {
+    val lm = TrainingData.dLmBigram(spark, sf0001).cache()
+    assert(lm.filter(col("nll2") <= 0).isEmpty)
+    // bigram count conservation: Σ n_big == Σ (len - 1) over docs
+    // with ≥ 2 tokens
+    val want = graft.Tables.documents(spark, sf0001)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") >= 2).agg(sum(col("n") - 1)).as[Long].head()
+    assert(lm.agg(sum(col("n_big"))).as[Long].head() == want)
+    lm.unpersist()
+    // the property a unigram LM cannot express: same words, wrong
+    // order. Corpus: "a b" is a very common bigram; doc 9 uses the
+    // same unigrams in reversed order ("b a") and must score higher
+    val synth = (1L to 8L).map(i => (i, "a b a b a b")) :+
+      (9L, "b a b a b a")
+    val got = TrainingData.lmBigram(synth.toDF("doc_id", "text"))
+      .select("doc_id", "nll2").as[(Long, Double)].collect().toMap
+    assert(got(9L) > got(1L),
+      s"reversed word order must score higher: $got")
+  }
+
   test("d_chunk_dedup: accounting consistent, rewrite drops exactly " +
       "the repeated chunks, first occurrence always survives") {
     val cd = TrainingData.dChunkDedup(spark, sf0001).cache()
