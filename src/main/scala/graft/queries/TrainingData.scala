@@ -158,7 +158,13 @@ object TrainingData {
   private def sqlShingles: String =
     s"list_sort(${sqlShingleList("(string_split(text, ' '))", 3)})"
 
-  private val dMinhashLshSql = {
+  /** Shared oracle fragment: the full MinHash+LSH near-dup pipeline
+    * (shingle → 64-hash signature → 16 band keys → candidate join →
+    * exact-Jaccard verify at 0.2) as a WITH-clause body ending in CTE
+    * `mh_pairs(doc_a, doc_b, jaccard)`. Used by both the pair query
+    * and the end-to-end near-dup dedup pipeline so they cannot
+    * drift. */
+  private def minhashPairsCtes: String = {
     val numHashes = 64
     val bands = 16
     val rowsPerBand = 4
@@ -173,7 +179,7 @@ object TrainingData {
       s"SELECT doc_id, $b AS band, " +
       s"array_to_string(sig[$lo:$hi], ',') AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH shs AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+    s"""shs AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
        |f AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
        |h AS (SELECT doc_id,
        |    list_transform(sh, s -> ${sqlPolyHash("s")}) AS hs FROM f),
@@ -189,12 +195,62 @@ object TrainingData {
        |    len(list_intersect(sa.sh, sb.sh)) AS n_inter,
        |    len(sa.sh) AS n_a, len(sb.sh) AS n_b
        |  FROM cand JOIN f sa ON sa.doc_id = cand.doc_a
-       |    JOIN f sb ON sb.doc_id = cand.doc_b)
-       |SELECT doc_a, doc_b,
-       |  round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
-       |FROM v WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= 0.2
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    JOIN f sb ON sb.doc_id = cand.doc_b),
+       |mh_pairs AS (SELECT doc_a, doc_b,
+       |    round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
+       |  FROM v WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= 0.2)""".stripMargin
   }
+
+  private val dMinhashLshSql =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM mh_pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** End-to-end near-duplicate dedup — the production composition the
+    * pair/cluster queries exist FOR: MinHash+LSH verified pairs →
+    * connected components → keep the smallest-id representative per
+    * cluster → per-source accounting (docs / clustered / dropped /
+    * kept). [[dCurationPipeline]] is the exact-dedup flow; this is
+    * its near-dup counterpart.
+    *
+    * Scale shape: inherits its stages' — banded candidate generation,
+    * O(log n)-round label propagation over id pairs, and a final
+    * partial-combined accounting aggregate; the only per-doc join is
+    * the left join of (doc_id, source) against the cluster map. */
+  def dNeardupPipeline(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val pairs = Dedup.minhashLshPairs(dd, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+    val comps = graft.ext.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
+    dd.select(col("doc_id"), col("source"))
+      .join(comps, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("comp")).as("n_clustered"),
+        count(when(col("comp").isNotNull &&
+          col("comp") =!= col("doc_id"), 1)).as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .orderBy("source")
+  }
+
+  private val dNeardupPipelineSql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+       |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp
+       |  FROM reach GROUP BY a)
+       |SELECT d.source, count(*) AS n_docs,
+       |  count(c.comp) AS n_clustered,
+       |  count(CASE WHEN c.comp IS NOT NULL AND c.comp <> d.doc_id
+       |    THEN 1 END) AS n_dropped,
+       |  count(*) - count(CASE WHEN c.comp IS NOT NULL AND
+       |    c.comp <> d.doc_id THEN 1 END) AS n_kept
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** Per-doc 32-bit SimHash fingerprints. Oracle-verified via the
     * portable polynomial token hash (bit 31 is constantly 0 — the
@@ -1598,6 +1654,7 @@ object TrainingData {
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_neardup_pipeline" -> (dNeardupPipeline _),
     "d_simhash" -> (dSimhash _),
     "d_text_stats" -> (dTextStats _),
     "d_langid" -> (dLangId _),
@@ -1639,6 +1696,7 @@ object TrainingData {
     "d_incremental_dedup" -> dIncrementalDedupSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_neardup_pipeline" -> dNeardupPipelineSql,
     "d_simhash" -> dSimhashSql,
     "d_text_stats" -> dTextStatsSql,
     "d_langid" -> dLangIdSql,

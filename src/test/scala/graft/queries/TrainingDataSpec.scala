@@ -201,6 +201,29 @@ class TrainingDataSpec extends SparkSpec {
       s"hapax doc must score highest: $nll")
   }
 
+  test("d_neardup_pipeline: accounting reconciles with the pair and " +
+      "cluster queries it composes") {
+    val acct = TrainingData.dNeardupPipeline(spark, sf0001).cache()
+    assert(acct.filter(col("n_kept") + col("n_dropped") =!=
+      col("n_docs")).isEmpty)
+    assert(acct.filter(col("n_dropped") > col("n_clustered")).isEmpty)
+    val docs = graft.Tables.documents(spark, sf0001)
+    assert(acct.agg(sum(col("n_docs"))).as[Long].head() == docs.count())
+    // total clustered == distinct ids appearing in the verified pairs
+    val pairs = TrainingData.dMinhashLsh(spark, sf0001).cache()
+    val inPairs = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+    assert(acct.agg(sum(col("n_clustered"))).as[Long].head() ==
+      inPairs.count())
+    // total dropped == clustered minus one representative per cluster
+    val comps = graft.ext.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+    val nComponents = comps.select("comp").distinct().count()
+    assert(acct.agg(sum(col("n_dropped"))).as[Long].head() ==
+      inPairs.count() - nComponents)
+    pairs.unpersist(); acct.unpersist()
+  }
+
   test("d_lm_bigram: word order matters — a locally-incoherent " +
       "shuffle of common words scores higher than fluent text") {
     val lm = TrainingData.dLmBigram(spark, sf0001).cache()
