@@ -206,6 +206,43 @@ object TrainingData {
        |SELECT doc_a, doc_b, jaccard FROM mh_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Corpus data card: per (source, lang) release accounting — doc
+    * and token counts, mean document length, and each cell's share of
+    * corpus tokens. The one-stop summary a dataset release ships
+    * with. One partial-combined aggregate over a token-count
+    * projection; the corpus total attaches as a broadcast 1-row
+    * cross join. */
+  def dCorpusCard(s: SparkSession, d: String): DataFrame = {
+    val byCell = docs(s, d)
+      .select(col("source"), col("lang"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        avgDec(col("n_tok").cast("double")).as("mean_tokens"))
+    val total = byCell.agg(sum(col("n_tokens")).as("t"))
+    byCell.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("n_tokens"),
+        col("mean_tokens"),
+        round(col("n_tokens").cast("double") / col("t"), 6)
+          .as("token_share"))
+      .orderBy("source", "lang")
+  }
+
+  private val dCorpusCardSql =
+    s"""WITH c AS (SELECT source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cell AS (SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    ${sqlAvgDec("n_tok")} AS mean_tokens
+       |  FROM c GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM cell)
+       |SELECT source, lang, n_docs, n_tokens, mean_tokens,
+       |  round(n_tokens::DOUBLE / t, 6) AS token_share
+       |FROM cell, tot ORDER BY source, lang""".stripMargin
+
   /** End-to-end near-duplicate dedup — the production composition the
     * pair/cluster queries exist FOR: MinHash+LSH verified pairs →
     * connected components → keep the smallest-id representative per
@@ -1655,6 +1692,7 @@ object TrainingData {
     "d_jaccard_pairs" -> (dJaccardPairs _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_neardup_pipeline" -> (dNeardupPipeline _),
+    "d_corpus_card" -> (dCorpusCard _),
     "d_simhash" -> (dSimhash _),
     "d_text_stats" -> (dTextStats _),
     "d_langid" -> (dLangId _),
@@ -1697,6 +1735,7 @@ object TrainingData {
     "d_jaccard_pairs" -> dJaccardPairsSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_neardup_pipeline" -> dNeardupPipelineSql,
+    "d_corpus_card" -> dCorpusCardSql,
     "d_simhash" -> dSimhashSql,
     "d_text_stats" -> dTextStatsSql,
     "d_langid" -> dLangIdSql,

@@ -201,6 +201,17 @@ class TrainingDataSpec extends SparkSpec {
       s"hapax doc must score highest: $nll")
   }
 
+  test("d_corpus_card: shares sum to 1 and totals reconcile with " +
+      "the raw corpus") {
+    val card = TrainingData.dCorpusCard(spark, sf0001).cache()
+    val docs = graft.Tables.documents(spark, sf0001)
+    assert(card.agg(sum(col("n_docs"))).as[Long].head() == docs.count())
+    val share = card.agg(sum(col("token_share"))).as[Double].head()
+    assert(math.abs(share - 1.0) < 1e-3, s"shares must sum to 1: $share")
+    assert(card.filter(col("mean_tokens") <= 0).isEmpty)
+    card.unpersist()
+  }
+
   test("d_neardup_pipeline: accounting reconciles with the pair and " +
       "cluster queries it composes") {
     val acct = TrainingData.dNeardupPipeline(spark, sf0001).cache()
