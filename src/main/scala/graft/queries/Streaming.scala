@@ -87,8 +87,39 @@ object Streaming {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Batch equivalent of the stateful streaming funnel
+    * ([[graft.streaming.StatefulOps.funnelStream]]): one row per
+    * viewing user with the first-view / first-click-after-view /
+    * first-purchase-after-click timestamps. Stream/batch parity is
+    * spec-verified (StatefulOpsSpec); this entry hash-verifies the
+    * shared fold's semantics against the relational form. */
+  def stFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.StatefulOps.EventRow]
+    graft.streaming.StatefulOps.funnelBatch(ev).toDF()
+      .orderBy("user_id")
+  }
+
+  private val stFunnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |  JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |  JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY 1)
+      |SELECT user_id, t_view, t_click, t_purchase
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_tumbling" -> (stTumbling _),
+    "st_funnel" -> (stFunnel _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
     "st_stream_join" -> (stStreamJoin _),
@@ -97,6 +128,7 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "st_tumbling" -> stTumblingSql,
+    "st_funnel" -> stFunnelSql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
     "st_stream_join" -> stStreamJoinSql,

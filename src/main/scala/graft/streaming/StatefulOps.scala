@@ -96,6 +96,86 @@ object StatefulOps {
         })
   }
 
+  // ---- stateful funnel ---------------------------------------------
+
+  /** Per-user funnel progression state (µs timestamps; MaxValue =
+    * stage not reached). Bounded: three longs per user regardless of
+    * stream length. */
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  case class FunnelOut(user_id: Long, t_view: Timestamp,
+      t_click: Timestamp, t_purchase: Timestamp)
+
+  val FunnelUnset: Long = Long.MaxValue
+  val EmptyFunnel: FunnelState =
+    FunnelState(FunnelUnset, FunnelUnset, FunnelUnset)
+
+  /** Fold ts-ordered (event_type, micros) pairs into the funnel:
+    * first view, first click strictly after that view, first purchase
+    * strictly after that click — the stateful form of [[graft.queries
+    * .AnalyticsExt.qFunnel]]'s semantics. Exact when events are
+    * folded in timestamp order (the watermark contract): by the time
+    * a click at t is folded every view before t has been folded, so
+    * the stage decision at t is final; an event later than the
+    * watermark bound may be mis-ordered and is the documented
+    * approximation, exactly as in production streaming funnels. */
+  def foldFunnel(events: Seq[(String, Long)], st: FunnelState)
+      : FunnelState = {
+    var s = st
+    events.foreach { case (typ, t) =>
+      typ match {
+        case "view" =>
+          if (t < s.tView) s = s.copy(tView = t)
+        case "click" =>
+          if (s.tView != FunnelUnset && t > s.tView && t < s.tClick)
+            s = s.copy(tClick = t)
+        case "purchase" =>
+          if (s.tClick != FunnelUnset && t > s.tClick &&
+              t < s.tPurchase)
+            s = s.copy(tPurchase = t)
+        case _ => ()
+      }
+    }
+    s
+  }
+
+  private def funnelOut(uid: Long, s: FunnelState): Iterator[FunnelOut] =
+    if (s.tView == FunnelUnset) Iterator.empty
+    else Iterator.single(FunnelOut(uid, fromMicros(s.tView),
+      if (s.tClick == FunnelUnset) null else fromMicros(s.tClick),
+      if (s.tPurchase == FunnelUnset) null
+      else fromMicros(s.tPurchase)))
+
+  /** Batch funnel — one shuffle on user_id, per-user in-memory sort +
+    * fold. The ground truth for [[funnelStream]]. */
+  def funnelBatch(events: Dataset[EventRow]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      funnelOut(uid, foldFunnel(
+        it.map(e => (e.event_type, toMicros(e.ts))).toSeq.sortBy(_._2),
+        EmptyFunnel))
+    }
+  }
+
+  /** Streaming funnel with explicit GroupState: each micro-batch
+    * folds its (sorted) events into the per-user state and emits the
+    * user's current funnel row (Update mode — downstream upserts by
+    * user_id). */
+  def funnelStream(events: Dataset[EventRow]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EventRow],
+            state: GroupState[FunnelState]) => {
+          val s = foldFunnel(
+            it.map(e => (e.event_type, toMicros(e.ts))).toSeq
+              .sortBy(_._2),
+            state.getOption.getOrElse(EmptyFunnel))
+          state.update(s)
+          funnelOut(uid, s)
+        })
+  }
+
   /** Streaming J4 upsert: each micro-batch of user rows merges into
     * the target parquet state via `foreachBatch` + [[Merge.merge]] —
     * the streaming re-expression of the reference's per-row upsert

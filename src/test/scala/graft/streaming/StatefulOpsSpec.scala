@@ -75,6 +75,52 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel converges to the batch funnel under " +
+      "ts-ordered micro-batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val rows = eventsDs.collect().sortBy(e => toMicros(e.ts)).toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val src = MemoryStream[EventRow]
+    val q = funnelStream(src.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out")
+      .start()
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      // state fields only transition unset→value under ordered
+      // arrival, so the final state per user is the max over updates
+      val streamed = spark.table("funnel_out")
+        .groupBy("user_id")
+        .agg(max(col("t_view")).as("t_view"),
+          max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+        .orderBy("user_id").collect().toSeq
+      val batch = funnelBatch(eventsDs).toDF()
+        .orderBy("user_id").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
+  test("funnel fold: strict ordering semantics on a constructed " +
+      "sequence") {
+    // click before any view never counts; click at the view's exact
+    // ts never counts (strict >); purchase needs a prior click
+    val evs = Seq(("click", 5L), ("view", 10L), ("click", 10L),
+      ("click", 12L), ("purchase", 11L), ("purchase", 13L))
+      .sortBy(_._2)
+    val s = foldFunnel(evs, EmptyFunnel)
+    assert(s.tView == 10L)
+    assert(s.tClick == 12L, "only the click strictly after the view")
+    assert(s.tPurchase == 13L,
+      "only the purchase strictly after the first counted click")
+  }
+
   test("foreachBatch streaming upsert converges to the batch merge") {
     val srcDir = java.nio.file.Files
       .createTempDirectory("upsert_src").toString
