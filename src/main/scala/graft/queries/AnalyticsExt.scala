@@ -222,6 +222,59 @@ object AnalyticsExt {
       |FROM active JOIN cohorts USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** PageRank over the bipartite customer↔supplier purchase graph
+    * (edges = distinct (custkey, suppkey) pairs via lineitem×orders,
+    * symmetrized; node ids namespaced by parity). Two unrolled
+    * deterministic iterations — see [[graft.ext.PageRank]] for why
+    * the fit is bit-reproducible in SQL. The web-graph shape of this
+    * query (rank quality signal over a crawl graph) is a standard
+    * corpus-curation input. */
+  def gPagerank(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ext.PageRank.pagerank(edges, iters = 2)
+      .select(
+        when(col("node") % 2 === 0, lit("cust"))
+          .otherwise(lit("supp")).as("kind"),
+        floor(col("node") / 2).cast("long").as("id"),
+        col("pr_pico"))
+      .orderBy("kind", "id")
+  }
+
+  private val gPagerankSql = {
+    // pure BIGINT arithmetic mirror — `//` is DuckDB's integer
+    // division, `div` Spark's; identical on the positive values here
+    def iterSql(prev: String, out: String) =
+      s"""$out AS (SELECT t.dst AS node,
+         |    (150000000000 // max(nn.n)) +
+         |      ((85 * CAST(sum(t.c) AS BIGINT)) // 100) AS pr_pico
+         |  FROM (SELECT e.dst, p.pr_pico // d.deg AS c
+         |    FROM e JOIN $prev p ON e.src = p.node
+         |      JOIN deg d ON d.src = e.src) t, nn
+         |  GROUP BY t.dst)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |p0 AS (SELECT src AS node, 1000000000000 // n AS pr_pico
+       |  FROM deg, nn),
+       |${iterSql("p0", "p1")},
+       |${iterSql("p1", "p2")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END
+       |    AS kind,
+       |  CAST(floor(node / 2) AS BIGINT) AS id, pr_pico
+       |FROM p2 ORDER BY kind, id""".stripMargin
+  }
+
   /** Edit distance between adjacent sampled documents. */
   def qLevenshtein(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(
@@ -701,6 +754,7 @@ object AnalyticsExt {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
+    "g_pagerank" -> (gPagerank _),
     "q_levenshtein" -> (qLevenshtein _),
     "q_setops" -> (qSetOps _),
     "q_corr_stats" -> (qCorrStats _),
@@ -721,6 +775,7 @@ object AnalyticsExt {
     "q_salted_agg" -> qSaltedAggSql,
     "q_funnel" -> qFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
+    "g_pagerank" -> gPagerankSql,
     "q_levenshtein" -> qLevenshteinSql,
     "q_setops" -> qSetOpsSql,
     "q_corr_stats" -> qCorrStatsSql,

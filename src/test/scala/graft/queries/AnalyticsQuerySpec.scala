@@ -51,6 +51,26 @@ class AnalyticsQuerySpec extends SparkSpec {
       "catalog q_percentiles must not buffer group values")
   }
 
+  test("g_pagerank: rank mass is conserved (in pico-units, up to " +
+      "integer-division truncation) and covers every graph node") {
+    import org.apache.spark.sql.functions._
+    val pr = AnalyticsExt.queries("g_pagerank")(spark, sf0001).cache()
+    assert(pr.filter(col("pr_pico") <= 0).isEmpty)
+    // node set = distinct customers + distinct suppliers in lineitem×orders
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+    val nNodes = li.select(col("o_custkey")).distinct().count() +
+      li.select(col("l_suppkey")).distinct().count()
+    assert(pr.count() == nNodes)
+    // Σ ranks stays ~1.0 (10^12 pico): div-truncation only ever loses
+    // mass, bounded by (nodes + edges) units per iteration
+    val mass = pr.agg(sum(col("pr_pico"))).head().getLong(0)
+    assert(mass <= 1000000000000L && mass > 990000000000L,
+      s"rank mass out of range: $mass")
+    pr.unpersist()
+  }
+
   test("q_funnel: stage counts are monotonically non-increasing and " +
       "conversion is bounded") {
     val f = AnalyticsExt.queries("q_funnel")(spark, sf0001)
