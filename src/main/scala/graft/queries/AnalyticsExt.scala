@@ -250,14 +250,17 @@ object AnalyticsExt {
   private val gPagerankSql = {
     // pure BIGINT arithmetic mirror — `//` is DuckDB's integer
     // division, `div` Spark's; identical on the positive values here
+    // LEFT JOIN from the node set mirrors the engine: zero-in-degree
+    // nodes keep the 0.15/n baseline (coalesce over the empty sum)
     def iterSql(prev: String, out: String) =
-      s"""$out AS (SELECT t.dst AS node,
+      s"""$out AS (SELECT d0.src AS node,
          |    (150000000000 // max(nn.n)) +
-         |      ((85 * CAST(sum(t.c) AS BIGINT)) // 100) AS pr_pico
-         |  FROM (SELECT e.dst, p.pr_pico // d.deg AS c
+         |      ((85 * CAST(coalesce(sum(t.c), 0) AS BIGINT)) // 100)
+         |      AS pr_pico
+         |  FROM deg d0 LEFT JOIN (SELECT e.dst, p.pr_pico // d.deg AS c
          |    FROM e JOIN $prev p ON e.src = p.node
-         |      JOIN deg d ON d.src = e.src) t, nn
-         |  GROUP BY t.dst)""".stripMargin
+         |      JOIN deg d ON d.src = e.src) t ON t.dst = d0.src, nn
+         |  GROUP BY d0.src)""".stripMargin
     s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
        |    l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -213,6 +213,8 @@ object TrainingData {
     * projection; the corpus total attaches as a broadcast 1-row
     * cross join. */
   def dCorpusCard(s: SparkSession, d: String): DataFrame = {
+    // the cell frame feeds both the total and the output — persist
+    // the (cells-sized) frame so the corpus scan + aggregate runs once
     val byCell = docs(s, d)
       .select(col("source"), col("lang"),
         size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
@@ -220,14 +222,18 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         avgDec(col("n_tok").cast("double")).as("mean_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = byCell.agg(sum(col("n_tokens")).as("t"))
-    byCell.crossJoin(broadcast(total))
+    val out = byCell.crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("n_docs"),
         col("n_tokens"),
         col("mean_tokens"),
         round(col("n_tokens").cast("double") / col("t"), 6)
           .as("token_share"))
       .orderBy("source", "lang")
+      .localCheckpoint()
+    byCell.unpersist()
+    out
   }
 
   private val dCorpusCardSql =
@@ -1478,7 +1484,11 @@ object TrainingData {
     val toksF = documents.select(col("doc_id"),
       TextStats.tokens(col("text")).as("toks"))
     val uni = toksF.select(explode(col("toks")).as("tok"))
+    // c1 feeds both the score join and the vocabulary count — persist
+    // the (vocabulary-sized) frame so the corpus-wide tokenize +
+    // unigram aggregation runs once, not twice
     val c1 = uni.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = c1.agg(count(lit(1)).as("v"))
     val bi = toksF.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(transform(
@@ -1501,6 +1511,7 @@ object TrainingData {
       .orderBy("doc_id")
       .localCheckpoint()
     bi.unpersist()
+    c1.unpersist()
     out
   }
 

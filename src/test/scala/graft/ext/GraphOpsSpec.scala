@@ -79,4 +79,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(pairs.count() ==
       pairs.select("ea", "eb").distinct().count())
   }
+
+  test("pagerank keeps zero-in-degree nodes and their outgoing " +
+      "contributions on directed graphs (hand-computed 2-iteration " +
+      "fixture)") {
+    // 1⇄2 plus 3→1: node 3 has no in-edges but every node is a src
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val got = PageRank.pagerank(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 3, "zero-in-degree node must not vanish")
+    // n=3: base = 150000000000//3; p0 = 10^12//3 each
+    // iter1: pr(1)=base+85%*(p0(2)+p0(3)), pr(2)=base+85%*p0(1),
+    //        pr(3)=base
+    // iter2: pr(1)=base+85%*(pr1(2)+pr1(3)) — 3 still contributes
+    assert(got(3L) == 50000000000L)
+    assert(got(1L) == 375833333333L, s"got $got")
+    assert(got(2L) == 574166666666L, s"got $got")
+  }
 }
