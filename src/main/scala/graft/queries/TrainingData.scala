@@ -295,6 +295,50 @@ object TrainingData {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Document centrality in the near-duplicate similarity graph:
+    * integer-arithmetic PageRank ([[graft.ext.PageRank]]) over the
+    * symmetrized MinHash+LSH pair graph — highly-connected documents
+    * are template/boilerplate hubs (rank DOWN for training-data
+    * diversity), isolated documents never enter the graph. The
+    * composition reuses both shared fragments: the engine reuses
+    * `Dedup.minhashLshPairs` + `PageRank.pagerank`; the oracle splices
+    * the `mh_pairs` CTE chain into the unrolled integer iterations. */
+  def gDocCentrality(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+    val edges = pairs.select(col("doc_a").as("src"),
+        col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+    graft.ext.PageRank.pagerank(edges, iters = 2)
+      .select(col("node").as("doc_id"), col("pr_pico"))
+      .orderBy("doc_id")
+  }
+
+  private val gDocCentralitySql = {
+    def iterSql(prev: String, out: String) =
+      s"""$out AS (SELECT d0.src AS node,
+         |    (150000000000 // max(nn.n)) +
+         |      ((85 * CAST(coalesce(sum(t.c), 0) AS BIGINT)) // 100)
+         |      AS pr_pico
+         |  FROM pdeg d0 LEFT JOIN (SELECT pe.dst,
+         |      p.pr_pico // d.deg AS c
+         |    FROM pe JOIN $prev p ON pe.src = p.node
+         |      JOIN pdeg d ON d.src = pe.src) t ON t.dst = d0.src, nn
+         |  GROUP BY d0.src)""".stripMargin
+    s"""WITH $minhashPairsCtes,
+       |pe AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+       |pdeg AS (SELECT src, count(*) AS deg FROM pe GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM pdeg),
+       |p0 AS (SELECT src AS node, 1000000000000 // n AS pr_pico
+       |  FROM pdeg, nn),
+       |${iterSql("p0", "p1")},
+       |${iterSql("p1", "p2")}
+       |SELECT node AS doc_id, pr_pico FROM p2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. Oracle-verified via the
     * portable polynomial token hash (bit 31 is constantly 0 — the
     * hash range is [0, 2^31−1)). */
@@ -1704,6 +1748,7 @@ object TrainingData {
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_neardup_pipeline" -> (dNeardupPipeline _),
     "d_corpus_card" -> (dCorpusCard _),
+    "g_doc_centrality" -> (gDocCentrality _),
     "d_simhash" -> (dSimhash _),
     "d_text_stats" -> (dTextStats _),
     "d_langid" -> (dLangId _),
@@ -1747,6 +1792,7 @@ object TrainingData {
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_neardup_pipeline" -> dNeardupPipelineSql,
     "d_corpus_card" -> dCorpusCardSql,
+    "g_doc_centrality" -> gDocCentralitySql,
     "d_simhash" -> dSimhashSql,
     "d_text_stats" -> dTextStatsSql,
     "d_langid" -> dLangIdSql,

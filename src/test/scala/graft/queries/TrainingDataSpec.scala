@@ -235,6 +235,21 @@ class TrainingDataSpec extends SparkSpec {
     pairs.unpersist(); acct.unpersist()
   }
 
+  test("g_doc_centrality: covers exactly the near-dup graph's nodes " +
+      "and conserves rank mass") {
+    val c = TrainingData.queries("g_doc_centrality")(spark, sf0001)
+      .cache()
+    assert(c.filter(col("pr_pico") <= 0).isEmpty)
+    val pairs = TrainingData.dMinhashLsh(spark, sf0001)
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    assert(c.select("doc_id").exceptAll(ids).isEmpty &&
+      ids.exceptAll(c.select("doc_id")).isEmpty)
+    val mass = c.agg(sum(col("pr_pico"))).head().getLong(0)
+    assert(mass <= 1000000000000L && mass > 990000000000L, s"$mass")
+    c.unpersist()
+  }
+
   test("d_lm_bigram: word order matters — a locally-incoherent " +
       "shuffle of common words scores higher than fluent text") {
     val lm = TrainingData.dLmBigram(spark, sf0001).cache()
