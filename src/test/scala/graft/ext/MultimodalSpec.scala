@@ -91,6 +91,202 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == 4)
   }
 
+  // -- real PNG pixel decode ------------------------------------------
+
+  /** Independent reference decode via the JDK's own ImageIO PNG codec
+    * (pure JDK, headless-safe) — our Inflater+unfilter decoder is
+    * validated against a codec we didn't write. */
+  private def imageioRgb(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val d = (y * w + x) * 3
+      out(d) = ((argb >> 16) & 0xff).toByte
+      out(d + 1) = ((argb >> 8) & 0xff).toByte
+      out(d + 2) = (argb & 0xff).toByte
+    }
+    (w, h, out)
+  }
+
+  test("pngDecode recovers exact pixels from an ImageIO-written PNG " +
+      "and pngEncode round-trips through ImageIO") {
+    // deterministic 7×5 RGB test card written by the JDK encoder
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 36) << 16) | ((y * 51) << 8) | (x * y * 9))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val got = Multimodal.pngDecode(png).get
+    val (rw, rh, ref) = imageioRgb(png)
+    assert(got.width == rw && got.height == rh)
+    assert(got.rgb.toSeq == ref.toSeq,
+      "our decoder must match the JDK codec pixel-for-pixel")
+    // encode half: our PNG writer's output reads back identically in
+    // BOTH decoders
+    val ours = Multimodal.pngEncode(got)
+    val (ew, eh, eref) = imageioRgb(ours)
+    assert(ew == w && eh == h && eref.toSeq == got.rgb.toSeq)
+    assert(Multimodal.pngDecode(ours).get.rgb.toSeq == got.rgb.toSeq)
+  }
+
+  test("pngDecode unfilters all five PNG filter types") {
+    // hand-build a 3×5 truecolor PNG, one scanline per filter type
+    // (0=None 1=Sub 2=Up 3=Average 4=Paeth), deflated raw
+    val w = 3; val h = 5
+    val stride = w * 3
+    val rnd = new java.util.Random(7)
+    val pixels = Array.fill[Byte](h * stride)(rnd.nextInt(256).toByte)
+    def px(y: Int, x: Int): Int = pixels(y * stride + x) & 0xff
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(y) // filter type = row index
+      for (x <- 0 until stride) {
+        val a = if (x >= 3) px(y, x - 3) else 0
+        val b = if (y > 0) px(y - 1, x) else 0
+        val c = if (x >= 3 && y > 0) px(y - 1, x - 3) else 0
+        val v = y match {
+          case 0 => px(y, x)
+          case 1 => px(y, x) - a
+          case 2 => px(y, x) - b
+          case 3 => px(y, x) - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a
+              else if (pb <= pc) b else c
+            px(y, x) - pred
+        }
+        raw.write(v & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte))
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val png = out.toByteArray
+    val got = Multimodal.pngDecode(png).get
+    assert(got.width == w && got.height == h)
+    assert(got.rgb.toSeq == pixels.toSeq,
+      "every filter type must unfilter to the original bytes")
+    // and the JDK codec agrees our fixture was well-formed
+    val (_, _, ref) = imageioRgb(png)
+    assert(ref.toSeq == pixels.toSeq)
+  }
+
+  test("pngFeatures computes exact mean RGB / luma / histogram; " +
+      "non-PNG falls back to stub in extractFeatures") {
+    // 2×1: pure red + pure blue
+    val png = Multimodal.pngEncode(Multimodal.PngPixels(2, 1,
+      Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)))
+    val f = Multimodal.pngFeatures(png).get
+    assert(f(0) == 127.5 && f(1) == 0.0 && f(2) == 127.5)
+    // lumas: .299*255 = 76.245 and .114*255 = 29.07 → mean 52.6575
+    assert(f(3) == 52.6575)
+    // red's luma 76 → bin 1 ([64,128)); blue's 29 → bin 0 ([0,64))
+    assert(f.slice(4, 8).toSeq == Seq(0.5, 0.5, 0.0, 0.0))
+    assert(f.length == Multimodal.FeatureMults.length)
+    // ascii text is not a PNG → stub path, identical output shape
+    val text = "plain document".getBytes("UTF-8")
+    assert(Multimodal.pngFeatures(text).isEmpty)
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaRecord(1L, png),
+      Multimodal.MediaRecord(2L, text)).toDS()
+    val got = Multimodal.extractFeatures(ds).collect()
+      .map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(got(1L) == f.toSeq)
+    assert(got(2L) == Multimodal.featureStub(text).toSeq)
+  }
+
+  test("pngDecode expands gray / gray+alpha / palette / RGBA to RGB") {
+    def write(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // grayscale (color type 0 when written by ImageIO). Raw raster
+    // samples, not setRGB — getRGB/setRGB on TYPE_BYTE_GRAY pass
+    // through a linear↔sRGB conversion, while the PNG holds the raw
+    // samples our decoder (correctly) returns.
+    val gray = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 2; x <- 0 until 2)
+      gray.getRaster.setSample(x, y, 0, 40 + 50 * (y * 2 + x))
+    val gp = write(gray)
+    val gGot = Multimodal.pngDecode(gp).get
+    assert(gGot.rgb.toSeq == Seq(40, 40, 40, 90, 90, 90, 140, 140, 140,
+      190, 190, 190).map(_.toByte).toSeq)
+    // RGBA (color type 6): alpha dropped, not premultiplied
+    val argb = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    argb.setRGB(0, 0, 0x80ff2040)  // half-transparent
+    argb.setRGB(1, 0, 0xff10ccee)
+    val ap = write(argb)
+    val aGot = Multimodal.pngDecode(ap).get
+    assert(aGot.rgb.toSeq == Seq(0xff, 0x20, 0x40, 0x10, 0xcc, 0xee)
+      .map(_.toByte))
+    // palette (color type 3)
+    val pal = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    pal.setRGB(0, 0, 0xff0000); pal.setRGB(1, 0, 0x0000ff)
+    val pp = write(pal)
+    val pGot = Multimodal.pngDecode(pp).get
+    assert(pGot.rgb.toSeq == imageioRgb(pp)._3.toSeq)
+  }
+
+  test("pngResize downscales with nearest-neighbor, never upscales, " +
+      "and yields a standards-valid PNG") {
+    // 4×4 card of distinct colors
+    val rgb = Array.tabulate(4 * 4 * 3) { i =>
+      ((i / 3) * 16 + (i % 3)).toByte
+    }
+    val png = Multimodal.pngEncode(Multimodal.PngPixels(4, 4, rgb))
+    val resized = Multimodal.pngResize(png, 2, 2).get
+    val got = Multimodal.pngDecode(resized).get
+    assert(got.width == 2 && got.height == 2)
+    // nearest-neighbor at exact 2:1 picks source pixels (0,0) (2,0)
+    // (0,2) (2,2)
+    def src(y: Int, x: Int): Seq[Byte] =
+      rgb.slice((y * 4 + x) * 3, (y * 4 + x) * 3 + 3).toSeq
+    assert(got.rgb.toSeq == (src(0, 0) ++ src(0, 2) ++ src(2, 0) ++
+      src(2, 2)))
+    // ImageIO can read our resized output (valid CRCs, valid stream)
+    assert(imageioRgb(resized)._3.toSeq == got.rgb.toSeq)
+    // fits-already → re-encode at original size (no upscale)
+    val same = Multimodal.pngDecode(
+      Multimodal.pngResize(png, 8, 8).get).get
+    assert(same.width == 4 && same.height == 4 && same.rgb.toSeq == rgb.toSeq)
+    // non-PNG → None (caller keeps original blob)
+    assert(Multimodal.pngResize("text".getBytes, 2, 2).isEmpty)
+  }
+
   test("feature extraction: deterministic, bounded, dim-stable") {
     val recs = Multimodal.mediaFromDocuments(spark, sf0001)
     val feats = Multimodal.extractFeatures(recs).collect()

@@ -153,6 +153,54 @@ class SimilaritySpec extends SparkSpec {
       "NULL vector is never a neighbor")
   }
 
+  test("sampleQueryIds returns a fixed-size deterministic id sample") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val ids = Similarity.sampleQueryIds(emb, 16)
+      .as[Long].collect().toSeq
+    assert(ids.length == 16)
+    assert(ids.distinct.length == 16)
+    val again = Similarity.sampleQueryIds(emb, 16).as[Long].collect().toSeq
+    assert(ids.sorted == again.sorted, "sample must be deterministic")
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(ids.forall(all.contains))
+    // n larger than the corpus degrades to the whole corpus
+    assert(Similarity.sampleQueryIds(emb.limit(5), 16).count() == 5)
+  }
+
+  test("query-id-frame overloads of bruteForceTopK and lshTopK match " +
+      "the predicate forms on the same query set") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("embedding").isNotNull)
+    val qids = Similarity.sampleQueryIds(emb, 8).localCheckpoint()
+    val idSet = qids.as[Long].collect().toSet
+    val pred = col("vec_id").isInCollection(idSet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(rows(Similarity.bruteForceTopK(emb, qids, 5)) ==
+      rows(Similarity.bruteForceTopK(emb, pred, 5)))
+    assert(rows(Similarity.lshTopK(emb, qids, 5, numPlanes = 4,
+        seed = 42L, dim = 64)) ==
+      rows(Similarity.lshTopK(emb, pred, 5, numPlanes = 4, seed = 42L)))
+  }
+
+  test("hard negatives drop NULL embeddings on both sides") {
+    val vecs = Seq(
+      (0L, Some(Seq(1.0f, 0.0f, 0.0f)), 1),  // anchor, label 1
+      (1L, None, 1),                          // NULL anchor candidate
+      (2L, Some(Seq(0.9f, 0.1f, 0.0f)), 2),
+      (3L, None, 2),                          // NULL other-label vector
+      (4L, Some(Seq(0.0f, 0.0f, 1.0f)), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs,
+        col("vec_id").isin(0L, 1L), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // the NULL anchor emits no rows; the NULL neighbor never appears
+    assert(got.forall(_._1 == 0L), "NULL anchor must emit nothing")
+    assert(!got.exists(_._2 == 3L), "NULL vector is never a negative")
+    assert(got.map(_._2).toSet == Set(2L, 4L))
+  }
+
   test("hard negatives exclude the anchor's own label and rank the " +
       "nearest other-label vector first") {
     val vecs = Seq(
