@@ -32,9 +32,12 @@ import graft.ops.Merge
   * [[graft.ops.Merge.merge]] output and only insert/update rows are
   * shipped (noop/keep rows never cross the wire).
   *
-  * SQL generation is pure and unit-tested; the live path is exercised
-  * only where a JDBC endpoint exists (none in this sandbox — see
-  * SinksSpec for the generation contract).
+  * SQL generation is pure and unit-tested; the LIVE path (Spark JDBC
+  * staging write → server-side MERGE in one transaction → staging
+  * drop → idempotent re-run) is integration-tested against an
+  * embedded in-memory Apache Derby (ANSI dialect) in SinksSpec — no
+  * network endpoint exists in this sandbox, so the Postgres
+  * `ON CONFLICT` leg remains generation-only.
   */
 object JdbcUpsertSink {
 
@@ -89,7 +92,11 @@ object JdbcUpsertSink {
       s"ON CONFLICT (${keys.map(qcol).mkString(", ")}) $action"
   }
 
-  /** ANSI `MERGE INTO` variant for targets without ON CONFLICT. */
+  /** ANSI `MERGE INTO` variant for targets without ON CONFLICT.
+    * SET targets are UNQUALIFIED (`"name" = s."name"`) per the SQL
+    * standard — strict engines (Derby, the live integration target in
+    * SinksSpec) reject a qualified `t."name"` there, while permissive
+    * ones accept both. */
   def ansiMergeSql(target: String, staging: String,
       cols: Seq[String], keys: Seq[String]): String = {
     require(keys.nonEmpty && keys.forall(cols.contains),
@@ -98,7 +105,7 @@ object JdbcUpsertSink {
     val onCond = keys.map(k => s"t.${qcol(k)} = s.${qcol(k)}")
       .mkString(" AND ")
     val setList = updatable
-      .map(c => s"t.${qcol(c)} = s.${qcol(c)}").mkString(", ")
+      .map(c => s"${qcol(c)} = s.${qcol(c)}").mkString(", ")
     val insCols = cols.map(qcol).mkString(", ")
     val insVals = cols.map(c => s"s.${qcol(c)}").mkString(", ")
     val matched =
@@ -109,8 +116,14 @@ object JdbcUpsertSink {
       s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
   }
 
-  def dropStagingSql(staging: String): String =
-    s"DROP TABLE IF EXISTS ${q(staging)}"
+  /** `IF EXISTS` is a Postgres-family extension; the ansi dialect
+    * emits the bare standard form (the staging table is known to
+    * exist on the success path, and the failure-path cleanup swallows
+    * a missing-table error anyway). */
+  def dropStagingSql(staging: String, dialect: String = "postgres")
+      : String =
+    if (dialect == "ansi") s"DROP TABLE ${q(staging)}"
+    else s"DROP TABLE IF EXISTS ${q(staging)}"
 
   /** The statements run server-side after the staging write, in one
     * transaction. */
@@ -122,7 +135,7 @@ object JdbcUpsertSink {
       case other => throw new IllegalArgumentException(
         s"unknown dialect: $other")
     }
-    Seq(merge, dropStagingSql(staging))
+    Seq(merge, dropStagingSql(staging, dialect))
   }
 
   /** Option keys consumed by the Spark JDBC *writer* only — not
@@ -228,7 +241,8 @@ object JdbcUpsertSink {
       case Some(run) => run(script) // test path: no live endpoint
       case None =>
         writer.save()
-        execute(target, cleanup = Seq(dropStagingSql(staging)))(script)
+        execute(target,
+          cleanup = Seq(dropStagingSql(staging, dialect)))(script)
     }
     script
   }
