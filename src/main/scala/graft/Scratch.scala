@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * for the hot queries — join strategies, exchanges, scan pushdown. */
 object Scratch {
   def audit(name: String, df: DataFrame): Unit = {
-    val plan = df.queryExecution.executedPlan.treeString
+    // explainString rather than executedPlan.treeString: under AQE the
+    // top node renders only the current (collapsed) subtree
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
     val interesting = plan.split("\n").filter(l =>
       l.contains("Join") || l.contains("Exchange") ||
       l.contains("Scan parquet") || l.contains("InMemory") ||
@@ -22,8 +25,13 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.01"
-    val qs = if (args.nonEmpty) args.toSeq
+    // First arg starting with "/" overrides the table dir (e.g. a
+    // ScaleProbe corpus at /tmp/sf10probe); the rest are query names.
+    val (d, names) = args.toSeq match {
+      case dir +: rest if dir.startsWith("/") => (dir, rest)
+      case rest => ("/root/testdata/sf0.01", rest)
+    }
+    val qs = if (names.nonEmpty) names
       else Seq("d_jaccard_pairs", "d_embed_dups", "q_hll_portable",
         "s_ann_ivf", "d_minhash_lsh")
     for (q <- qs) audit(q, SparkEntry.queries(q)(spark, d))
