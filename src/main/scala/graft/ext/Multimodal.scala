@@ -338,6 +338,104 @@ object Multimodal {
       }
     }
 
+  // --- real WAV PCM decode (pure JVM: RIFF walk + LE samples) -------
+
+  /** Decoded PCM audio: mono-mixed samples in [-1, 1]. */
+  case class WavSamples(sampleRate: Int, channels: Int,
+      samples: Array[Double])
+
+  /** Cap on decoded sample count: a crafted header claiming a huge
+    * data chunk must not allocate unbounded executor memory (16M
+    * samples = ~6 min of 44.1 kHz audio, 128 MB of doubles). */
+  private val MaxSamples = 16 << 20
+
+  /** Real WAV PCM sample decode, pure JVM: walks the RIFF chunk list
+    * to `fmt ` + `data`, accepts uncompressed PCM only (format code 1,
+    * 8- or 16-bit), decodes little-endian samples (8-bit is unsigned
+    * excess-128, 16-bit signed two's complement per the spec), scales
+    * to [-1, 1] and mixes channels to mono by averaging. A truncated
+    * data chunk decodes the frames actually present (the streaming-
+    * capture case); anything non-PCM or malformed returns None and
+    * callers fall back to the labeled stub — a wrong answer is never
+    * produced. */
+  def wavDecode(b: Array[Byte]): Option[WavSamples] = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtCode = -1; var channels = 0; var rate = 0L; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (fmtCode < 0 || dataOff < 0)) {
+      val sz = le32(off + 4)
+      if (sz < 0 || sz > Int.MaxValue - 9) return None
+      tag(off) match {
+        case "fmt " if sz >= 16 && off + 8 + 16 <= b.length =>
+          fmtCode = le16(off + 8)
+          channels = le16(off + 10)
+          rate = le32(off + 12)
+          bits = le16(off + 22)
+        case "data" =>
+          dataOff = off + 8
+          dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
+        case _ => ()
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks word-align
+    }
+    if (fmtCode != 1 || channels <= 0 || rate <= 0 ||
+        rate > Int.MaxValue || (bits != 8 && bits != 16)) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    if (dataOff < 0 || frameBytes == 0) return None
+    val frames = math.min(dataLen / frameBytes, MaxSamples)
+    val out = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + f * frameBytes + c * bytesPerSample
+        acc += (if (bits == 8) ((b(o) & 0xff) - 128) / 128.0
+          else le16(o).toShort / 32768.0)
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
+    }
+    Some(WavSamples(rate.toInt, channels, out))
+  }
+
+  /** Real audio featurizer over decoded PCM samples: mean amplitude,
+    * RMS, peak |amplitude|, zero-crossing rate, and a 4-bin
+    * |amplitude| histogram (fractions) — 8 dims, the same shape as
+    * [[featureStub]] and [[pngFeatures]] so every path fits one
+    * schema. None when the bytes aren't decodable PCM WAV. */
+  def wavFeatures(b: Array[Byte]): Option[Array[Double]] =
+    wavDecode(b).filter(_.samples.nonEmpty).map { w =>
+      val n = w.samples.length
+      var sum = 0.0; var sq = 0.0; var peak = 0.0
+      var zc = 0L
+      val hist = new Array[Long](4)
+      var i = 0
+      while (i < n) {
+        val s = w.samples(i)
+        val a = math.abs(s)
+        sum += s; sq += s * s
+        if (a > peak) peak = a
+        if (i > 0 && (s >= 0) != (w.samples(i - 1) >= 0)) zc += 1
+        hist(math.min((a * 4).toInt, 3)) += 1
+        i += 1
+      }
+      def r6(d: Double): Double = math.rint(d * 1e6) / 1e6
+      Array(r6(sum / n), r6(math.sqrt(sq / n)), r6(peak),
+        r6(zc.toDouble / math.max(n - 1, 1)), r6(hist(0).toDouble / n),
+        r6(hist(1).toDouble / n), r6(hist(2).toDouble / n),
+        r6(hist(3).toDouble / n))
+    }
+
   /** Batched per-partition decode: the iterator is consumed in groups
     * of `batchSize` so a real decoder could process one batch per
     * native call (the `mapInPandas`/Arrow-batch shape, expressed
@@ -392,15 +490,18 @@ object Multimodal {
   /** Batched per-partition feature extraction — same mapPartitions
     * shape as [[decodeMeta]] (one "model session" per batch). PNG
     * payloads get REAL pixel statistics ([[pngFeatures]]: decoded
-    * raster means + luma histogram); other formats fall back to the
-    * labeled stub, with an identical 8-dim output shape. */
+    * raster means + luma histogram) and PCM WAV payloads REAL sample
+    * statistics ([[wavFeatures]]: RMS/peak/zero-crossings); other
+    * formats fall back to the labeled stub, with an identical 8-dim
+    * output shape. */
   def extractFeatures(records: Dataset[MediaRecord], batchSize: Int = 64)
       : Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map(r => MediaFeatures(r.doc_id,
-          pngFeatures(r.media).getOrElse(featureStub(r.media))))
+          pngFeatures(r.media).orElse(wavFeatures(r.media))
+            .getOrElse(featureStub(r.media))))
       }
     }
   }

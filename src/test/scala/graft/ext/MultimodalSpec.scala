@@ -300,6 +300,101 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach(f => assert(again(f.doc_id) == f.features.toSeq))
   }
 
+  // PCM WAV encoder (test-side fixture builder; the main-source
+  // concern is decode, so the encoder lives here)
+  private def wavBytes(rate: Int, channelSamples: Seq[Array[Double]],
+      bits: Int = 16, dataSizeOverride: Option[Int] = None): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val channels = channelSamples.length
+    val frames = channelSamples.head.length
+    val bps = bits / 8
+    val dataLen = frames * channels * bps
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataLen))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(channels)); out.write(le32(rate))
+    out.write(le32(rate * channels * bps)); out.write(le16(channels * bps))
+    out.write(le16(bits))
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(dataSizeOverride.getOrElse(dataLen)))
+    for (f <- 0 until frames; c <- 0 until channels) {
+      val s = channelSamples(c)(f)
+      if (bits == 16) out.write(le16(math.round(s * 32767).toInt & 0xffff))
+      else out.write((math.round(s * 127).toInt + 128) & 0xff)
+    }
+    out.toByteArray
+  }
+
+  test("wavDecode recovers exact 16-bit PCM samples and mixes stereo " +
+      "to mono") {
+    val mono = Array(0.0, 0.5, -0.5, 1.0, -1.0, 0.25)
+    val w = Multimodal.wavDecode(wavBytes(8000, Seq(mono))).get
+    assert(w.sampleRate == 8000 && w.channels == 1)
+    // sample-exact round-trip within 16-bit quantization
+    assert(w.samples.length == mono.length)
+    mono.zip(w.samples).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1.0 / 32767, s"$e vs $g") }
+    // stereo: R = -L mixes to (quantized) silence
+    val st = Multimodal.wavDecode(
+      wavBytes(8000, Seq(mono, mono.map(-_)))).get
+    assert(st.channels == 2)
+    assert(st.samples.forall(s => math.abs(s) < 1.0 / 32767))
+    // 8-bit unsigned decode: same shape, coarser quantization
+    val w8 = Multimodal.wavDecode(wavBytes(8000, Seq(mono), bits = 8)).get
+    mono.zip(w8.samples).foreach { case (e, g) =>
+      assert(math.abs(e - g) <= 1.0 / 127 + 1e-9, s"$e vs $g") }
+  }
+
+  test("wavDecode rejects non-PCM, clamps truncated data, ignores " +
+      "trailing chunks") {
+    val mono = Array.fill(16)(0.5)
+    val ok = wavBytes(8000, Seq(mono))
+    // format code 3 (IEEE float) → None, never a wrong answer
+    val nonPcm = ok.clone(); nonPcm(20) = 3
+    assert(Multimodal.wavDecode(nonPcm).isEmpty)
+    // data size claiming more bytes than present → decode what exists
+    val shortData = wavBytes(8000, Seq(mono),
+      dataSizeOverride = Some(16 * 2 + 1000))
+    assert(Multimodal.wavDecode(shortData).get.samples.length == 16)
+    // truncated mid-data: same clamping
+    val cut = ok.take(ok.length - 6)
+    assert(Multimodal.wavDecode(cut).get.samples.length == 13)
+    // garbage → None
+    assert(Multimodal.wavDecode("not audio at all".getBytes).isEmpty)
+  }
+
+  test("wavFeatures computes exact RMS / peak / zero-crossing stats " +
+      "on a known sine, and extractFeatures routes wav for real") {
+    val rate = 8000; val freq = 100; val n = 8000
+    val amp = 0.8
+    val sine = Array.tabulate(n)(i =>
+      amp * math.sin(2 * math.Pi * freq * i / rate))
+    val bytes = wavBytes(rate, Seq(sine))
+    val f = Multimodal.wavFeatures(bytes).get
+    assert(f.length == Multimodal.FeatureMults.length)
+    // ground truth computed independently from the quantized samples
+    val q = sine.map(s => math.round(s * 32767).toShort / 32768.0)
+    val rms = math.sqrt(q.map(s => s * s).sum / n)
+    assert(math.abs(f(0) - q.sum / n) < 1e-6)          // mean ~0
+    assert(math.abs(f(1) - rms) < 1e-6)                // RMS = amp/√2
+    assert(math.abs(f(1) - amp / math.sqrt(2)) < 1e-3)
+    assert(math.abs(f(2) - q.map(math.abs).max) < 1e-6) // peak = amp
+    // a 100 Hz sine crosses zero 2·f times per second
+    assert(math.abs(f(3) - 2.0 * freq * (n - 1) / rate / (n - 1)) < 1e-3)
+    assert(math.abs(f.drop(4).sum - 1.0) < 1e-6)       // histogram sums to 1
+    // end-to-end routing: wav gets sample stats, text gets the stub
+    val text = "just a document".getBytes("UTF-8")
+    val recs = Seq(Multimodal.MediaRecord(1L, bytes),
+      Multimodal.MediaRecord(2L, text)).toDS()
+    val got = Multimodal.extractFeatures(recs).collect()
+      .map(r => r.doc_id -> r.features).toMap
+    assert(got(1L).toSeq == f.toSeq)
+    assert(got(2L).toSeq == Multimodal.featureStub(text).toSeq)
+  }
+
   test("resize dims fit the box, never upscale, floor at 1") {
     val df = Seq((640, 480), (320, 240), (100, 50), (1, 2000))
       .toDF("width", "height")
