@@ -1076,6 +1076,94 @@ object TrainingData {
       |    AND dup_tok_frac <= 0.6 AND dup_2gram_frac <= 0.05 AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Hashing-trick linear quality classifier — the fastText-style
+    * scorer every large pipeline runs for quality filtering (CCNet,
+    * LLaMA's Wikipedia-reference classifier; all public). Each token
+    * hashes into one of 256 buckets via the portable polynomial hash;
+    * the bucket's weight comes from a deterministic integer mix
+    * (golden-ratio multiply, public folklore constant) standing in for
+    * trained weights — a real training run replaces the weight
+    * expression and nothing else. All arithmetic is exact BIGINT milli
+    * units end-to-end (no derived float mean: a rounded per-token
+    * mean would sit on engine-specific tie-breaking at the 6th
+    * decimal), so engine and oracle agree bit-for-bit. Pure projection: no shuffle, whole-stage codegen
+    * end-to-end, embarrassingly parallel at 100 TB. */
+  def dQualityLr(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("_hs", graft.functions.ArrayOps.array_poly_hash(
+        TextStats.tokens(col("text"))))
+    val ws = transform(col("_hs"), h =>
+      (h % 256L) * 2654435761L % 2147483647L % 2001L - 1000L)
+    val n = size(col("_hs"))
+    base.select(col("doc_id"), n.cast("long").as("n_tok"),
+        aggregate(ws, lit(0L), (a, x) => a + x).as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val dQualityLrSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |w AS (SELECT doc_id, len(toks) AS n_tok,
+       |    CAST(list_sum(list_transform(toks, tok ->
+       |      (${sqlPolyHash("tok")} % 256) * 2654435761
+       |        % 2147483647 % 2001 - 1000)) AS BIGINT) AS score_milli
+       |  FROM t)
+       |SELECT doc_id, n_tok, score_milli,
+       |  score_milli > 0 AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  /** Repetition breaking: the longest run of consecutively repeated
+    * tokens per document (the "aaaa…" / looped-generation failure mode
+    * the Gopher repetition rules don't see when the repeats are
+    * adjacent but globally rare). Sequential semantics, distributed:
+    * positions explode once, a per-doc window marks run starts
+    * (token ≠ its predecessor), a running sum turns marks into run
+    * ids, and two hash aggregations reduce runs to a per-doc max —
+    * ONE exchange on doc_id reused by both windows and both
+    * aggregations (partial combines locally). At 100 TB the window is
+    * per-doc-bounded: no global sort, skew bounded by max doc
+    * length. */
+  def dRepetitionBreak(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs(s, d).select(col("doc_id"),
+      posexplode(TextStats.tokens(col("text"))).as(Seq("pos", "tok")))
+    val runs = toks
+      .withColumn("_new", when(lag(col("tok"), 1).over(w).isNull ||
+        lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col("doc_id"), col("_run"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_len")).cast("long").as("n_tok"),
+        max(col("_len")).cast("long").as("max_run"),
+        count(lit(1)).cast("long").as("n_runs"))
+      .withColumn("keep", col("max_run") <= 8)
+      .orderBy("doc_id")
+  }
+
+  private val dRepetitionBreakSql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |m AS (SELECT doc_id, pos, tok,
+      |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      IS DISTINCT FROM tok THEN 1 ELSE 0 END AS new_run
+      |  FROM t),
+      |r AS (SELECT doc_id, tok,
+      |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM m),
+      |l AS (SELECT doc_id, run_id, count(*) AS len
+      |  FROM r GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_tok,
+      |  CAST(max(len) AS BIGINT) AS max_run,
+      |  CAST(count(*) AS BIGINT) AS n_runs,
+      |  max(len) <= 8 AS keep
+      |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic stratified sampling: per-source rate (10/25/40%,
     * keyed off the portable source hash) applied via the portable
     * doc-id hash — reproducible across runs AND engines, no RNG
@@ -1836,6 +1924,8 @@ object TrainingData {
     "d_curation_pipeline" -> (dCurationPipeline _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_gopher_rules" -> (dGopherRules _),
+    "d_quality_lr" -> (dQualityLr _),
+    "d_repetition_break" -> (dRepetitionBreak _),
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_chunking" -> (dChunking _),
     "d_pack" -> (dPack _),
@@ -1876,6 +1966,8 @@ object TrainingData {
     "d_curation_pipeline" -> dCurationPipelineSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_gopher_rules" -> dGopherRulesSql,
+    "d_quality_lr" -> dQualityLrSql,
+    "d_repetition_break" -> dRepetitionBreakSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_chunking" -> dChunkingSql,
     "d_pack" -> dPackSql,
