@@ -158,15 +158,25 @@ object ScaleProbe {
     * order past the routine 10× evidence. Document+embedding tables
     * only (events/funnel are probed at 10×; this mode answers the
     * dedup-chain question). */
+  /** Default deep-probe set; override with `SPARK_GRAFT_PROBE_QUERIES`
+    * (comma-separated catalog names) to take any query one order
+    * deeper — the corpus is reused if already built. */
+  private val DeepQueries =
+    Seq("d_minhash_lsh", "d_jaccard_pairs", "d_dup_clusters")
+
   def probeDeep(spark: SparkSession, scale: Int, reps: Int): Unit = {
     val dir = s"/tmp/sf${scale / 10}probe"
-    println(s"[probe] building ${scale}x corpus at $dir")
-    val tBuild = System.nanoTime()
-    buildCorpus(spark, "/root/testdata/sf0.1", dir, replicas = scale,
-      withEvents = false)
-    println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs " +
-      s"(${spark.read.parquet(s"$dir/documents.parquet").count()} docs)")
-    for (q <- Seq("d_minhash_lsh", "d_jaccard_pairs", "d_dup_clusters")) {
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      println(s"[probe] building ${scale}x corpus at $dir")
+      val tBuild = System.nanoTime()
+      buildCorpus(spark, "/root/testdata/sf0.1", dir, replicas = scale,
+        withEvents = false)
+      println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs " +
+        s"(${spark.read.parquet(s"$dir/documents.parquet").count()} docs)")
+    } else println(s"[probe] reusing ${scale}x corpus at $dir")
+    val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(DeepQueries)
+    for (q <- queries) {
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)
@@ -181,8 +191,9 @@ object ScaleProbe {
     // min-shingle block is ~15 docs per replica, so the catalog cap
     // (1000) never triggers; cap=8 routes every real over-cap block
     // through the MinHash rescue at full 500k-doc scale — measuring
-    // the rescue path itself, not just its cold bypass.
-    {
+    // the rescue path itself, not just its cold bypass. (Default-set
+    // runs only; a custom query list skips it.)
+    if (sys.env.get("SPARK_GRAFT_PROBE_QUERIES").isEmpty) {
       val docs = Tables.documents(spark, dir)
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
