@@ -108,8 +108,15 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val scale = args.lift(1).map(_.toInt).getOrElse(10)
+    // SPARK_GRAFT_SHUFFLE: deep-probe corpora are 100× the bench SF,
+    // so 32 shuffle partitions can exceed per-task buffer memory on
+    // the widest exchanges (e.g. auto-k semdedup assignment: 625M
+    // rows at 200k vectors). Sizing partitions to the data volume is
+    // the same spill-aware rule a real cluster applies; the bench
+    // config itself is unchanged.
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

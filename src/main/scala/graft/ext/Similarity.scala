@@ -91,6 +91,38 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim")), k)
 
+  /** Int8-quantized brute-force top-k: the bandwidth-bound variant of
+    * [[bruteForceTopK]]. Vectors are quantized once to the 72-byte
+    * int8 form ([[graft.functions.QuantizeOps.quantize_i8]] — 8-byte
+    * scale header + one signed byte per dim) and ALL downstream work
+    * runs on the codes: the broadcast query frame ships ~7× fewer
+    * bytes than `array<double>` rows, the per-pair score is one exact
+    * integer dot product, and per-vector scales cancel out of cosine
+    * so no de-scaling is needed. Norms are computed once per vector
+    * before the join (never per pair). Scores are the quantized
+    * cosine — deterministic (integer dots are exact, the float tail
+    * is one sqrt/divide/round) and engine-portable, so the entry is
+    * hash-verified like the exact ANN family; SimilaritySpec bounds
+    * its drift from exact cosine and its recall@k against brute
+    * force. NULL embeddings are dropped on both sides (round-5 NULL
+    * policy). */
+  def int8TopK(embeddings: DataFrame, isQuery: Column, k: Int)
+      : DataFrame = {
+    import graft.functions.QuantizeOps._
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .select(col("vec_id"), quantize_i8(col("emb")).as("qv"))
+      .withColumn("qn", sqrt(dot_i8(col("qv"), col("qv")).cast("double")))
+    val q = base.filter(isQuery).select(col("vec_id").as("query_id"),
+      col("qv").as("q_qv"), col("qn").as("q_qn"))
+    rankTopK(
+      base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot_i8(col("q_qv"), col("qv")).cast("double") /
+            (col("q_qn") * col("qn")), 6).as("cos_sim")), k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * (anchor) vector, the k most cosine-similar vectors carrying a
     * DIFFERENT label — close to the anchor in embedding space but of
@@ -248,6 +280,38 @@ object Similarity {
     val out = pairs.localCheckpoint()
     base.unpersist()
     out
+  }
+
+  /** [[cosineDupPairs]] in its SCALE-SAFE parameterization: the
+    * hyperplane count per table is derived from the corpus so the
+    * bucket count tracks n (2^planes ≈ n / targetBucketSize) and the
+    * per-bucket pair enumeration Σ|b|² stays ≈ n·targetBucketSize —
+    * LINEAR in the corpus. With planes fixed (the hash-verified
+    * `d_embed_dups` shape: 2 planes = 4 buckets per table) bucket
+    * population grows with n and the self-join is quadratic: at the
+    * 100× probe (200k vectors) 4 buckets/table means ~50k vectors per
+    * bucket ≈ 10^10 candidate pairs per table — unrunnable, the exact
+    * failure mode the deep probe caught. Growing planes with log n
+    * keeps per-table candidate generation sparse while the
+    * OR-construction over `tables` independent tables retains
+    * near-dup recall (miss probability for a pair at angle θ is
+    * (1−(1−θ/π)^p)^T — e.g. at cos 0.9, p=12, T=8: <6%; borderline
+    * pairs near the threshold lose more, which is the documented
+    * recall/cost trade every LSH blocking makes). Rows-only by
+    * contract, like [[semDedupAuto]]: the oracle SQL inlines plane
+    * literals, whose count auto-p by definition doesn't fix;
+    * SimilaritySpec asserts auto ≡ explicit at the derived p. */
+  def cosineDupPairsAuto(embeddings: DataFrame, threshold: Double,
+      tables: Int, targetBucketSize: Long, seed: Long,
+      dim: Int = 64): DataFrame = {
+    require(targetBucketSize >= 1, "targetBucketSize must be >= 1")
+    // bounded driver-side scalar (count), same pattern as semDedupAuto
+    val n = embeddings.filter(col("embedding").isNotNull).count()
+    val buckets = math.max(2L,
+      (n + targetBucketSize - 1) / targetBucketSize)
+    val planes = math.max(1,
+      math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    cosineDupPairs(embeddings, threshold, tables, planes, seed, dim)
   }
 
   /** Deterministic Lloyd's k-means over an embedding frame

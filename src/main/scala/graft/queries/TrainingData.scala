@@ -574,6 +574,40 @@ object TrainingData {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Int8-quantized brute-force ANN — the bandwidth variant: all
+    * scoring runs on 72-byte quantized codes (~7× fewer broadcast /
+    * shuffle bytes than `array<double>` rows), the lever a 100-TB
+    * embedding pass is actually bounded by. Hash-verified: the
+    * explicit floor-based rounding formula and exact integer dots
+    * make the quantized cosine reproducible in DuckDB list math. */
+  def sAnnInt8(s: SparkSession, d: String): DataFrame =
+    Similarity.int8TopK(embs(s, d), isQuery, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val sAnnInt8Sql =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |qz0 AS (SELECT vec_id, emb,
+      |    list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS s
+      |  FROM base),
+      |qz AS (SELECT vec_id,
+      |    list_transform(emb, e -> CASE WHEN s = 0 THEN 0.0
+      |      WHEN e >= 0 THEN floor(e * 127.0 / s + 0.5)
+      |      ELSE -floor(-(e * 127.0 / s) + 0.5) END) AS qv
+      |  FROM qz0),
+      |qn AS (SELECT vec_id, qv,
+      |    sqrt(list_dot_product(qv, qv)) AS qn FROM qz),
+      |q AS (SELECT vec_id AS query_id, qv AS q_qv, qn AS q_qn FROM qn
+      |  WHERE vec_id % 40 = 0),
+      |scored AS (SELECT query_id, vec_id AS neighbor_id,
+      |    round(list_dot_product(q_qv, qv) / (q_qn * qn), 6) AS cos_sim
+      |  FROM qn CROSS JOIN q WHERE vec_id <> query_id),
+      |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** LSH-bucketed ANN. Oracle-verified: the seeded hyperplanes are
     * plan literals, so the oracle SQL inlines the same plane values
     * and reproduces bucket assignment + in-bucket ranking exactly. */
@@ -868,6 +902,20 @@ object TrainingData {
   def dEmbedDups(s: SparkSession, d: String): DataFrame =
     Similarity.cosineDupPairs(embs(s, d), threshold = 0.45,
       tables = 8, planesPerTable = 2, seed = 7L)
+      .orderBy("vec_a", "vec_b")
+
+  /** [[dEmbedDups]] in its SCALE-SAFE parameterization: hyperplanes
+    * per table derived from the corpus (2^p ≈ n/64), keeping bucket
+    * population — and the per-bucket self-join — bounded as n grows.
+    * The fixed-plane catalog shape above is quadratic past ~10×
+    * (4 buckets per table regardless of n; the 100× deep probe
+    * measured it unrunnable at 200k vectors), so THIS is the shape a
+    * production corpus runs. Rows-only by contract, precedent
+    * `d_semdedup_auto`: auto-p has no literal plane list for the
+    * oracle to inline; SimilaritySpec pins auto ≡ explicit-p. */
+  def dEmbedDupsAuto(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineDupPairsAuto(embs(s, d), threshold = 0.45,
+      tables = 8, targetBucketSize = 64L, seed = 7L)
       .orderBy("vec_a", "vec_b")
 
   private val dEmbedDupsSql = {
@@ -1917,10 +1965,12 @@ object TrainingData {
     "d_langid" -> (dLangId _),
     "d_fingerprint" -> (dFingerprint _),
     "s_ann_brute" -> (sAnnBrute _),
+    "s_ann_int8" -> (sAnnInt8 _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
     "d_embed_dups" -> (dEmbedDups _),
+    "d_embed_dups_auto" -> (dEmbedDupsAuto _),
     "d_curation_pipeline" -> (dCurationPipeline _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_gopher_rules" -> (dGopherRules _),
@@ -1986,6 +2036,7 @@ object TrainingData {
     "d_pii_redact" -> dPiiRedactSql,
     "d_mix_sources" -> dMixSourcesSql,
     "s_ann_brute" -> sAnnBruteSql,
+    "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,

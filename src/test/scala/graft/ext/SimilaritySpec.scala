@@ -218,4 +218,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(2L, 3L))
     assert(got.forall(_._2 != 1))
   }
+
+  test("cosineDupPairsAuto equals cosineDupPairs at the derived plane " +
+      "count and still finds the corpus near-dups") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val buckets = math.max(2L, (n + 63) / 64)
+    val planes = math.max(1, math.min(24,
+      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    val auto = Similarity.cosineDupPairsAuto(emb, threshold = 0.45,
+      tables = 8, targetBucketSize = 64L, seed = 7L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val explicit = Similarity.cosineDupPairs(emb, threshold = 0.45,
+      tables = 8, planesPerTable = planes, seed = 7L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty, "auto-p blocking must still surface near-dups")
+  }
+
+  test("int8 top-k: quantized cosine tracks exact cosine and recall@5 " +
+      "vs brute force stays high") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val isQ = col("vec_id") % 40 === 0
+    val brute = Similarity.bruteForceTopK(emb, isQ, 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val i8 = Similarity.int8TopK(emb, isQ, 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(i8.length == brute.length)
+    // recall@5: fraction of brute-force top-5 pairs the quantized
+    // ranking reproduces — int8 on 64 dims loses little
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val recall = i8.count(r => bruteSet.contains((r._1, r._2))).toDouble /
+      bruteSet.size
+    assert(recall >= 0.85, s"int8 recall@5 $recall")
+    // score drift: quantized cosine of overlapping pairs within 0.02
+    val exactByPair = brute.map(r => ((r._1, r._2), r._3)).toMap
+    i8.foreach { case (q, n, c) =>
+      exactByPair.get((q, n)).foreach { e =>
+        assert(math.abs(c - e) < 0.02, s"pair ($q,$n): i8 $c vs exact $e")
+      }
+    }
+  }
 }
