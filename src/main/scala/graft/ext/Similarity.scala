@@ -162,7 +162,15 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-of-projection LSH bucket id (one int per vector). */
+  /** Sign-of-projection LSH bucket id (one int per vector).
+    *
+    * Reference composition, kept for the kernel-equivalence spec and
+    * for readers: the production paths below use the
+    * [[graft.functions.HyperplaneBuckets]] kernel, which computes the
+    * identical bucket ids (same left-to-right IEEE dots, same bit
+    * layout) without inlining planes × dim literals into the plan —
+    * at auto-p scale the literal composition's analysis + Janino
+    * compile dominated cold runs (~100 s at sf0.01 vs ~1 s warm). */
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
       val proj = graft.functions.ArrayOps.dot_product(emb,
@@ -204,7 +212,8 @@ object Similarity {
       .filter(col("emb").isNotNull)
       .filter(coalesce(assert_true(size(col("emb")) === dim,
         lit(s"lshTopK: embedding dim != $dim")), lit(true)))
-      .withColumn("bucket", lshBucket(col("emb"), hyperplanes(numPlanes, dim, seed)))
+      .withColumn("bucket", graft.functions.HyperplaneBuckets(
+        col("emb"), Seq(hyperplanes(numPlanes, dim, seed))).getItem(0))
 
   private def lshCore(base: DataFrame, q: DataFrame, k: Int): DataFrame =
     rankTopK(
@@ -250,10 +259,13 @@ object Similarity {
         lit(s"cosineDupPairs: embedding dim != $dim")), lit(true)))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one kernel call yields every table's bucket id — plan size is
+    // independent of tables × planes (vs the literal composition,
+    // whose codegen dominated cold runs at auto-p plane counts)
     val keyed = base.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("emb"),
-          hyperplanes(planesPerTable, dim, seed + t))): _*)))
+      posexplode(graft.functions.HyperplaneBuckets(col("emb"),
+        (0 until tables).map(t =>
+          hyperplanes(planesPerTable, dim, seed + t)))))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
     val cand = keyed.alias("a").join(keyed.alias("b"),

@@ -100,6 +100,29 @@ class ArrayOpsSpec extends SparkSpec {
     both.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
+  test("hyperplane_buckets equals the literal lshBucket composition " +
+      "for every table") {
+    import graft.ext.Similarity
+    val dim = 8
+    val tables = 5
+    val planesPerTable = 3
+    val allPlanes = (0 until tables).map(t =>
+      Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t))
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(40)(Seq.fill(dim)(rnd.nextGaussian()))
+      .map(Tuple1(_)).toDF("emb")
+    val both = vecs.select(
+      HyperplaneBuckets($"emb", allPlanes).as("fast"),
+      array(allPlanes.map(p =>
+        Similarity.lshBucket($"emb", p)): _*).as("ref"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    both.foreach { case (fast, ref) => assert(fast == ref) }
+    // dim mismatch must be null, not a silent one-bucket collapse
+    val bad = Seq(Tuple1(Seq(1.0, 2.0))).toDF("emb")
+      .select(HyperplaneBuckets($"emb", allPlanes)).collect()
+    assert(bad.head.isNullAt(0))
+  }
+
   test("kernels survive both codegen and interpreted eval paths") {
     // interpreted path: force eval via a filter on a literal-free expr
     val row = docs.filter(
