@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1557,6 +1557,82 @@ object TrainingData {
        |FROM tk JOIN sc USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-document
+    * log importance weight ln(p_target(x)/p_raw(x)) under hashed
+    * bag-of-unigram models — the target model trained on the
+    * designated high-quality slice (`source = 'src1'` here), the raw
+    * model on the whole corpus, both Laplace-smoothed over a FIXED
+    * `buckets`-wide hashed vocabulary. Documents whose token
+    * distribution resembles the target slice score high; resampling
+    * by this weight is DSIR's selection step.
+    *
+    * Scale shape: hashing the vocabulary into a fixed bucket count is
+    * what makes this a 100-TB operator — both models are exactly
+    * `buckets` rows regardless of corpus size, so the per-bucket
+    * score frame BROADCASTS by construction and the per-token join
+    * back is shuffle-free (hot buckets are irrelevant under a
+    * broadcast join — contrast the shuffled-join skew machinery
+    * [[lmScore]] needs for its unbounded exact vocabulary). One
+    * corpus scan, one fixed-width aggregate, one per-doc aggregate.
+    * Parity: per-bucket score rounded to 6 decimals before the
+    * order-independent decimal sum, as everywhere in this family. */
+  def dDsir(s: SparkSession, d: String): DataFrame =
+    dsirWeights(docs(s, d), col("source") === "src1")
+
+  /** Operator body of [[dDsir]] over any (doc_id, text, …) frame,
+    * `isTarget` marking the target-distribution rows. */
+  def dsirWeights(documents: DataFrame, isTarget: Column,
+      buckets: Int = 4096, materialize: Boolean = true): DataFrame = {
+    val toksRaw = documents.select(col("doc_id"),
+        isTarget.as("is_t"),
+        explode(graft.functions.ArrayOps.array_poly_hash(
+          TextStats.tokens(col("text")))).as("th"))
+      .withColumn("b", col("th") % buckets).drop("th")
+    val toks = if (materialize)
+      toksRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else toksRaw
+    val model = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt_r"),
+        count(when(col("is_t"), 1)).as("cnt_t"))
+    val tot = model.agg(sum(col("cnt_r")).as("tot_r"),
+      sum(col("cnt_t")).as("tot_t"))
+    val score = model.crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        log((col("cnt_t") + lit(1)).cast("double") /
+          (col("tot_t") + lit(buckets))) -
+        log((col("cnt_r") + lit(1)).cast("double") /
+          (col("tot_r") + lit(buckets))), 6).as("w"))
+    val out = toks.join(broadcast(score), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sumDec(col("w")).as("logw"))
+      .orderBy("doc_id")
+    if (!materialize) out
+    else {
+      val res = out.localCheckpoint()
+      toks.unpersist()
+      res
+    }
+  }
+
+  private val dDsirSql =
+    s"""WITH tk0 AS (SELECT doc_id, source = 'src1' AS is_t,
+       |    unnest(list_transform(string_split(text, ' '),
+       |      t -> ${sqlPolyHash("t")})) AS th
+       |  FROM documents),
+       |tk AS (SELECT doc_id, is_t, th % 4096 AS b FROM tk0),
+       |m AS (SELECT b, count(*) AS cnt_r,
+       |    count(CASE WHEN is_t THEN 1 END) AS cnt_t
+       |  FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM m),
+       |sc AS (SELECT b,
+       |    round(ln((cnt_t + 1)::DOUBLE / (tot_t + 4096)) -
+       |          ln((cnt_r + 1)::DOUBLE / (tot_r + 4096)), 6) AS w
+       |  FROM m, tot)
+       |SELECT doc_id, count(*) AS n_tok, ${sqlSumDec("w")} AS logw
+       |FROM tk JOIN sc USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Chunk-level exact dedup-and-rewrite (the paragraph-dedup stage
     * of CCNet, Wenzek et al. 2020 — over fixed 8-token chunks here,
     * since the corpus carries no paragraph breaks): every chunk whose
@@ -1985,6 +2061,7 @@ object TrainingData {
     "d_span_dedup" -> (dSpanDedup _),
     "d_lm_score" -> (dLmScore _),
     "d_lm_bigram" -> (dLmBigram _),
+    "d_dsir" -> (dDsir _),
     "d_semdedup" -> (dSemdedup _),
     "d_semdedup_auto" -> (dSemdedupAuto _),
     "d_chunk_dedup" -> (dChunkDedup _),
@@ -2027,6 +2104,7 @@ object TrainingData {
     "d_span_dedup" -> dSpanDedupSql,
     "d_lm_score" -> dLmScoreSql,
     "d_lm_bigram" -> dLmBigramSql,
+    "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_kl_sources" -> dKlSourcesSql,

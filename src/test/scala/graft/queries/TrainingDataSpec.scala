@@ -201,6 +201,38 @@ class TrainingDataSpec extends SparkSpec {
       s"hapax doc must score highest: $nll")
   }
 
+  test("d_dsir: target-like docs outweigh off-target docs, token " +
+      "counts conserved, model join is a broadcast") {
+    // constructed corpus: target slice speaks vocabulary A, the rest
+    // vocabulary B; two probe docs (neither in the target slice) —
+    // the A-speaking probe must carry the higher importance weight
+    val synth = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "alpha gamma beta beta", true),
+      (3L, "omega sigma tau rho", false),
+      (4L, "sigma rho omega tau", false),
+      (5L, "alpha beta gamma beta", false), // A-speaking probe
+      (6L, "omega tau sigma rho", false))   // B-speaking probe
+      .toDF("doc_id", "text", "is_t")
+    val w = TrainingData.dsirWeights(synth, col("is_t"),
+        materialize = false)
+    val m = w.select("doc_id", "logw").as[(Long, Double)]
+      .collect().toMap
+    assert(m(5L) > m(6L),
+      s"target-vocabulary probe must outweigh off-target probe: $m")
+    // fixed-bucket model ⇒ score frame broadcasts (never a shuffle)
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // token conservation on the real corpus
+    val d = TrainingData.dDsir(spark, sf0001).cache()
+    val wantToks = graft.Tables.documents(spark, sf0001)
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(d.select(sum(col("n_tok"))).as[Long].head() == wantToks)
+    assert(d.count() ==
+      graft.Tables.documents(spark, sf0001).count())
+    d.unpersist()
+  }
+
   test("d_corpus_card: shares sum to 1 and totals reconcile with " +
       "the raw corpus") {
     val card = TrainingData.dCorpusCard(spark, sf0001).cache()
