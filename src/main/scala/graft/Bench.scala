@@ -118,10 +118,15 @@ object Bench {
     val sfNum = """sf([0-9]+(?:\.[0-9]+)?)$""".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     def mkLine(fmt: Double => String, minKeep: Double = 0.0): String = {
-      val qs = results.filter(_._2 >= minKeep)
+      val kept = results.filter(_._2 >= minKeep)
+      val qs = kept
         .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"reps":$reps}"""
+      // "dropped" makes a key missing from "queries" distinguishable
+      // from a query removed from the catalog: round-over-round
+      // consumers see spurious removals otherwise when contention
+      // pushes the line onto a higher-threshold fallback tier
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"dropped":${results.length - kept.length},"sf":$sfNum,"reps":$reps}"""
     }
     // Fallback chain: shed FAST entries before shedding DIGITS. The
     // warm noop-write floor is ~0.1-0.3s, so a sub-threshold entry

@@ -108,14 +108,47 @@ object Similarity {
     * policy). */
   def int8TopK(embeddings: DataFrame, isQuery: Column, k: Int)
       : DataFrame = {
+    val base = int8Base(embeddings)
+    val q = base.filter(isQuery).select(col("vec_id").as("query_id"),
+      col("qv").as("q_qv"), col("qn").as("q_qn"))
+    int8Core(base, q, k)
+  }
+
+  /** [[int8TopK]] with the query set given as an id frame (single
+    * `vec_id` column, e.g. from [[sampleQueryIds]]) — the fixed-|Q|
+    * shape: total work O(|Q|·|C|) stays linear in the corpus. */
+  def int8TopK(embeddings: DataFrame, queryIds: DataFrame, k: Int)
+      : DataFrame = {
+    val base = int8Base(embeddings)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        col("qv").as("q_qv"), col("qn").as("q_qn"))
+    int8Core(base, q, k)
+  }
+
+  /** Quantized corpus frame shared by the int8 scorers: (vec_id, qv,
+    * qn). Three drops, mirrored in every int8 oracle: NULL embeddings;
+    * vectors a NULL element poisoned to a NULL code (they would emit
+    * k rows ranked purely by neighbor_id — the failure mode the
+    * [[hardNegatives]] NULL policy exists for); and zero-norm vectors
+    * (qn = 0 divides to NULL in Spark but NaN/±inf under DuckDB's
+    * IEEE float division — a hash-parity trap; a zero vector has no
+    * cosine direction to rank anyway). In SQL the single `qn > 0`
+    * predicate covers the last two: a NULL-element code yields NULL
+    * qn, and NULL > 0 filters out. */
+  private def int8Base(embeddings: DataFrame): DataFrame = {
     import graft.functions.QuantizeOps._
-    val base = embeddings.select(col("vec_id"),
+    embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .select(col("vec_id"), quantize_i8(col("emb")).as("qv"))
+      .filter(col("qv").isNotNull)
       .withColumn("qn", sqrt(dot_i8(col("qv"), col("qv")).cast("double")))
-    val q = base.filter(isQuery).select(col("vec_id").as("query_id"),
-      col("qv").as("q_qv"), col("qn").as("q_qn"))
+      .filter(col("qn") > 0)
+  }
+
+  private def int8Core(base: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import graft.functions.QuantizeOps._
     rankTopK(
       base.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -458,6 +491,77 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF × int8 — the production composition of the two ANN levers.
+    * [[ivfTopK]]'s coarse quantizer prunes the corpus to `nprobe`
+    * label partitions per query, and EVERY pair score downstream of
+    * quantization (probe selection and fine ranking) runs on the
+    * 72-byte int8 codes — so a 100-TB pass gets both the
+    * nprobe/k_clusters candidate reduction and the ~7× byte reduction
+    * on everything broadcast or shuffled. Centroids are the exact
+    * decimal-arithmetic per-label means of [[ivfTopK]] (computed once
+    * from the double embeddings, engine-portable), then quantized
+    * with the identical formula as the corpus, so a DuckDB oracle
+    * reproduces both levels bit-for-bit and the entry is
+    * hash-verified. The query set is a fixed-size id frame
+    * ([[sampleQueryIds]]): total work O(|Q|·(k_clusters +
+    * nprobe·|C|/k_clusters)) — linear in the corpus, unlike the
+    * brute [[int8TopK]] baseline with a proportional predicate.
+    * One corpus scan: the double base persists across the centroid
+    * aggregation and the quantization, then releases (the
+    * [[cosineDupPairs]] leak-avoidance pattern). */
+  def ivfTopKInt8(embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    import graft.functions.QuantizeOps._
+    val base0 = embeddings.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same decimal-sum centroid recipe as ivfTopK — order-independent
+    // and SQL-reproducible
+    val centroids = base0
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
+        count(lit(1)), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x("cv")).as("centroid"))
+    val cq = centroids
+      .select(col("label"), quantize_i8(col("centroid")).as("c_qv"))
+      .withColumn("c_qn",
+        sqrt(dot_i8(col("c_qv"), col("c_qv")).cast("double")))
+      .filter(col("c_qn") > 0)
+    // quantized corpus: the only frame that flows into pair scoring
+    // (same NULL/zero-norm drops as int8Base, plus the label key)
+    val base = base0
+      .select(col("vec_id"), col("label"), quantize_i8(col("emb")).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qn", sqrt(dot_i8(col("qv"), col("qv")).cast("double")))
+      .filter(col("qn") > 0)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        col("qv").as("q_qv"), col("qn").as("q_qn"))
+    val probes = q.crossJoin(broadcast(cq))
+      .select(col("query_id"), col("q_qv"), col("q_qn"), col("label"),
+        round(dot_i8(col("q_qv"), col("c_qv")).cast("double") /
+          (col("q_qn") * col("c_qn")), 6).as("c_sim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("c_sim"), asc("label"))
+    val probed = probes.withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_qv"), col("q_qn"), col("label"))
+    val topk = rankTopK(
+      base.join(broadcast(probed), Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot_i8(col("q_qv"), col("qv")).cast("double") /
+            (col("q_qn") * col("qn")), 6).as("cos_sim")), k)
+    val out = topk.localCheckpoint()
+    base0.unpersist()
+    out
   }
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,

@@ -574,39 +574,126 @@ object TrainingData {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Int8-quantized brute-force ANN — the bandwidth variant: all
-    * scoring runs on 72-byte quantized codes (~7× fewer broadcast /
-    * shuffle bytes than `array<double>` rows), the lever a 100-TB
-    * embedding pass is actually bounded by. Hash-verified: the
-    * explicit floor-based rounding formula and exact integer dots
-    * make the quantized cosine reproducible in DuckDB list math. */
-  def sAnnInt8(s: SparkSession, d: String): DataFrame =
-    Similarity.int8TopK(embs(s, d), isQuery, k = 5)
+  /** Int8-quantized brute-force ANN — the bandwidth REFERENCE POINT:
+    * all scoring runs on 72-byte quantized codes (~7× fewer
+    * broadcast / shuffle bytes than `array<double>` rows), the lever
+    * a 100-TB embedding pass is actually bounded by. Hash-verified:
+    * the explicit floor-based rounding formula and exact integer
+    * dots make the quantized cosine reproducible in DuckDB list
+    * math. The query set is the FIXED deterministic sample
+    * ([[Similarity.sampleQueryIds]], |Q| = 16, same recipe as
+    * [[sAnnRecall]]) — so even this exact-scan baseline is
+    * O(|Q|·|C|), linear in the corpus, not the quadratic
+    * proportional-predicate shape. The production scale path is
+    * [[sAnnIvfInt8]], which rides the IVF candidate pruning. */
+  def sAnnInt8(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.int8TopK(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16), k = 5)
       .orderBy("query_id", "rank")
+  }
+
+  /** Shared oracle fragment: quantize CTE chain `base` →
+    * (`qz0`, `qz`, `qn`) reproducing [[graft.functions.QuantizeOps]]
+    * bit-for-bit — max-abs scale, round-half-away-from-zero spelled
+    * with floor so both engines run the identical IEEE sequence. The
+    * `qn > 0` predicate mirrors the Spark side's zero-norm and
+    * NULL-element drops (a NULL element makes qn NULL; NULL > 0 is
+    * not true). `extraCols` carries additional base columns (e.g.
+    * `label`) through the chain. */
+  private def quantizeSql(extraCols: String = ""): String =
+    s"""qz0 AS (SELECT vec_id,$extraCols emb,
+       |    list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS s
+       |  FROM base),
+       |qz AS (SELECT vec_id,$extraCols
+       |    list_transform(emb, e -> CASE WHEN s = 0 THEN 0.0
+       |      WHEN e >= 0 THEN floor(e * 127.0 / s + 0.5)
+       |      ELSE -floor(-(e * 127.0 / s) + 0.5) END) AS qv
+       |  FROM qz0),
+       |qn AS (SELECT * FROM (SELECT vec_id,$extraCols qv,
+       |    sqrt(list_dot_product(qv, qv)) AS qn FROM qz)
+       |  WHERE qn > 0)""".stripMargin
+
+  private val qidsSql =
+    """qids AS (SELECT vec_id FROM base
+      |  ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id
+      |  LIMIT 16)""".stripMargin
 
   private val sAnnInt8Sql =
-    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-      |  FROM embeddings WHERE embedding IS NOT NULL),
-      |qz0 AS (SELECT vec_id, emb,
-      |    list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS s
-      |  FROM base),
-      |qz AS (SELECT vec_id,
-      |    list_transform(emb, e -> CASE WHEN s = 0 THEN 0.0
-      |      WHEN e >= 0 THEN floor(e * 127.0 / s + 0.5)
-      |      ELSE -floor(-(e * 127.0 / s) + 0.5) END) AS qv
-      |  FROM qz0),
-      |qn AS (SELECT vec_id, qv,
-      |    sqrt(list_dot_product(qv, qv)) AS qn FROM qz),
-      |q AS (SELECT vec_id AS query_id, qv AS q_qv, qn AS q_qn FROM qn
-      |  WHERE vec_id % 40 = 0),
-      |scored AS (SELECT query_id, vec_id AS neighbor_id,
-      |    round(list_dot_product(q_qv, qv) / (q_qn * qn), 6) AS cos_sim
-      |  FROM qn CROSS JOIN q WHERE vec_id <> query_id),
-      |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
-      |  FROM scored)
-      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |${quantizeSql()},
+       |$qidsSql,
+       |q AS (SELECT n.vec_id AS query_id, n.qv AS q_qv, n.qn AS q_qn
+       |  FROM qn n JOIN qids s ON n.vec_id = s.vec_id),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(list_dot_product(q_qv, qv) / (q_qn * qn), 6) AS cos_sim
+       |  FROM qn CROSS JOIN q WHERE vec_id <> query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF × int8 ANN — the production composition
+    * ([[Similarity.ivfTopKInt8]]): coarse label-centroid pruning to
+    * `nprobe` partitions per query, int8 scoring everywhere
+    * downstream of quantization. Hash-verified: centroids are the
+    * same exact-decimal means as [[sAnnIvf]], quantized with the
+    * same portable formula as the corpus codes. Fixed |Q| = 16. */
+  def sAnnIvfInt8(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKInt8(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnIvfInt8Sql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dims AS (SELECT label, i,
+       |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |cq0 AS (SELECT label, centroid,
+       |    list_aggregate(list_transform(centroid, x -> abs(x)), 'max')
+       |      AS cs
+       |  FROM cent),
+       |cq AS (SELECT * FROM (SELECT label,
+       |    sqrt(list_dot_product(c_qv, c_qv)) AS c_qn, c_qv
+       |  FROM (SELECT label,
+       |      list_transform(centroid, e -> CASE WHEN cs = 0 THEN 0.0
+       |        WHEN e >= 0 THEN floor(e * 127.0 / cs + 0.5)
+       |        ELSE -floor(-(e * 127.0 / cs) + 0.5) END) AS c_qv
+       |    FROM cq0)) WHERE c_qn > 0),
+       |${quantizeSql(" label,")},
+       |$qidsSql,
+       |q AS (SELECT n.vec_id AS query_id, n.qv AS q_qv, n.qn AS q_qn
+       |  FROM qn n JOIN qids s ON n.vec_id = s.vec_id),
+       |probes AS (SELECT query_id, q_qv, q_qn, label,
+       |    round(list_dot_product(q_qv, c_qv) / (q_qn * c_qn), 6)
+       |      AS c_sim
+       |  FROM q CROSS JOIN cq),
+       |probed AS (SELECT query_id, q_qv, q_qn, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |scored AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+       |    round(list_dot_product(p.q_qv, n.qv) / (p.q_qn * n.qn), 6)
+       |      AS cos_sim
+       |  FROM qn n JOIN probed p ON n.label = p.label
+       |  WHERE n.vec_id <> p.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** LSH-bucketed ANN. Oracle-verified: the seeded hyperplanes are
     * plan literals, so the oracle SQL inlines the same plane values
@@ -2044,6 +2131,7 @@ object TrainingData {
     "s_ann_int8" -> (sAnnInt8 _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
@@ -2117,6 +2205,7 @@ object TrainingData {
     "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
+    "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "m_binary_meta" -> mBinaryMetaSql,

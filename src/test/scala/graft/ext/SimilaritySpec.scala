@@ -236,6 +236,49 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.nonEmpty, "auto-p blocking must still surface near-dups")
   }
 
+  test("int8 query-id overload matches the predicate form, and IVF×int8 " +
+      "with all labels probed equals the int8 exact scan") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("embedding").isNotNull)
+    val qids = Similarity.sampleQueryIds(emb, 8).localCheckpoint()
+    val idSet = qids.as[Long].collect().toSet
+    val pred = col("vec_id").isInCollection(idSet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = rows(Similarity.int8TopK(emb, qids, 5))
+    assert(brute == rows(Similarity.int8TopK(emb, pred, 5)))
+    // nprobe >= the label count means IVF prunes nothing — the
+    // composition must then reproduce the exact int8 scan, proving
+    // the only difference is the candidate pruning
+    val nLabels = emb.select("label").distinct().count().toInt
+    assert(rows(Similarity.ivfTopKInt8(emb, qids, 5, nprobe = nLabels))
+      == brute)
+    // with real pruning it returns k rows per surviving query from a
+    // strict candidate subset
+    val pruned = Similarity.ivfTopKInt8(emb, qids, 5, nprobe = 1)
+    assert(pruned.count() > 0)
+  }
+
+  test("int8 scorers drop NULL, NULL-element, and zero-norm vectors " +
+      "on both sides (oracle qn > 0 parity)") {
+    val vecs = Seq(
+      (0L, Some(Seq(Option(1.0f), Option(0.0f), Option(0.0f)))),
+      (1L, Some(Seq(Option(0.0f), Option(0.0f), Option(0.0f)))), // zero
+      (2L, Some(Seq(Option(0.9f), Option(0.1f), Option(0.0f)))),
+      (3L, None),                                      // NULL embedding
+      (4L, Some(Seq(Option(0.5f), None, Option(0.1f))))) // NULL element
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8TopK(vecs, col("vec_id") <= 1L, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // the zero-norm query (1) emits nothing — in Spark its cosine is
+    // NULL (0/0), in DuckDB NaN/inf: dropping it is what keeps the
+    // entry hash-verifiable
+    assert(got.forall(_._1 == 0L), "zero-norm query must emit nothing")
+    assert(got.map(_._2).toSet == Set(2L),
+      "zero-norm / NULL / NULL-element vectors are never neighbors")
+  }
+
   test("int8 top-k: quantized cosine tracks exact cosine and recall@5 " +
       "vs brute force stays high") {
     val emb = graft.Tables.embeddings(spark, sf0001)
