@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The container ships no media codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`decodeStub`) — the Spark-side
-  * plumbing is real: typed Dataset schema, mapPartitions batching
-  * (amortizes per-batch decoder setup, the shape a JNI/FFmpeg/libjpeg
+  * Decode coverage: PNG (from-scratch Inflater+unfilter decoder),
+  * PCM WAV (from-scratch RIFF walk), and JPEG (the JDK's bundled
+  * ImageIO codec — the one compressed format every standard JVM
+  * ships a full decoder for) are REAL pixel/sample decodes. Only
+  * genuinely codec-less formats (MP4 video) take the clearly-marked
+  * deterministic STUB (`decodeStub`). The Spark-side plumbing is the
+  * same for all: typed Dataset schema, mapPartitions batching
+  * (amortizes per-batch decoder setup, the shape a JNI/FFmpeg
   * binding needs), partition sizing by byte budget, and frame
   * sampling over the binary payload.
   */
@@ -98,11 +102,47 @@ object Multimodal {
     } else None
   }
 
+  /** Real JPEG header parse, pure JVM: SOI magic, then the marker
+    * walk of ITU T.81 to the first SOFn frame header (C0–CF minus
+    * C4/C8/CC which are DHT/JPG/DAC), big-endian height/width at
+    * payload offsets +1/+3. None when the bytes aren't a well-formed
+    * JPEG stream up to its frame header. */
+  def jpegMeta(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xff) off += 1 // fill byte before a marker
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+        off += 2 // standalone markers carry no length
+      else if (marker == 0xd9 || marker == 0xda)
+        return None // EOI / scan data reached without any SOF
+      else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > b.length) return None
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (len < 9) return None
+          val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+          return if (w > 0 && h > 0)
+            Some(MediaMeta(-1L, b.length, w, h, "jpeg", crc(b)))
+          else None
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
+
   /** Decode one blob: REAL header parse for formats a bare JVM can
-    * sniff (PNG, WAV); the deterministic stub for everything else
-    * (no codec libraries in this container). */
+    * sniff (PNG, WAV, JPEG); the deterministic stub for everything
+    * else (MP4 — no video codec on a bare JVM). */
   def decode(bytes: Array[Byte]): MediaMeta =
-    pngMeta(bytes).orElse(wavMeta(bytes)).getOrElse(decodeStub(bytes))
+    pngMeta(bytes).orElse(wavMeta(bytes)).orElse(jpegMeta(bytes))
+      .getOrElse(decodeStub(bytes))
 
   // --- real PNG pixel decode (pure JVM: Inflater + unfilter) --------
 
@@ -235,6 +275,40 @@ object Multimodal {
     Some(PngPixels(w, h, rgb))
   }
 
+  /** Real JPEG pixel decode via the JDK's bundled ImageIO codec —
+    * JPEG is the one compressed image format every standard JVM
+    * ships a complete decoder for, so no external codec library is
+    * needed. Sniffs the SOI magic first (non-JPEG bytes never pay a
+    * codec round-trip — ImageIO's own format probe is far more
+    * expensive than a 3-byte check), then bulk-extracts the raster
+    * into the same RGB layout as [[pngDecode]] so featurize / resize
+    * share one code path. Same raster-size cap as PNG; any decode
+    * failure returns None and callers fall back per their stub
+    * policy — a wrong answer is never produced. */
+  def jpegDecode(b: Array[Byte]): Option[PngPixels] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff ||
+        (b(1) & 0xff) != 0xd8 || (b(2) & 0xff) != 0xff) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > MaxRasterBytes) return None
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val p = argb(i)
+      rgb(i * 3) = ((p >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    Some(PngPixels(w, h, rgb))
+  }
+
   /** Minimal PNG encoder (the write half of [[pngDecode]]): 8-bit
     * truecolor, filter 0 scanlines, one deflated IDAT — enough to
     * round-trip a resized raster as a real, standards-valid PNG. */
@@ -279,32 +353,41 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Real image featurizer over decoded PNG pixels: mean R/G/B, mean
-    * Rec.601 luma, and a 4-bin luma histogram (fractions) — 8 dims,
-    * the same shape as [[featureStub]] so either path fits one
-    * schema. None when the bytes aren't a decodable PNG. */
-  def pngFeatures(b: Array[Byte]): Option[Array[Double]] =
-    pngDecode(b).map { img =>
-      val n = img.width.toLong * img.height
-      var sr = 0L; var sg = 0L; var sb = 0L
-      val hist = new Array[Long](4)
-      var lumaSum = 0.0
-      var i = 0
-      while (i < n) {
-        val r = img.rgb(i.toInt * 3) & 0xff
-        val g = img.rgb(i.toInt * 3 + 1) & 0xff
-        val bl = img.rgb(i.toInt * 3 + 2) & 0xff
-        sr += r; sg += g; sb += bl
-        val luma = 0.299 * r + 0.587 * g + 0.114 * bl
-        lumaSum += luma
-        hist(math.min(luma.toInt >> 6, 3)) += 1
-        i += 1
-      }
-      def r6(d: Double): Double = math.rint(d * 1e6) / 1e6
-      Array(r6(sr.toDouble / n), r6(sg.toDouble / n), r6(sb.toDouble / n),
-        r6(lumaSum / n), r6(hist(0).toDouble / n), r6(hist(1).toDouble / n),
-        r6(hist(2).toDouble / n), r6(hist(3).toDouble / n))
+  /** Real image featurizer over a decoded RGB raster: mean R/G/B,
+    * mean Rec.601 luma, and a 4-bin luma histogram (fractions) — 8
+    * dims, the same shape as [[featureStub]] so every path fits one
+    * schema. Shared by the PNG and JPEG feature extractors. */
+  def rasterFeatures(img: PngPixels): Array[Double] = {
+    val n = img.width.toLong * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](4)
+    var lumaSum = 0.0
+    var i = 0
+    while (i < n) {
+      val r = img.rgb(i.toInt * 3) & 0xff
+      val g = img.rgb(i.toInt * 3 + 1) & 0xff
+      val bl = img.rgb(i.toInt * 3 + 2) & 0xff
+      sr += r; sg += g; sb += bl
+      val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+      lumaSum += luma
+      hist(math.min(luma.toInt >> 6, 3)) += 1
+      i += 1
     }
+    def r6(d: Double): Double = math.rint(d * 1e6) / 1e6
+    Array(r6(sr.toDouble / n), r6(sg.toDouble / n), r6(sb.toDouble / n),
+      r6(lumaSum / n), r6(hist(0).toDouble / n), r6(hist(1).toDouble / n),
+      r6(hist(2).toDouble / n), r6(hist(3).toDouble / n))
+  }
+
+  /** [[rasterFeatures]] over [[pngDecode]]; None when the bytes
+    * aren't a decodable PNG. */
+  def pngFeatures(b: Array[Byte]): Option[Array[Double]] =
+    pngDecode(b).map(rasterFeatures)
+
+  /** [[rasterFeatures]] over [[jpegDecode]]; None when the bytes
+    * aren't a decodable JPEG. */
+  def jpegFeatures(b: Array[Byte]): Option[Array[Double]] =
+    jpegDecode(b).map(rasterFeatures)
 
   /** Real pixel resize for PNG payloads: decode, nearest-neighbor
     * sample to the fit-within-box dimensions (same arithmetic as
@@ -312,31 +395,45 @@ object Multimodal {
     * upscale), re-encode with [[pngEncode]]. None for non-PNG bytes
     * (callers keep the original blob — the stub passthrough). */
   def pngResize(b: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =
-    pngDecode(b).map { img =>
-      val scale = math.min(math.min(maxW.toDouble / img.width,
-        maxH.toDouble / img.height), 1.0)
-      val ow = math.max((img.width * scale).toInt, 1)
-      val oh = math.max((img.height * scale).toInt, 1)
-      if (ow == img.width && oh == img.height) pngEncode(img)
-      else {
-        val out = new Array[Byte](ow * oh * 3)
-        var y = 0
-        while (y < oh) {
-          val sy = (y.toLong * img.height / oh).toInt
-          var x = 0
-          while (x < ow) {
-            val sx = (x.toLong * img.width / ow).toInt
-            val s = (sy * img.width + sx) * 3
-            val d = (y * ow + x) * 3
-            out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1)
-            out(d + 2) = img.rgb(s + 2)
-            x += 1
-          }
-          y += 1
+    pngDecode(b).map(img => pngEncode(resizeRaster(img, maxW, maxH)))
+
+  /** Real pixel resize for JPEG payloads: ImageIO decode, the same
+    * nearest-neighbor box fit as [[pngResize]], re-encoded as PNG
+    * (a deliberate transcode: PNG is lossless and our encoder is
+    * deterministic, while JPEG re-encoding quality is
+    * encoder-version-dependent — the wrong property for reproducible
+    * pipelines). None for non-JPEG bytes. */
+  def jpegResize(b: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =
+    jpegDecode(b).map(img => pngEncode(resizeRaster(img, maxW, maxH)))
+
+  /** Nearest-neighbor fit-within-box resample (same arithmetic as
+    * [[resizeDims]]: scale = min(maxW/w, maxH/h, 1), floor, ≥ 1,
+    * never upscale) — shared by the PNG and JPEG resize paths. */
+  def resizeRaster(img: PngPixels, maxW: Int, maxH: Int): PngPixels = {
+    val scale = math.min(math.min(maxW.toDouble / img.width,
+      maxH.toDouble / img.height), 1.0)
+    val ow = math.max((img.width * scale).toInt, 1)
+    val oh = math.max((img.height * scale).toInt, 1)
+    if (ow == img.width && oh == img.height) img
+    else {
+      val out = new Array[Byte](ow * oh * 3)
+      var y = 0
+      while (y < oh) {
+        val sy = (y.toLong * img.height / oh).toInt
+        var x = 0
+        while (x < ow) {
+          val sx = (x.toLong * img.width / ow).toInt
+          val s = (sy * img.width + sx) * 3
+          val d = (y * ow + x) * 3
+          out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1)
+          out(d + 2) = img.rgb(s + 2)
+          x += 1
         }
-        pngEncode(PngPixels(ow, oh, out))
+        y += 1
       }
+      PngPixels(ow, oh, out)
     }
+  }
 
   // --- real WAV PCM decode (pure JVM: RIFF walk + LE samples) -------
 
@@ -440,8 +537,8 @@ object Multimodal {
     * of `batchSize` so a real decoder could process one batch per
     * native call (the `mapInPandas`/Arrow-batch shape, expressed
     * Scala-native). Lazy iterators — no partition materialization.
-    * PNG/WAV payloads get a real header parse ([[decode]]); other
-    * formats fall back to the labeled stub. */
+    * PNG/WAV/JPEG payloads get a real header parse ([[decode]]);
+    * other formats fall back to the labeled stub. */
   def decodeMeta(records: Dataset[MediaRecord], batchSize: Int = 64)
       : Dataset[MediaMeta] = {
     import records.sparkSession.implicits._
@@ -489,11 +586,11 @@ object Multimodal {
 
   /** Batched per-partition feature extraction — same mapPartitions
     * shape as [[decodeMeta]] (one "model session" per batch). PNG
-    * payloads get REAL pixel statistics ([[pngFeatures]]: decoded
-    * raster means + luma histogram) and PCM WAV payloads REAL sample
-    * statistics ([[wavFeatures]]: RMS/peak/zero-crossings); other
-    * formats fall back to the labeled stub, with an identical 8-dim
-    * output shape. */
+    * and JPEG payloads get REAL pixel statistics ([[pngFeatures]] /
+    * [[jpegFeatures]]: decoded raster means + luma histogram) and
+    * PCM WAV payloads REAL sample statistics ([[wavFeatures]]:
+    * RMS/peak/zero-crossings); only codec-less formats fall back to
+    * the labeled stub, with an identical 8-dim output shape. */
   def extractFeatures(records: Dataset[MediaRecord], batchSize: Int = 64)
       : Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
@@ -501,6 +598,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map(r => MediaFeatures(r.doc_id,
           pngFeatures(r.media).orElse(wavFeatures(r.media))
+            .orElse(jpegFeatures(r.media))
             .getOrElse(featureStub(r.media))))
       }
     }

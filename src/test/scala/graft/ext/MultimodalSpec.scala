@@ -287,6 +287,72 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngResize("text".getBytes, 2, 2).isEmpty)
   }
 
+  // -- real JPEG decode (JDK ImageIO codec) ---------------------------
+
+  /** JPEG fixture written by the JDK's own encoder. */
+  private def jpegBytes(w: Int, h: Int, rgb: (Int, Int) => Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("jpegMeta parses the real SOF frame header; decode() routes " +
+      "JPEG bytes to it") {
+    val jpg = jpegBytes(17, 11, (x, y) => (x * 15) << 16 | (y * 23) << 8)
+    assert(jpg.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8),
+      "fixture must be a real JPEG")
+    val m = Multimodal.jpegMeta(jpg).get
+    assert(m.width == 17 && m.height == 11 && m.format == "jpeg")
+    assert(Multimodal.decode(jpg).format == "jpeg")
+    assert(Multimodal.decode(jpg).width == 17)
+    // non-JPEG bytes: no codec round-trip, None
+    assert(Multimodal.jpegMeta("plain text".getBytes).isEmpty)
+    assert(Multimodal.jpegMeta(Array[Byte](0xff.toByte, 0xd8.toByte))
+      .isEmpty, "SOI alone is not a frame header")
+  }
+
+  test("jpegDecode recovers known pixel stats from a real JPEG and " +
+      "extractFeatures routes it to the real featurizer") {
+    // uniform color decodes near-exactly even through lossy DCT
+    val (r0, g0, b0) = (200, 100, 50)
+    val jpg = jpegBytes(16, 12, (_, _) => (r0 << 16) | (g0 << 8) | b0)
+    val img = Multimodal.jpegDecode(jpg).get
+    assert(img.width == 16 && img.height == 12)
+    val f = Multimodal.jpegFeatures(jpg).get
+    assert(f.length == Multimodal.FeatureMults.length)
+    // mean RGB within a few quantization levels of the source color
+    assert(math.abs(f(0) - r0) <= 3, s"mean R ${f(0)} vs $r0")
+    assert(math.abs(f(1) - g0) <= 3, s"mean G ${f(1)} vs $g0")
+    assert(math.abs(f(2) - b0) <= 3, s"mean B ${f(2)} vs $b0")
+    // luma of (200,100,50) = 124.2 — the histogram must concentrate
+    // in bin 1 ([64,128))
+    assert(f(4) == 0.0 && f(5) == 1.0 && f(6) == 0.0 && f(7) == 0.0)
+    import spark.implicits._
+    val text = "plain document".getBytes("UTF-8")
+    val got = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRecord(1L, jpg),
+        Multimodal.MediaRecord(2L, text)).toDS())
+      .collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(got(1L) == f.toSeq, "JPEG routes to the real featurizer")
+    assert(got(2L) == Multimodal.featureStub(text).toSeq)
+  }
+
+  test("jpegResize downscales through the shared box fit and emits a " +
+      "standards-valid PNG transcode") {
+    val jpg = jpegBytes(16, 12, (x, y) => (x * 10) << 16 | (y * 20) << 8)
+    val out = Multimodal.jpegResize(jpg, 8, 8).get
+    val dec = Multimodal.pngDecode(out).get
+    // scale = min(8/16, 8/12, 1) = 0.5 → 8×6
+    assert(dec.width == 8 && dec.height == 6)
+    // the JDK codec agrees the transcode is well-formed
+    assert(imageioRgb(out)._3.toSeq == dec.rgb.toSeq)
+    assert(Multimodal.jpegResize("text".getBytes, 8, 8).isEmpty)
+  }
+
   test("feature extraction: deterministic, bounded, dim-stable") {
     val recs = Multimodal.mediaFromDocuments(spark, sf0001)
     val feats = Multimodal.extractFeatures(recs).collect()
