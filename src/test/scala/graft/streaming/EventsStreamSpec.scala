@@ -86,6 +86,51 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark state is BOUNDED: dedup keys " +
+      "are evicted once the watermark passes their expiry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("events_dedup_state").toString
+    def write(rows: Seq[(Long, String, Long, String)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, "2024-01-01 00:00:00", 7L, "view"),
+      (2L, "2024-01-01 00:05:00", 7L, "click"),
+      (3L, "2024-01-01 00:10:00", 8L, "view")))
+    val q = EventsStream.streamingDedup(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_state_out").start()
+    try {
+      q.processAllAvailable()
+      val afterA = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterA == 3L, s"3 distinct keys must hold state, got $afterA")
+      // jump event time 10h: the watermark (max ts − 1h) moves far
+      // past the first batch's expiries (first sighting + 1h delay)
+      write(Seq((4L, "2024-01-01 10:00:00", 9L, "view")))
+      q.processAllAvailable()
+      // eviction applies the watermark computed at the END of the
+      // previous batch, so one more batch actually drops the rows
+      write(Seq((5L, "2024-01-01 20:00:00", 10L, "view")))
+      q.processAllAvailable()
+      val afterC = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterC < afterA,
+        s"expired dedup keys must leave state ($afterC vs $afterA) — " +
+        "unbounded state would OOM a long-running ingest")
+      // the flip side of bounded state, also per contract: a key
+      // replayed after its state expired is emitted again
+      write(Seq((6L, "2024-01-01 20:30:00", 7L, "view")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_state_out")
+        .as[(Long, String)].collect().toSeq
+      assert(out.count(_ == (7L, "view")) == 2,
+        "a key recurring past the delay re-emits (bounded-state price)")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val ev = Seq(
