@@ -120,6 +120,12 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args.lift(2) match {
+      case Some("lm") => probeLm(spark, scale, reps); spark.stop(); return
+      case Some("parity") =>
+        probeParity(spark, scale, reps); spark.stop(); return
+      case _ => ()
+    }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
     println(s"[probe] building 10x corpus at $ProbeDir")
     val tBuild = System.nanoTime()
@@ -170,6 +176,112 @@ object ScaleProbe {
     * deeper — the corpus is reused if already built. */
   private val DeepQueries =
     Seq("d_minhash_lsh", "d_jaccard_pairs", "d_dup_clusters")
+
+  /** LM/score-family probe (`ScaleProbe <reps> <scale> lm`). The
+    * [[buildCorpus]] replication suffixes every token per replica so
+    * near-dup structure scales linearly — which also pins per-token
+    * counts at their 1× values, the WRONG corpus for the lmScore
+    * hot-token question: real corpus growth shares a Zipf vocabulary
+    * and head-token counts grow ~N×. This mode replicates documents
+    * with text VERBATIM (only ids shift): the vocabulary stays
+    * 1×-sized while head counts scale, which is exactly the regime
+    * the deterministic hot-token broadcast branch
+    * ([[graft.queries.TrainingData.lmScore]], cnt ≥ 2^20) exists for.
+    * The sf0.1 head token appears 9,182× → scale 128 pushes it to
+    * ~1.18M ≥ 2^20. Prints the hot-vocabulary counts and the plan's
+    * join strategies (broadcast hot leg + shuffled cold leg) before
+    * timing the family. */
+  def probeLm(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = s"/tmp/sf${scale / 10}lmprobe"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      println(s"[probe] building shared-vocab ${scale}x docs at $dir")
+      val t0 = System.nanoTime()
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      val docOff = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until scale).map { i =>
+        docs.select((col("doc_id") + lit(i * docOff)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(math.min(64 * math.max(scale / 10, 1), 256))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(f"[probe] corpus built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } else println(s"[probe] reusing corpus at $dir")
+    val docsDf = Tables.documents(spark, dir)
+    // hot-vocabulary evidence: the collect is bounded by construction
+    // (≤ total_tokens / 2^20 rows can clear the threshold)
+    val hot = docsDf
+      .select(explode(graft.ext.TextStats.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= (1L << 20))
+      .orderBy(desc("cnt"), asc("tok")).collect()
+    println(s"[probe] hot tokens (cnt >= 2^20 = ${1L << 20}): ${hot.length}" +
+      hot.take(8).map(r => s"\n[probe]   '${r.get(0)}' x ${r.get(1)}")
+        .mkString)
+    val plan = graft.queries.TrainingData
+      .lmScore(docsDf, materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    println("[probe] lmScore join strategies:\n" + plan.split("\n")
+      .filter(_.contains("Join")).map("[probe]   " + _.trim)
+      .mkString("\n"))
+    for (q <- Seq("d_lm_score", "d_lm_bigram", "d_quality_lr",
+        "d_repetition_break")) {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $q%-20s min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+    }
+  }
+
+  /** Parity-merge probe (`ScaleProbe <reps> <scale> parity`): the
+    * reference-parity pipelines (p_users_merge, p_staffing_pipeline,
+    * p_projects_pipeline) run full-outer SortMergeJoin merges over
+    * frames derived from customer/orders — the operators an actual
+    * user of the reference runs on a big roster, never scale-probed
+    * before round 6. Replicates customer and orders with ids shifted
+    * (o_custkey shifts by the same per-replica offset as c_custkey,
+    * preserving FK structure, so staged/current frame sizes and merge
+    * match rates scale linearly). */
+  def probeParity(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = s"/tmp/sf${scale / 10}parityprobe"
+    if (!new java.io.File(s"$dir/customer.parquet").exists()) {
+      println(s"[probe] building ${scale}x customer/orders at $dir")
+      val t0 = System.nanoTime()
+      val cust = Tables.customer(spark, "/root/testdata/sf0.1")
+      val ord = Tables.orders(spark, "/root/testdata/sf0.1")
+      val custOff = cust.agg(max("c_custkey")).head().getLong(0) + 1
+      val ordOff = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+      val parts = math.min(64 * math.max(scale / 10, 1), 256)
+      (0 until scale).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * custOff))
+      }.reduce(_ unionByName _)
+        .repartition(parts / 2)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      (0 until scale).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordOff))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * custOff))
+      }.reduce(_ unionByName _)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      println(f"[probe] built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } else println(s"[probe] reusing corpus at $dir")
+    for (q <- Seq("p_users_merge", "p_staffing_pipeline",
+        "p_projects_pipeline")) {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $q%-22s min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+      Scratch.audit(q, SparkEntry.queries(q)(spark, dir))
+    }
+  }
 
   def probeDeep(spark: SparkSession, scale: Int, reps: Int): Unit = {
     val dir = s"/tmp/sf${scale / 10}probe"
