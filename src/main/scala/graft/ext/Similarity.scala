@@ -415,6 +415,21 @@ object Similarity {
     * [[kmeansCentroids]], assign the corpus, probe the `nprobe`
     * nearest centroids per query. */
   def ivfTopKKmeans(embeddings: DataFrame, isQuery: Column, k: Int,
+      nprobe: Int, kClusters: Int, iters: Int): DataFrame =
+    ivfTopKKmeansImpl(embeddings, _.filter(isQuery), k, nprobe,
+      kClusters, iters)
+
+  /** [[ivfTopKKmeans]] with the query set given as an id frame
+    * (single `vec_id` column, e.g. from [[sampleQueryIds]]) — the
+    * fixed-|Q| shape; the id frame broadcasts. */
+  def ivfTopKKmeans(embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      nprobe: Int, kClusters: Int, iters: Int): DataFrame =
+    ivfTopKKmeansImpl(embeddings,
+      _.join(broadcast(queryIds), Seq("vec_id")), k, nprobe,
+      kClusters, iters)
+
+  private def ivfTopKKmeansImpl(embeddings: DataFrame,
+      mkQ: DataFrame => DataFrame, k: Int,
       nprobe: Int, kClusters: Int, iters: Int): DataFrame = {
     // same NULL-drop as semDedup (they share the k-means fit AND the
     // unrolled-SQL oracle base, which filters NULLs — a NULL vector
@@ -425,7 +440,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = kmeansCentroids(base, kClusters, iters)
     val members = assignClusters(base, centroids)
-    val q = base.filter(isQuery)
+    val q = mkQ(base)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("cid"),
@@ -455,7 +470,19 @@ object Similarity {
     * queries probe only the `nprobe` nearest centroids' partitions.
     * The centroid table is tiny → broadcast both directions. */
   def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfTopKImpl(embeddings, _.filter(isQuery), k, nprobe)
+
+  /** [[ivfTopK]] with the query set given as an id frame (single
+    * `vec_id` column, e.g. from [[sampleQueryIds]]) — the fixed-|Q|
+    * shape; the id frame broadcasts. */
+  def ivfTopK(embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      nprobe: Int): DataFrame =
+    ivfTopKImpl(embeddings, _.join(broadcast(queryIds), Seq("vec_id")),
+      k, nprobe)
+
+  private def ivfTopKImpl(embeddings: DataFrame,
+      mkQ: DataFrame => DataFrame, k: Int, nprobe: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("label"),
       toDouble(col("embedding")).as("emb"))
     // centroid per label via explode-by-dimension — scales to any
@@ -473,7 +500,7 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x("cv")).as("centroid"))
-    val q = base.filter(isQuery)
+    val q = mkQ(base)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("label"),

@@ -552,6 +552,12 @@ object TrainingData {
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---- similarity search --------------------------------------------
+  // Proportional query predicate — kept ONLY by the two deliberate
+  // full-scan shapes (s_ann_brute: the documented O(Q·C) bandwidth
+  // reference; s_hard_negatives: mining legitimately visits every
+  // anchor). Every approximate entry (lsh/ivf/ivf_kmeans/int8/
+  // ivf_int8) uses the fixed |Q| = 16 sampleQueryIds shape instead:
+  // with Q ∝ N even an index's total cost grows quadratically.
   private val isQuery = col("vec_id") % 40 === 0
 
   def sAnnBrute(s: SparkSession, d: String): DataFrame =
@@ -697,11 +703,19 @@ object TrainingData {
 
   /** LSH-bucketed ANN. Oracle-verified: the seeded hyperplanes are
     * plan literals, so the oracle SQL inlines the same plane values
-    * and reproduces bucket assignment + in-bucket ranking exactly. */
-  def sAnnLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(embs(s, d), isQuery, k = 5,
-      numPlanes = 4, seed = 42L)
+    * and reproduces bucket assignment + in-bucket ranking exactly.
+    * Fixed |Q| = 16 ([[Similarity.sampleQueryIds]], r6): every
+    * approximate entry now carries the scale-safe query shape — a
+    * proportional predicate would grow the query set with the corpus
+    * and re-introduce the quadratic total the index exists to avoid. */
+  def sAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.lshTopK(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, numPlanes = 4, seed = 42L, dim = 64)
       .orderBy("query_id", "rank")
+  }
 
   private def sqlCosine(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / " +
@@ -717,13 +731,14 @@ object TrainingData {
       s"THEN ${1 << i} ELSE 0 END"
     }.mkString("\n    + ")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
        |bk AS (SELECT vec_id, emb,
        |    $bucket AS bucket
        |  FROM base),
-       |q AS (SELECT vec_id AS query_id, emb AS q_emb,
-       |    bucket AS q_bucket
-       |  FROM bk WHERE vec_id % 40 = 0),
+       |$qidsSql,
+       |q AS (SELECT k.vec_id AS query_id, k.emb AS q_emb,
+       |    k.bucket AS q_bucket
+       |  FROM bk k JOIN qids s ON k.vec_id = s.vec_id),
        |scored AS (SELECT query_id, vec_id AS neighbor_id,
        |    ${sqlCosine("q_emb", "emb")} AS cos_sim
        |  FROM bk JOIN q ON bucket = q_bucket AND vec_id <> query_id),
@@ -737,15 +752,19 @@ object TrainingData {
   /** IVF-style ANN probing nearest label centroids. Oracle-verified:
     * centroid components are order-independent decimal sums
     * (QueryUtil strategy), so DuckDB reproduces the coarse quantizer
-    * bit-for-bit. */
-  def sAnnIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(embs(s, d), isQuery, k = 5,
-      nprobe = 3)
+    * bit-for-bit. Fixed |Q| = 16 (r6, see [[sAnnLsh]]). */
+  def sAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopK(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3)
       .orderBy("query_id", "rank")
+  }
 
   private val sAnnIvfSql =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
        |dims AS (SELECT label, i,
        |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
        |      / count(*), 6) AS cv
@@ -753,8 +772,9 @@ object TrainingData {
        |  GROUP BY label, i),
        |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
        |  FROM dims GROUP BY label),
-       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
-       |  WHERE vec_id % 40 = 0),
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
        |probes AS (SELECT query_id, q_emb, label,
        |    ${sqlCosine("q_emb", "centroid")} AS c_sim
        |  FROM q CROSS JOIN cent),
@@ -778,10 +798,14 @@ object TrainingData {
     * updates — is order-independent and engine-portable, so the whole
     * iterative fit is hash-verified against a DuckDB oracle that
     * unrolls the same two iterations. */
-  def sAnnIvfKmeans(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopKKmeans(embs(s, d), isQuery, k = 5,
-      nprobe = 3, kClusters = 8, iters = 2)
+  def sAnnIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKKmeans(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3, kClusters = 8, iters = 2)
       .orderBy("query_id", "rank")
+  }
 
   /** Shared oracle prefix: the unrolled deterministic k-means fit
     * (smallest-vec_id seeds → 2×(assign, update) → final membership)
@@ -818,8 +842,9 @@ object TrainingData {
 
   private val sAnnIvfKmeansSql =
     s"""WITH ${kmUnrolledSql(8)},
-       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base
-       |  WHERE vec_id % 40 = 0),
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
        |probes AS (SELECT query_id, q_emb, cid,
        |    ${sqlCosine("q_emb", "centroid")} AS c_sim
        |  FROM q CROSS JOIN c2),
@@ -1051,14 +1076,16 @@ object TrainingData {
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Typed mapPartitions decode pipeline. PNG and WAV payloads get a
-    * REAL pure-JVM header parse ([[graft.ext.Multimodal.decode]] —
-    * true width/height/format, spec'd against genuine fixtures);
-    * other formats fall back to a deterministic stub (byte-wise
-    * polynomial checksum + derived dimensions). This corpus is pure
-    * ASCII text — no PNG/WAV magic — so every row takes the stub
-    * path and the SQL below derives the identical MediaMeta from the
-    * text, keeping the query hash-verified. */
+  /** Typed mapPartitions decode pipeline. PNG, WAV, JPEG and MP4
+    * payloads get a REAL header/container parse
+    * ([[graft.ext.Multimodal.decode]] — true width/height/format,
+    * spec'd against genuine fixtures); unclaimed bytes fall back to
+    * a deterministic stub (byte-wise polynomial checksum + derived
+    * dimensions). This corpus is pure ASCII text — no magic bytes
+    * can match (an MP4 sniff needs a plausible big-endian box size;
+    * printable ASCII reads as ≥ 0x20202020) — so every row takes the
+    * stub path and the SQL below derives the identical MediaMeta
+    * from the text, keeping the query hash-verified. */
   def mMediaDecode(s: SparkSession, d: String): DataFrame =
     graft.ext.Multimodal.decodePipeline(s, d)
 
@@ -1104,6 +1131,38 @@ object TrainingData {
        |  ${sqlPolyHash("frame")} AS frame_crc
        |FROM fr WHERE length(frame) > 0
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** MP4 demux round-trip over the corpus — the real ISO-BMFF path
+    * ([[graft.ext.Multimodal.mp4Wrap]] builder +
+    * [[graft.ext.Multimodal.mp4Samples]] stsz×stsc×stco parser) run
+    * distributed over every document: text bytes are wrapped into a
+    * genuine container and demuxed back; recovered samples must
+    * equal consecutive 256-byte slices, which the SQL oracle
+    * reproduces with substring arithmetic (ASCII corpus: char ==
+    * byte). A parser defect surfaces as a hash mismatch, not a
+    * silently different checksum. */
+  def mMp4Demux(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.mp4RoundTrip(
+        graft.ext.Multimodal.mediaFromDocuments(s, d),
+        maxSamples = 4, sampleBytes = 256)
+      .toDF()
+      .select(col("doc_id"), col("sample_idx"),
+        length(col("frame")).as("sample_len"),
+        graft.functions.RollingHash.rolling_hash(
+          col("frame").cast("string")).as("sample_crc"))
+      .orderBy("doc_id", "sample_idx")
+
+  private val mMp4DemuxSql =
+    s"""WITH m AS (SELECT doc_id, text FROM documents
+       |  WHERE length(text) > 0),
+       |fr AS (SELECT doc_id, i,
+       |    substring(text, CAST(i * 256 AS INT) + 1, 256) AS frame
+       |  FROM m CROSS JOIN range(0, 4) t(i))
+       |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+       |  length(frame) AS sample_len,
+       |  ${sqlPolyHash("frame")} AS sample_crc
+       |FROM fr WHERE length(frame) > 0
+       |ORDER BY doc_id, sample_idx""".stripMargin
 
   /** Feature extraction (stub embedding model) via batched
     * mapPartitions, exploded to (dim, value) rows. The stub is a
@@ -2162,6 +2221,7 @@ object TrainingData {
     "m_binary_meta" -> (mBinaryMeta _),
     "m_media_decode" -> (mMediaDecode _),
     "m_frame_sample" -> (mFrameSample _),
+    "m_mp4_demux" -> (mMp4Demux _),
     "m_features" -> (mFeatures _),
     "m_resize" -> (mResize _),
   )
@@ -2211,6 +2271,7 @@ object TrainingData {
     "m_binary_meta" -> mBinaryMetaSql,
     "m_media_decode" -> mMediaDecodeSql,
     "m_frame_sample" -> mFrameSampleSql,
+    "m_mp4_demux" -> mMp4DemuxSql,
     "m_features" -> mFeaturesSql,
     "m_resize" -> mResizeSql,
   )

@@ -469,4 +469,124 @@ class MultimodalSpec extends SparkSpec {
     val got = df.select(w2.as("w"), h2.as("h")).as[(Int, Int)].collect()
     assert(got.toSeq == Seq((320, 240), (320, 240), (100, 50), (1, 240)))
   }
+
+  // --- MP4 / ISO-BMFF fixtures (hand-assembled per ISO 14496-12) ----
+
+  private def mbe32(v: Int) = Array[Byte]((v >> 24).toByte,
+    (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def mbox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    mbe32(8 + body.length) ++
+      typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+  }
+
+  /** mvhd v0: 100-byte payload, timescale/duration at +12/+16. */
+  private def mvhd(timescale: Int, duration: Int): Array[Byte] =
+    mbox("mvhd", mbe32(0), mbe32(0), mbe32(0), mbe32(timescale),
+      mbe32(duration), mbe32(0x00010000), mbe32(0x01000000),
+      new Array[Byte](8), new Array[Byte](36), new Array[Byte](24),
+      mbe32(2))
+
+  /** tkhd v0: 84-byte payload, 16.16 width/height at +76/+80. */
+  private def tkhd(w: Int, h: Int): Array[Byte] =
+    mbox("tkhd", mbe32(0), mbe32(0), mbe32(0), mbe32(1), mbe32(0),
+      mbe32(0), new Array[Byte](8), new Array[Byte](8),
+      new Array[Byte](36), mbe32(w << 16), mbe32(h << 16))
+
+  /** Five samples (sizes 3,4,5,6,7; byte fill 0xA1..0xA5) laid out
+    * as chunks [s1 s2][s3 s4][s5] via stsc runs (1,2),(3,1). */
+  private def mp4Fixture(): (Array[Byte], Seq[Array[Byte]]) = {
+    val samples = (1 to 5).map(i =>
+      Array.fill[Byte](i + 2)((0xa0 + i).toByte))
+    val ftyp = mbox("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      mbe32(0x200),
+      "isomiso2".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val mdatPayloadAt = ftyp.length + 8
+    val chunkOffs = Seq(mdatPayloadAt,
+      mdatPayloadAt + 3 + 4, mdatPayloadAt + 3 + 4 + 5 + 6)
+    val mdat = mbox("mdat", samples.flatten.toArray)
+    val stsz = mbox("stsz", mbe32(0), mbe32(0), mbe32(5),
+      samples.map(s => mbe32(s.length)).flatten.toArray)
+    val stsc = mbox("stsc", mbe32(0), mbe32(2),
+      mbe32(1), mbe32(2), mbe32(1), mbe32(3), mbe32(1), mbe32(1))
+    val stco = mbox("stco", mbe32(0), mbe32(3),
+      chunkOffs.map(mbe32).flatten.toArray)
+    val stbl = mbox("stbl", stsz, stsc, stco)
+    val trak = mbox("trak", tkhd(640, 360),
+      mbox("mdia", mbox("minf", stbl)))
+    val moov = mbox("moov", mvhd(1000, 5000), trak)
+    (ftyp ++ mdat ++ moov, samples)
+  }
+
+  test("mp4Info parses ftyp brand, mvhd timescale/duration, tkhd " +
+      "dims; decode() reports the video dimensions") {
+    val (mp4, _) = mp4Fixture()
+    val info = Multimodal.mp4Info(mp4).get
+    assert(info.majorBrand == "isom")
+    assert(info.timescale == 1000L && info.duration == 5000L)
+    assert(info.trakCount == 1)
+    assert(info.width == 640 && info.height == 360)
+    val meta = Multimodal.decode(mp4)
+    assert(meta.format == "mp4" && meta.width == 640 &&
+      meta.height == 360 && meta.n_bytes == mp4.length)
+  }
+
+  test("mp4Samples demuxes exact encoded sample ranges from the " +
+      "stsz x stsc x stco tables") {
+    val (mp4, samples) = mp4Fixture()
+    val got = Multimodal.mp4Samples(mp4, maxSamples = 10).get
+    assert(got.length == 5)
+    assert(got.zip(samples).forall { case (a, b) => a.sameElements(b) })
+    // maxSamples truncates; order is sample order
+    val first3 = Multimodal.mp4Samples(mp4, maxSamples = 3).get
+    assert(first3.length == 3 &&
+      first3.zip(samples.take(3)).forall { case (a, b) =>
+        a.sameElements(b) })
+    // a per-sample byte cap rejects rather than over-allocates
+    assert(Multimodal.mp4Samples(mp4, 10, maxBytesPerSample = 4).isEmpty)
+  }
+
+  test("mp4Wrap builds a container mp4Samples round-trips exactly; " +
+      "the distributed round-trip recovers consecutive slices") {
+    val payload = (0 until 700).map(i => ('a' + i % 26).toByte).toArray
+    val slices = payload.grouped(256).toSeq // 256, 256, 188
+    val wrapped = Multimodal.mp4Wrap(slices)
+    assert(Multimodal.mp4Info(wrapped).exists(_.majorBrand == "isom"))
+    val back = Multimodal.mp4Samples(wrapped, 10).get
+    assert(back.length == 3 &&
+      back.zip(slices).forall { case (a, b) => a.sameElements(b) })
+    // distributed: every doc's demuxed frames == consecutive slices
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, payload),
+      Multimodal.MediaRecord(2L, "short".getBytes("UTF-8")),
+      Multimodal.MediaRecord(3L, Array.empty[Byte])))
+    val got = Multimodal.mp4RoundTrip(ds, maxSamples = 4,
+        sampleBytes = 256).collect()
+      .map(f => (f.doc_id, f.sample_idx, new String(f.frame, "UTF-8")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2, t._3.length)).toSeq ==
+      Seq((1L, 0, 256), (1L, 1, 256), (1L, 2, 188), (2L, 0, 5)))
+    assert(got(3)._3 == "short")
+  }
+
+  test("mp4: audio-only (no tkhd dims) repurposes width=timescale, " +
+      "height=trak count; ASCII and truncated bytes never parse") {
+    val audio = mbox("ftyp",
+      "M4A ".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      mbe32(0)) ++
+      mbox("moov", mvhd(44100, 441000), mbox("trak", tkhd(0, 0)))
+    val meta = Multimodal.decode(audio)
+    assert(meta.format == "mp4" && meta.width == 44100 &&
+      meta.height == 1)
+    // printable-ASCII bytes read as a >=0x20202020 box size → reject
+    val text = "this text mentions ftyp but is not a container"
+      .getBytes("UTF-8")
+    assert(Multimodal.mp4Info(text).isEmpty)
+    assert(Multimodal.decode(text) == Multimodal.decodeStub(text))
+    val (mp4, _) = mp4Fixture()
+    assert(Multimodal.mp4Info(mp4.take(40)).isEmpty) // moov cut off
+    assert(Multimodal.mp4Samples(mp4.take(40), 5).isEmpty)
+  }
 }
