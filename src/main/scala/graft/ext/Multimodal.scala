@@ -479,9 +479,19 @@ object Multimodal {
   def jpegDecode(b: Array[Byte]): Option[PngPixels] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff ||
         (b(1) & 0xff) != 0xd8 || (b(2) & 0xff) != 0xff) return None
+    // Reject oversized rasters BEFORE ImageIO inflates them: the SOF
+    // header (via jpegMeta's marker walk) declares width/height, so a
+    // crafted JPEG claiming huge dimensions never allocates a
+    // BufferedImage. Mirrors pngDecode's pre-inflate cap.
+    jpegMeta(b) match {
+      case Some(m) =>
+        if (m.width <= 0 || m.height <= 0 ||
+            m.width.toLong * m.height * 3 > MaxRasterBytes) return None
+      case None => return None
+    }
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
