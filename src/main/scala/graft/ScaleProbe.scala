@@ -88,8 +88,9 @@ object ScaleProbe {
       // events: shifted event ids AND user ids → N× users with the
       // per-user event distribution preserved (the linear-scaling
       // question for funnel/retention, whose state is per-user).
-      // Read RAW (ts stays a nanos long) so Tables.events' `ts div
-      // 1000` conversion still applies to the probe copy.
+      // Read RAW so ts keeps its on-disk encoding (nanos long or
+      // TIMESTAMP_NTZ µs, generation-dependent) and Tables.events'
+      // type dispatch still applies to the probe copy.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$srcDir/events.parquet")
       val evOff = ev.agg(max("event_id")).head().getLong(0) + 1

@@ -20,16 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and convert to a
-    * microsecond TimestampType column. The generator emits µs-grain
-    * values, so the ns→µs truncation is lossless and matches what the
-    * DuckDB oracle sees. */
+  /** `events.ts` has shipped as two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as a long via the legacy conf and truncate ns→µs,
+    * lossless since the generator emits µs-grain values) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ). Dispatch on the INFERRED type so either
+    * generation yields the same microsecond TimestampType column the
+    * downstream windows/watermarks and the DuckDB oracle see —
+    * matching on the file's type, not a generation flag, keeps this
+    * robust to the next regeneration. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // session tz is UTC everywhere (builder + driver), so the
+        // NTZ→TZ cast is value-identity; casting keeps every consumer
+        // on the same TimestampType they were built against
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

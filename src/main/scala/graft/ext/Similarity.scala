@@ -166,16 +166,39 @@ object Similarity {
     * candidate stream. */
   def hardNegatives(embeddings: DataFrame, isQuery: Column, k: Int)
       : DataFrame = {
-    // NULL embeddings drop (same policy as lshTopK/semDedup): a NULL
-    // anchor scores NULL against everything and would emit k rows
-    // ranked purely by neighbor_id — semantically meaningless
-    // negatives; a NULL neighbor could likewise enter a sparse top-k
-    val base = embeddings.select(col("vec_id"), col("label"),
-        toDouble(col("embedding")).as("emb"))
-      .filter(col("emb").isNotNull)
+    val base = hardNegBase(embeddings)
     val q = base.filter(isQuery)
       .select(col("vec_id").as("query_id"),
         col("label").as("q_label"), col("emb").as("q_emb"))
+    hardNegCore(base, q, k)
+  }
+
+  /** [[hardNegatives]] with the anchor set given as an id frame
+    * (single `vec_id` column, e.g. from [[sampleQueryIds]]) — the
+    * fixed-|Q| baseline shape: the broadcast anchor frame is bounded
+    * by construction and total work is O(|Q|·|C|), linear in the
+    * corpus. The production scale path is [[hardNegativesIvfInt8]],
+    * which also prunes the per-anchor candidate scan. */
+  def hardNegatives(embeddings: DataFrame, queryIds: DataFrame, k: Int)
+      : DataFrame = {
+    val base = hardNegBase(embeddings)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        col("label").as("q_label"), col("emb").as("q_emb"))
+    hardNegCore(base, q, k)
+  }
+
+  // NULL embeddings drop (same policy as lshTopK/semDedup): a NULL
+  // anchor scores NULL against everything and would emit k rows
+  // ranked purely by neighbor_id — semantically meaningless
+  // negatives; a NULL neighbor could likewise enter a sparse top-k
+  private def hardNegBase(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+
+  private def hardNegCore(base: DataFrame, q: DataFrame, k: Int)
+      : DataFrame = {
     val scored = base.join(broadcast(q),
         col("vec_id") =!= col("query_id") &&
         col("label") =!= col("q_label"))
@@ -186,6 +209,65 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining on the IVF × int8 production path — the
+    * scale-safe composition [[hardNegatives]]' scaladoc promises:
+    * label exclusion rides the SAME pruned candidate stream as
+    * [[ivfTopKInt8]] instead of a per-anchor full corpus scan.
+    *
+    * Two-level exclusion: (1) probe selection drops the anchor's own
+    * label partition BEFORE ranking — an IVF partition is exactly one
+    * label here, so probing it would yield only excluded candidates
+    * (wasted nprobe slots and, for nprobe=1, an empty result);
+    * (2) the candidate stream keeps the `label =!= q_label`
+    * post-filter, the composition SURVEY §8 describes — redundant
+    * given (1) for the label-quantizer, but load-bearing the moment
+    * the coarse quantizer is k-means (a cluster then mixes labels).
+    *
+    * Scale shape = [[ivfTopKInt8]] exactly: one persisted corpus
+    * scan, exact-decimal centroids quantized with the portable
+    * formula, broadcast-pruned probes (only |Q|·nprobe partition
+    * keys), int8 scoring on every pair. Total work
+    * O(|Q|·(k_clusters + nprobe·|C|/k_clusters)) — corpus-linear,
+    * nothing corpus-sized broadcasts. Hash-verified like the IVF
+    * family (the DuckDB oracle reproduces both quantization levels
+    * bit-for-bit). */
+  def hardNegativesIvfInt8(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.QuantizeOps._
+    val base0 = embeddings.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cq = quantizedLabelCentroids(base0)
+    val base = int8LabelBase(base0)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("qn").as("q_qn"))
+    val probes = q.crossJoin(broadcast(cq))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("q_qv"), col("q_qn"),
+        col("label"),
+        round(dot_i8(col("q_qv"), col("c_qv")).cast("double") /
+          (col("q_qn") * col("c_qn")), 6).as("c_sim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("c_sim"), asc("label"))
+    val probed = probes.withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_label"), col("q_qv"), col("q_qn"),
+        col("label"))
+    val topk = rankTopK(
+      base.join(broadcast(probed), Seq("label"))
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("q_label"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label"),
+          round(dot_i8(col("q_qv"), col("qv")).cast("double") /
+            (col("q_qn") * col("qn")), 6).as("cos_sim")), k)
+    val out = topk.localCheckpoint()
+    base0.unpersist()
+    out
   }
 
   /** Deterministic pseudo-random hyperplanes: numPlanes × dim doubles
@@ -483,8 +565,15 @@ object Similarity {
 
   private def ivfTopKImpl(embeddings: DataFrame,
       mkQ: DataFrame => DataFrame, k: Int, nprobe: Int): DataFrame = {
+    // NULL embeddings drop on the Spark side too (the oracle filters
+    // `embedding IS NOT NULL`): a NULL row kept here would enter fine
+    // ranking with a NULL cos_sim and surface whenever a probed label
+    // partition holds fewer than k non-NULL candidates — a one-sided
+    // divergence the other ANN bases (lshBase, int8Base, ivfTopKInt8,
+    // ivfTopKKmeansImpl) already guard against.
     val base = embeddings.select(col("vec_id"), col("label"),
-      toDouble(col("embedding")).as("emb"))
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
     // centroid per label via explode-by-dimension — scales to any
     // partition size (no per-group collect of whole vectors). The
     // component mean uses the exact-decimal sum (QueryUtil strategy):
@@ -545,29 +634,8 @@ object Similarity {
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same decimal-sum centroid recipe as ivfTopK — order-independent
-    // and SQL-reproducible
-    val centroids = base0
-      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
-        count(lit(1)), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("cv")))),
-        x => x("cv")).as("centroid"))
-    val cq = centroids
-      .select(col("label"), quantize_i8(col("centroid")).as("c_qv"))
-      .withColumn("c_qn",
-        sqrt(dot_i8(col("c_qv"), col("c_qv")).cast("double")))
-      .filter(col("c_qn") > 0)
-    // quantized corpus: the only frame that flows into pair scoring
-    // (same NULL/zero-norm drops as int8Base, plus the label key)
-    val base = base0
-      .select(col("vec_id"), col("label"), quantize_i8(col("emb")).as("qv"))
-      .filter(col("qv").isNotNull)
-      .withColumn("qn", sqrt(dot_i8(col("qv"), col("qv")).cast("double")))
-      .filter(col("qn") > 0)
+    val cq = quantizedLabelCentroids(base0)
+    val base = int8LabelBase(base0)
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"),
         col("qv").as("q_qv"), col("qn").as("q_qn"))
@@ -589,6 +657,40 @@ object Similarity {
     val out = topk.localCheckpoint()
     base0.unpersist()
     out
+  }
+
+  /** Int8-quantized per-label centroid frame (label, c_qv, c_qn)
+    * shared by the IVF×int8 scorers: the exact decimal-arithmetic
+    * per-label means of [[ivfTopK]] (order-independent and
+    * SQL-reproducible), then quantized with the identical portable
+    * formula as the corpus codes. */
+  private def quantizedLabelCentroids(base0: DataFrame): DataFrame = {
+    import graft.functions.QuantizeOps._
+    base0
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
+        count(lit(1)), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x("cv")).as("centroid"))
+      .select(col("label"), quantize_i8(col("centroid")).as("c_qv"))
+      .withColumn("c_qn",
+        sqrt(dot_i8(col("c_qv"), col("c_qv")).cast("double")))
+      .filter(col("c_qn") > 0)
+  }
+
+  /** Quantized labeled corpus (vec_id, label, qv, qn) — the only
+    * frame that flows into IVF×int8 pair scoring (same NULL/zero-norm
+    * drops as [[int8Base]], plus the label key). */
+  private def int8LabelBase(base0: DataFrame): DataFrame = {
+    import graft.functions.QuantizeOps._
+    base0
+      .select(col("vec_id"), col("label"), quantize_i8(col("emb")).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qn", sqrt(dot_i8(col("qv"), col("qv")).cast("double")))
+      .filter(col("qn") > 0)
   }
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,

@@ -621,9 +621,13 @@ object TrainingData {
        |    sqrt(list_dot_product(qv, qv)) AS qn FROM qz)
        |  WHERE qn > 0)""".stripMargin
 
+  // The inner `(x % m + m) % m` spells Spark's pmod in sign-preserving
+  // SQL `%` — without it a negative BIGINT vec_id would order by a
+  // negative residue here while Spark orders by the non-negative pmod,
+  // silently selecting different query samples in the two engines.
   private val qidsSql =
     """qids AS (SELECT vec_id FROM base
-      |  ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id
+      |  ORDER BY ((((vec_id % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647, vec_id
       |  LIMIT 16)""".stripMargin
 
   private val sAnnInt8Sql =
@@ -912,7 +916,7 @@ object TrainingData {
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |qids AS (SELECT vec_id FROM base
-       |  ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id
+       |  ORDER BY ((((vec_id % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647, vec_id
        |  LIMIT 16),
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
@@ -945,22 +949,96 @@ object TrainingData {
   }
 
   /** Hard-negative mining (contrastive-training data prep): per
-    * anchor, the top-k nearest vectors of a different label. See
-    * [[Similarity.hardNegatives]]. */
-  def sHardNegatives(s: SparkSession, d: String): DataFrame =
-    Similarity.hardNegatives(embs(s, d), isQuery, k = 5)
+    * anchor, the top-k nearest vectors of a different label. This is
+    * the exact-scan BASELINE with the fixed deterministic anchor
+    * sample (|Q| = 16, [[Similarity.sampleQueryIds]] — same r6
+    * treatment as `s_ann_int8`): O(|Q|·|C|) work, a bounded broadcast
+    * anchor frame, linear in the corpus. The production scale path is
+    * [[sHardNegativesIvf]]. */
+  def sHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.hardNegatives(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16), k = 5)
       .orderBy("query_id", "rank")
+  }
 
   private val sHardNegativesSql =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
-       |  FROM base WHERE vec_id % 40 = 0),
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.label AS q_label,
+       |    b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
        |scored AS (SELECT query_id, vec_id AS neighbor_id,
        |    label AS neg_label,
        |    ${sqlCosine("q_emb", "emb")} AS cos_sim
        |  FROM base CROSS JOIN q
        |  WHERE vec_id <> query_id AND label <> q_label),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, neg_label, cos_sim, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Hard-negative mining on the IVF × int8 production path
+    * ([[Similarity.hardNegativesIvfInt8]]): label exclusion composed
+    * with the pruned candidate stream of [[sAnnIvfInt8]] instead of a
+    * per-anchor full corpus scan — the anchor's own label partition
+    * is dropped at probe selection, the `label <> q_label`
+    * post-filter guards the candidate stream, and every pair score
+    * runs on int8 codes. Fixed |Q| = 16; total work corpus-linear;
+    * hash-verified (both quantization levels reproduced in the
+    * oracle). */
+  def sHardNegativesIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.hardNegativesIvfInt8(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sHardNegativesIvfSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dims AS (SELECT label, i,
+       |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |cq0 AS (SELECT label, centroid,
+       |    list_aggregate(list_transform(centroid, x -> abs(x)), 'max')
+       |      AS cs
+       |  FROM cent),
+       |cq AS (SELECT * FROM (SELECT label,
+       |    sqrt(list_dot_product(c_qv, c_qv)) AS c_qn, c_qv
+       |  FROM (SELECT label,
+       |      list_transform(centroid, e -> CASE WHEN cs = 0 THEN 0.0
+       |        WHEN e >= 0 THEN floor(e * 127.0 / cs + 0.5)
+       |        ELSE -floor(-(e * 127.0 / cs) + 0.5) END) AS c_qv
+       |    FROM cq0)) WHERE c_qn > 0),
+       |${quantizeSql(" label,")},
+       |$qidsSql,
+       |q AS (SELECT n.vec_id AS query_id, n.label AS q_label,
+       |    n.qv AS q_qv, n.qn AS q_qn
+       |  FROM qn n JOIN qids s ON n.vec_id = s.vec_id),
+       |probes AS (SELECT query_id, q_label, q_qv, q_qn, cq.label,
+       |    round(list_dot_product(q_qv, c_qv) / (q_qn * c_qn), 6)
+       |      AS c_sim
+       |  FROM q CROSS JOIN cq WHERE cq.label <> q.q_label),
+       |probed AS (SELECT query_id, q_label, q_qv, q_qn, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |scored AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+       |    n.label AS neg_label,
+       |    round(list_dot_product(p.q_qv, n.qv) / (p.q_qn * n.qn), 6)
+       |      AS cos_sim
+       |  FROM qn n JOIN probed p ON n.label = p.label
+       |  WHERE n.vec_id <> p.query_id AND n.label <> p.q_label),
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM scored)
@@ -2215,6 +2293,7 @@ object TrainingData {
     "d_kl_sources" -> (dKlSources _),
     "s_ann_recall" -> (sAnnRecall _),
     "s_hard_negatives" -> (sHardNegatives _),
+    "s_hard_negatives_ivf" -> (sHardNegativesIvf _),
     "d_pack_greedy" -> (dPackGreedy _),
     "d_pii_redact" -> (dPiiRedact _),
     "d_mix_sources" -> (dMixSources _),
@@ -2258,6 +2337,7 @@ object TrainingData {
     "d_kl_sources" -> dKlSourcesSql,
     "s_ann_recall" -> sAnnRecallSql,
     "s_hard_negatives" -> sHardNegativesSql,
+    "s_hard_negatives_ivf" -> sHardNegativesIvfSql,
     "d_pack_greedy" -> dPackGreedySql,
     "d_pii_redact" -> dPiiRedactSql,
     "d_mix_sources" -> dMixSourcesSql,

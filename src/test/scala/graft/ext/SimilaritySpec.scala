@@ -304,4 +304,63 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("IVF×int8 hard negatives: label exclusion holds under pruning " +
+      "and full probing tracks the brute scan") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("embedding").isNotNull)
+    val qids = Similarity.sampleQueryIds(emb, 8).localCheckpoint()
+    val labelOf = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val nLabels = emb.select("label").distinct().count().toInt
+    // full probing (every other-label partition survives): candidates
+    // = all other-label vectors, so the composition is the brute scan
+    // under quantized scoring — high overlap, exact exclusion
+    val full = Similarity.hardNegativesIvfInt8(emb, qids, k = 5,
+        nprobe = nLabels)
+      .select("query_id", "neighbor_id", "neg_label")
+      .as[(Long, Long, Int)].collect()
+    assert(full.nonEmpty)
+    full.foreach { case (q, n, nl) =>
+      assert(nl == labelOf(n), "neg_label must be the neighbor's label")
+      assert(nl != labelOf(q), s"anchor $q got a same-label negative $n")
+      assert(n != q)
+    }
+    val brute = Similarity.hardNegatives(emb, qids, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val fullSet = full.map(r => (r._1, r._2)).toSet
+    val recall = fullSet.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.85, s"full-probe IVF×int8 recall $recall")
+    // real pruning still emits k rows per anchor from a candidate
+    // subset, and the exclusion invariant survives
+    val pruned = Similarity.hardNegativesIvfInt8(emb, qids, k = 5,
+        nprobe = 1)
+      .select("query_id", "neighbor_id", "neg_label")
+      .as[(Long, Long, Int)].collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (q, n, nl) =>
+      assert(nl != labelOf(q) && n != q)
+    }
+    // nprobe=1 scores one partition per anchor: never more output
+    // rows than the full probe, and each anchor's rank-1 negative
+    // carries that anchor's single probed label
+    assert(pruned.length <= full.length)
+    assert(pruned.groupBy(_._1).values
+      .forall(rs => rs.map(_._3).distinct.length == 1),
+      "nprobe=1 negatives must all come from one label partition")
+  }
+
+  test("fixed-Q hard negatives overload matches the predicate form " +
+      "on the same anchor set") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("embedding").isNotNull)
+    val qids = Similarity.sampleQueryIds(emb, 8).localCheckpoint()
+    val idSet = qids.as[Long].collect().toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(rows(Similarity.hardNegatives(emb, qids, 5)) ==
+      rows(Similarity.hardNegatives(emb,
+        col("vec_id").isInCollection(idSet), 5)))
+  }
 }
