@@ -159,20 +159,73 @@ object StatefulOps {
   /** Streaming funnel with explicit GroupState: each micro-batch
     * folds its (sorted) events into the per-user state and emits the
     * user's current funnel row (Update mode — downstream upserts by
-    * user_id). */
-  def funnelStream(events: Dataset[EventRow]): Dataset[FunnelOut] = {
+    * user_id).
+    *
+    * State is BOUNDED (the property [[sessionizeStream]] always had
+    * and r6 proved for streaming dedup), two eviction paths:
+    *
+    *   - completed funnels evict IMMEDIATELY: once all three stages
+    *     are set the state is immutable under the ts-ordered-arrival
+    *     contract ([[foldFunnel]] only ever moves a stage EARLIER,
+    *     and in-order arrival means no later event can) — holding it
+    *     buys nothing;
+    *   - partial funnels evict on idle timeout (`idleUs`, default
+    *     24h event-time past the user's last event): the default
+    *     event-time form applies `delayThreshold` as the input
+    *     watermark and expires a user once the watermark passes
+    *     last-event + idle. Live state is therefore ≤ users ACTIVE
+    *     within the idle horizon — independent of lifetime distinct
+    *     users.
+    *
+    * The documented trade of any TTL'd streaming state: an evicted
+    * user who reappears folds from empty and emits a fresh partial
+    * row (the downstream upsert overwrites) — same contract as every
+    * production streaming funnel. Pass
+    * `GroupStateTimeout.NoTimeout` for the exact-convergence test
+    * shape (no watermark, no eviction). */
+  def funnelStream(events: Dataset[EventRow],
+      timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout,
+      delayThreshold: String = "1 hour",
+      idleUs: Long = 24L * 3600L * 1000000L): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val eventTime = timeout == GroupStateTimeout.EventTimeTimeout
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    val src =
+      if (eventTime) events.withWatermark("ts", delayThreshold)
+      else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        OutputMode.Update, timeout)(
         (uid: Long, it: Iterator[EventRow],
             state: GroupState[FunnelState]) => {
-          val s = foldFunnel(
-            it.map(e => (e.event_type, toMicros(e.ts))).toSeq
-              .sortBy(_._2),
-            state.getOption.getOrElse(EmptyFunnel))
-          state.update(s)
-          funnelOut(uid, s)
+          if (useTimeout && state.hasTimedOut) {
+            // every update was already emitted (Update mode): expiry
+            // only drops the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.map(e => (e.event_type, toMicros(e.ts)))
+              .toSeq.sortBy(_._2)
+            val s = foldFunnel(evs, state.getOption.getOrElse(EmptyFunnel))
+            if (useTimeout && s.tPurchase != FunnelUnset) {
+              // completed — immutable under in-order arrival: evict now
+              state.remove()
+            } else {
+              state.update(s)
+              if (eventTime) {
+                // expire once the watermark passes last-event + idle;
+                // clamp above the current watermark (setTimeoutTimestamp
+                // rejects timestamps the watermark already passed)
+                val lastMs = evs.map(_._2).max / 1000L
+                state.setTimeoutTimestamp(math.max(
+                  lastMs + idleUs / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              } else if (useTimeout) {
+                state.setTimeoutDuration(idleUs / 1000L)
+              }
+            }
+            funnelOut(uid, s)
+          }
         })
   }
 
