@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * ships a full decoder for) are REAL pixel/sample decodes. MP4 gets
   * a REAL pure-JVM container parse ([[mp4Info]]: ftyp/mvhd/tkhd
   * metadata) and sample demux ([[mp4Samples]]: stsz × stsc × stco
-  * resolved to exact encoded-sample byte ranges); only the
-  * codec-level FRAME decode (H.26x — no bare-JVM codec exists) takes
+  * resolved to exact encoded-sample byte ranges); demuxed samples
+  * that sniff as JPEG or PNG (MJPEG-in-MP4, the one video codec a
+  * bare JVM can actually decode) route through the REAL image
+  * decoders ([[decodeFrame]]); only H.26x frame decode — no bare-JVM
+  * codec exists — takes
   * the clearly-marked deterministic STUB (`decodeStub`). The
   * Spark-side plumbing is the
   * same for all: typed Dataset schema, mapPartitions batching
@@ -257,7 +260,8 @@ object Multimodal {
     * absolute byte ranges and slices out the first `maxSamples`
     * encoded samples. This is the real boundary of a bare JVM:
     * frame-accurate EXTRACTION is pure table arithmetic (done here);
-    * frame DECODE needs the codec (stubbed). Slices cap at
+    * frame DECODE needs the codec — real for MJPEG/PNG samples via
+    * [[decodeFrame]], stubbed for H.26x only. Slices cap at
     * `maxBytesPerSample` so a crafted stsz cannot balloon executor
     * memory. None when the container/table is malformed or sample
     * ranges fall outside the blob. */
@@ -589,6 +593,24 @@ object Multimodal {
     * aren't a decodable JPEG. */
   def jpegFeatures(b: Array[Byte]): Option[Array[Double]] =
     jpegDecode(b).map(rasterFeatures)
+
+  /** Codec dispatch for a DEMUXED MP4 sample: MJPEG-in-MP4 stores
+    * each video sample as a complete JPEG stream, so samples that
+    * sniff as JPEG decode for real through the wired ImageIO path
+    * ([[jpegDecode]], with its pre-decode raster cap); PNG-in-MP4
+    * likewise through [[pngDecode]]. None for any other codec
+    * (H.26x samples are raw NAL payloads no bare JVM can decode —
+    * callers fall back to the labeled stub), never a wrong answer. */
+  def decodeFrame(sample: Array[Byte]): Option[PngPixels] =
+    pngDecode(sample).orElse(jpegDecode(sample))
+
+  /** Per-frame feature vector for a demuxed sample: REAL
+    * [[rasterFeatures]] when [[decodeFrame]] has a codec for it,
+    * the labeled [[featureStub]] otherwise — identical 8-dim shape
+    * either way, so downstream schemas don't branch on codec. */
+  def frameFeatures(sample: Array[Byte]): Array[Double] =
+    decodeFrame(sample).map(rasterFeatures)
+      .getOrElse(featureStub(sample))
 
   /** Real pixel resize for PNG payloads: decode, nearest-neighbor
     * sample to the fit-within-box dimensions (same arithmetic as

@@ -341,6 +341,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == Multimodal.featureStub(text).toSeq)
   }
 
+  test("MJPEG-in-MP4: demuxed JPEG samples decode to real pixel " +
+      "stats through the frame-decode dispatch; unknown codecs keep " +
+      "the labeled stub") {
+    val f1 = jpegBytes(16, 12, (_, _) => (200 << 16) | (90 << 8) | 30)
+    val f2 = jpegBytes(8, 8, (x, y) => ((x * 10) << 16) | ((y * 20) << 8))
+    val mp4 = Multimodal.mp4Wrap(Seq(f1, f2))
+    assert(Multimodal.mp4Info(mp4).nonEmpty, "fixture must be real BMFF")
+    val samples = Multimodal.mp4Samples(mp4, 8).get
+    assert(samples.length == 2)
+    // demux is byte-exact, so frame decode ≡ decoding the sources
+    val stats = samples.map(Multimodal.frameFeatures)
+    assert(stats(0).toSeq == Multimodal.jpegFeatures(f1).get.toSeq)
+    assert(stats(1).toSeq == Multimodal.jpegFeatures(f2).get.toSeq)
+    // and it really decoded — the stub would hash, not measure: the
+    // uniform-color frame's mean RGB is recoverable
+    assert(math.abs(stats(0)(0) - 200) <= 3 &&
+      math.abs(stats(0)(1) - 90) <= 3 && math.abs(stats(0)(2) - 30) <= 3)
+    assert(stats(0).toSeq != Multimodal.featureStub(f1).toSeq)
+    // an H.26x-ish NAL payload has no bare-JVM codec → stub, flagged
+    // by decodeFrame returning None (never a wrong answer)
+    val nal = Array[Byte](0, 0, 0, 1, 0x67, 42, 13, 7)
+    assert(Multimodal.decodeFrame(nal).isEmpty)
+    assert(Multimodal.frameFeatures(nal).toSeq ==
+      Multimodal.featureStub(nal).toSeq)
+    // PNG-in-MP4 rides the same dispatch
+    val png = Multimodal.pngEncode(Multimodal.PngPixels(2, 2,
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)))
+    assert(Multimodal.decodeFrame(png).get.rgb.toSeq ==
+      Multimodal.pngDecode(png).get.rgb.toSeq)
+  }
+
   test("jpegResize downscales through the shared box fit and emits a " +
       "standards-valid PNG transcode") {
     val jpg = jpegBytes(16, 12, (x, y) => (x * 10) << 16 | (y * 20) << 8)
