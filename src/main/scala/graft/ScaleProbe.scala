@@ -125,6 +125,10 @@ object ScaleProbe {
       case Some("lm") => probeLm(spark, scale, reps); spark.stop(); return
       case Some("parity") =>
         probeParity(spark, scale, reps); spark.stop(); return
+      case Some("media") =>
+        probeMedia(spark, scale, reps); spark.stop(); return
+      case Some("jdbc") =>
+        probeJdbc(spark, scale); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -192,10 +196,14 @@ object ScaleProbe {
     * ~1.18M ≥ 2^20. Prints the hot-vocabulary counts and the plan's
     * join strategies (broadcast hot leg + shuffled cold leg) before
     * timing the family. */
-  def probeLm(spark: SparkSession, scale: Int, reps: Int): Unit = {
+  /** Verbatim-text document replication (ids shift, text unchanged)
+    * shared by the lm and media probe modes — for both, the per-row
+    * payload must stay 1×-sized while row count scales. */
+  private def verbatimDocsCorpus(spark: SparkSession, scale: Int)
+      : String = {
     val dir = s"/tmp/sf${scale / 10}lmprobe"
     if (!new java.io.File(s"$dir/documents.parquet").exists()) {
-      println(s"[probe] building shared-vocab ${scale}x docs at $dir")
+      println(s"[probe] building verbatim ${scale}x docs at $dir")
       val t0 = System.nanoTime()
       val docs = Tables.documents(spark, "/root/testdata/sf0.1")
       val docOff = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -207,6 +215,93 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       println(f"[probe] corpus built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else println(s"[probe] reusing corpus at $dir")
+    dir
+  }
+
+  /** Multimodal-family probe (`ScaleProbe <reps> <scale> media`): the
+    * m_* catalog entries over a replicated documents-as-media corpus.
+    * The mapPartitions batch-decode shape is embarrassingly parallel
+    * — per-record work, no shuffle before the final orderBy — so the
+    * probe question is (a) ~linear wall-time and (b) flat memory: the
+    * per-sample byte cap (`mp4Samples.maxBytesPerSample`) and
+    * per-batch iterators must keep the heap independent of corpus
+    * size. Heap-in-use is printed per query (post-GC estimate) as the
+    * memory evidence. */
+  def probeMedia(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = verbatimDocsCorpus(spark, scale)
+    for (q <- Seq("m_binary_meta", "m_media_decode", "m_frame_sample",
+        "m_mp4_demux", "m_features", "m_resize")) {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rt = Runtime.getRuntime
+      System.gc()
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+      println(f"[probe] $q%-16s min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})  " +
+        f"heapAfterGc ${usedMb}MB")
+    }
+  }
+
+  /** JDBC upsert-sink probe (`ScaleProbe <reps> <scale> jdbc`,
+    * rows = scale × 100k; default 1M): the SinksSpec Derby round-trip
+    * is row-count-tiny, so this pushes a production-sized batch
+    * through the REAL live path — Spark JDBC staging write (batched
+    * inserts, parallel partitions) + ONE server-side MERGE in one
+    * transaction — against embedded in-memory Derby, the one JDBC
+    * endpoint this sandbox can run. Asserts the script is exactly
+    * [MERGE, DROP] (a hidden per-row path would surface as a
+    * statement-per-row script or minutes of wall time) and verifies
+    * the merged row count server-side. Two legs: all-insert, then
+    * same-key all-update. */
+  def probeJdbc(spark: SparkSession, scale: Int): Unit = {
+    import graft.sources.JdbcUpsertSink
+    import JdbcUpsertSink.JdbcTarget
+    val n = scale * 100000L
+    val url = "jdbc:derby:memory:graftsinkprobe;create=true"
+    val seed = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = seed.createStatement()
+      st.execute("""CREATE TABLE "users" ("email" VARCHAR(40) """ +
+        """NOT NULL PRIMARY KEY, "name" VARCHAR(40), "age" INT)""")
+      st.close()
+    } finally seed.close()
+    val t = JdbcTarget(url, "users", "app", "", Map(
+      "createTableColumnTypes" -> "email VARCHAR(40), name VARCHAR(40)",
+      "batchsize" -> "10000", "numPartitions" -> "8"))
+    def staged(tag: String) = spark.range(n).select(
+      concat(lit("user"), col("id")).as("email"),
+      concat(lit(tag), (col("id") % 997)).as("name"),
+      (col("id") % 80).cast("int").as("age"))
+    def countRows(): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("""SELECT count(*) FROM "users"""")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    for ((tag, leg) <- Seq("v1" -> "insert", "v2" -> "update")) {
+      val t0 = System.nanoTime()
+      val script = JdbcUpsertSink.upsert(staged(tag), t, Seq("email"),
+        batchId = if (leg == "insert") 1 else 2, dialect = "ansi")
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(script.length == 2 &&
+        script.head.startsWith("MERGE INTO") &&
+        script(1).startsWith("DROP TABLE"),
+        s"script must be one MERGE + one DROP, got: $script")
+      val rows = countRows()
+      assert(rows == n, s"expected $n rows after $leg leg, got $rows")
+      println(f"[probe] jdbc_upsert($leg) $n rows in $secs%7.2fs " +
+        f"(${n / secs}%.0f rows/s), script = 1 MERGE + 1 DROP")
+    }
+  }
+
+  def probeLm(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = verbatimDocsCorpus(spark, scale)
     val docsDf = Tables.documents(spark, dir)
     // hot-vocabulary evidence: the collect is bounded by construction
     // (≤ total_tokens / 2^20 rows can clear the threshold)

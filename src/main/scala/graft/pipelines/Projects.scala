@@ -43,13 +43,16 @@ object Projects {
   /** Run against current `users(user_id, netid, curr_role)` and
     * `projects` state. `sheet` is the all-string staged frame.
     *
-    * `materialize` is applied to the merged projects frame before the
-    * four downstream consumers (links, reconciliation, returning
-    * marks, output) fan out — pass `_.localCheckpoint()` (or
-    * `persist`) when all outputs are consumed, so the full-outer merge
-    * join + id window run once instead of once per consumer. Default
-    * is identity: callers that consume a single output keep a fully
-    * lazy plan (and Spark's ReuseExchange still dedups the shuffles). */
+    * `materialize` is applied at the two fan-out points — the merged
+    * projects frame (full-outer merge + id window, consumed by the
+    * project output and the melt) and the NARROW melted long frame
+    * (4 columns, consumed by links, reconciliation, and returning
+    * marks) — pass `_.localCheckpoint()` (or `persist`) when all
+    * outputs are consumed, so each runs once instead of once per
+    * consumer and the three role-derived sections never re-scan the
+    * wide frame. Default is identity: callers that consume a single
+    * output keep a fully lazy plan (and Spark's ReuseExchange still
+    * dedups the shuffles). */
   def run(sheet: DataFrame, users: DataFrame,
       curProjects: DataFrame,
       materialize: DataFrame => DataFrame = identity): Result = {
@@ -96,12 +99,30 @@ object Projects {
       "project_name", curProjects))
 
     // ONE melt of the merged frame feeds links (R2/J9), role
-    // reconciliation (J7), and returning marks (J8) — stack is a
-    // narrow codegen'd Generator, but three copies still meant three
-    // scans and three explode stages over the merged output
-    val melted = Melt.melt(projects, Seq("project_id", Merge.ActionCol),
-      Roles.map { case (r, code) => code -> s"${r}_id" },
-      "role", "user_id")
+    // reconciliation (J7), and returning marks (J8). The 100× probe
+    // showed each consumer re-scanning the full-width merged
+    // checkpoint (name/semester/client ride along for nothing —
+    // column pruning cannot reach through a materialized frame), so:
+    // (a) the melt input projects down to id + action + the five role
+    // columns first, and (b) the exploded long frame is persisted
+    // LAZILY, not checkpointed — within the caller's single output
+    // job all three consumers share the one in-memory copy with no
+    // serializing materialization job (A/B/C-measured at 10×: lazy
+    // persist cut the three consumers from ~10 s each to one ~9 s
+    // populate + cache hits; an eager checkpoint of the 5×-row
+    // exploded frame was NET SLOWER than re-melting). The cache is
+    // narrow (4 columns), MEMORY_AND_DISK (evictable), at most one
+    // per run() invocation, and never populated unless a melt
+    // consumer actually executes — the bounded residency is the
+    // price of cross-branch sharing inside one job, which no
+    // unpersist-after-materialize pattern can provide here.
+    val melted = Melt.melt(projects.select(
+          (Seq("project_id", Merge.ActionCol) ++
+            Roles.map { case (r, _) => s"${r}_id" }).map(col): _*),
+        Seq("project_id", Merge.ActionCol),
+        Roles.map { case (r, code) => code -> s"${r}_id" },
+        "role", "user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // R2/J9: link rows — insert path only (reference behavior)
     val links = melted.filter(col(Merge.ActionCol) === "insert")
