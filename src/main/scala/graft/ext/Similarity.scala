@@ -161,9 +161,10 @@ object Similarity {
     * DIFFERENT label — close to the anchor in embedding space but of
     * another class, the negatives that actually move a contrastive
     * loss. Brute-force form over a small anchor set (same broadcast
-    * argument as [[bruteForceTopK]]); the IVF/LSH scale paths apply
-    * unchanged because the label exclusion is a post-filter on the
-    * candidate stream. */
+    * argument as [[bruteForceTopK]]); the scale-path claim — label
+    * exclusion is a post-filter on the candidate stream — is shipped
+    * code, not prose: [[hardNegativesIvfInt8]] composes it with the
+    * IVF × int8 pruned stream. */
   def hardNegatives(embeddings: DataFrame, isQuery: Column, k: Int)
       : DataFrame = {
     val base = hardNegBase(embeddings)
