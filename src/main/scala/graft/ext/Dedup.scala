@@ -195,18 +195,7 @@ object Dedup {
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col("doc_id"),
-      graft.functions.MinHashSig.minhash_sig(
-        graft.functions.ArrayOps.array_poly_hash(col("sh")),
-        bands * rowsPerBand).as("sig"))
-    // band key = the band's signature slice, comma-joined; only ids
-    // and these short keys travel into the self-join
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(bnd =>
-        concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1,
-          rowsPerBand).cast("array<string>"))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+    val banded = bandKeys(sh, bands, rowsPerBand)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
@@ -231,6 +220,84 @@ object Dedup {
     // same eager-materialize + release pattern as jaccardPairs
     val out = pairs.localCheckpoint()
     sh.unpersist()
+    out
+  }
+
+  /** Band-key frame (doc_id, band, band_key) over a shingle frame
+    * (doc_id, sh) — the LSH index rows. Shared by the self-join
+    * ([[minhashLshPairs]]) and incremental ([[minhashLshIncremental]])
+    * shapes; in production this is also exactly the manifest table an
+    * ingest pipeline persists per batch. Band key = the band's
+    * signature slice, comma-joined; only ids and these short keys
+    * ever travel into a join. */
+  private def bandKeys(sh: DataFrame, bands: Int, rowsPerBand: Int)
+      : DataFrame =
+    sh.select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(
+          graft.functions.ArrayOps.array_poly_hash(col("sh")),
+          bands * rowsPerBand).as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(bnd =>
+          concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1,
+            rowsPerBand).cast("array<string>"))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+  /** INCREMENTAL MinHash+LSH near-dedup — the ingest-gate shape: for
+    * each document of an incoming batch, the already-ingested corpus
+    * documents it near-duplicates (verified exact Jaccard ≥
+    * `threshold`), as (new_id, dup_of, jaccard) rows. The near-dup
+    * counterpart of the exact-hash incremental dedup
+    * ([[graft.queries.TrainingData]] `d_incremental_dedup`): a
+    * continuously-fed corpus can't re-run the all-corpus self-join
+    * per batch.
+    *
+    * Scale shape: the band join probes the manifest index with ONLY
+    * the batch's band keys — an equi-join on (band, band_key), so
+    * per-batch work scales with the batch size and its true match
+    * volume, never all-pairs over the corpus. Signatures use the same
+    * engine-portable polynomial family as [[minhashLshPairs]], so the
+    * verified pair set equals the cross-side subset of the full
+    * self-join's output (DedupSpec asserts exactly that) and the
+    * operator carries a DuckDB oracle. In production the manifest
+    * side is the persisted [[bandKeys]] + sorted-shingle tables
+    * written when each earlier batch was ingested (no corpus
+    * re-shingling per batch); here both sides are derived from their
+    * doc frames so the operator is self-contained.
+    *
+    * Within-batch duplicates are deliberately NOT reported — that is
+    * [[minhashLshPairs]] over the batch alone, composable with this. */
+  def minhashLshIncremental(newDocs: DataFrame, manifest: DataFrame,
+      idCol: String, textCol: String, n: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    def shingleFrame(docs: DataFrame) =
+      docs.select(col(idCol).as("doc_id"),
+          shingles(col(textCol), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shNew = shingleFrame(newDocs)
+    val shMan = shingleFrame(manifest)
+    val cand = bandKeys(shNew, bands, rowsPerBand).alias("a")
+      .join(bandKeys(shMan, bands, rowsPerBand).alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    val pairs = cand
+      .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
+        "new_id")
+      .join(shMan.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")),
+        "dup_of")
+      .select(col("new_id"), col("dup_of"),
+        graft.functions.ArrayOps
+          .sorted_intersect_size(col("sh_a"), col("sh_b")).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("new_id"), col("dup_of"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val out = pairs.localCheckpoint()
+    shNew.unpersist(); shMan.unpersist()
     out
   }
 

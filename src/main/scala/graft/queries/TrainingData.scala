@@ -158,13 +158,12 @@ object TrainingData {
   private def sqlShingles: String =
     s"list_sort(${sqlShingleList("(string_split(text, ' '))", 3)})"
 
-  /** Shared oracle fragment: the full MinHash+LSH near-dup pipeline
-    * (shingle → 64-hash signature → 16 band keys → candidate join →
-    * exact-Jaccard verify at 0.2) as a WITH-clause body ending in CTE
-    * `mh_pairs(doc_a, doc_b, jaccard)`. Used by both the pair query
-    * and the end-to-end near-dup dedup pipeline so they cannot
-    * drift. */
-  private def minhashPairsCtes: String = {
+  /** One SIDE of the MinHash oracle (shingle → 64-hash signature →
+    * 16 band keys) as CTEs suffixed `sfx`, over `documents` rows
+    * matching `where` (empty = all). Shared by the self-join and
+    * incremental oracles so the signature family cannot drift between
+    * them. */
+  private def minhashSideCtes(sfx: String, where: String): String = {
     val numHashes = 64
     val bands = 16
     val rowsPerBand = 4
@@ -177,17 +176,27 @@ object TrainingData {
       val lo = b * rowsPerBand + 1
       val hi = b * rowsPerBand + rowsPerBand
       s"SELECT doc_id, $b AS band, " +
-      s"array_to_string(sig[$lo:$hi], ',') AS band_key FROM sig"
+      s"array_to_string(sig[$lo:$hi], ',') AS band_key FROM sig$sfx"
     }.mkString("\n  UNION ALL ")
-    s"""shs AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
-       |f AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
-       |h AS (SELECT doc_id,
-       |    list_transform(sh, s -> ${sqlPolyHash("s")}) AS hs FROM f),
-       |sigc AS (SELECT doc_id,
+    s"""shs$sfx AS (SELECT doc_id, $sqlShingles AS sh FROM documents$where),
+       |f$sfx AS (SELECT doc_id, sh FROM shs$sfx WHERE len(sh) > 0),
+       |h$sfx AS (SELECT doc_id,
+       |    list_transform(sh, s -> ${sqlPolyHash("s")}) AS hs FROM f$sfx),
+       |sigc$sfx AS (SELECT doc_id,
        |    $sigExprs
-       |  FROM h),
-       |sig AS (SELECT doc_id, $sigList AS sig FROM sigc),
-       |bands AS ($bandSelects),
+       |  FROM h$sfx),
+       |sig$sfx AS (SELECT doc_id, $sigList AS sig FROM sigc$sfx),
+       |bands$sfx AS ($bandSelects)""".stripMargin
+  }
+
+  /** Shared oracle fragment: the full MinHash+LSH near-dup pipeline
+    * (shingle → 64-hash signature → 16 band keys → candidate join →
+    * exact-Jaccard verify at 0.2) as a WITH-clause body ending in CTE
+    * `mh_pairs(doc_a, doc_b, jaccard)`. Used by both the pair query
+    * and the end-to-end near-dup dedup pipeline so they cannot
+    * drift. */
+  private def minhashPairsCtes: String =
+    s"""${minhashSideCtes("", "")},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band
        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -199,12 +208,44 @@ object TrainingData {
        |mh_pairs AS (SELECT doc_a, doc_b,
        |    round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
        |  FROM v WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= 0.2)""".stripMargin
-  }
 
   private val dMinhashLshSql =
     s"""WITH $minhashPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM mh_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Incremental near-dup ingest gate ([[Dedup.minhashLshIncremental]]):
+    * the batch = every 10th doc, the manifest = the rest; output =
+    * which incoming docs near-duplicate the already-ingested corpus
+    * (band-key probe join + exact-Jaccard verify — per-batch work
+    * scales with the batch, never all-pairs over the corpus). The
+    * near-dup counterpart of `d_incremental_dedup`. */
+  def dIncrementalMinhash(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.minhashLshIncremental(
+        all.filter(col("doc_id") % 10 === 0),
+        all.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("new_id", "dup_of")
+  }
+
+  private val dIncrementalMinhashSql =
+    s"""WITH ${minhashSideCtes("_n", " WHERE doc_id % 10 = 0")},
+       |${minhashSideCtes("_m", " WHERE doc_id % 10 <> 0")},
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+       |  FROM bands_n a JOIN bands_m b ON a.band = b.band
+       |    AND a.band_key = b.band_key),
+       |v AS (SELECT new_id, dup_of,
+       |    len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+       |    len(sa.sh) AS n_a, len(sb.sh) AS n_b
+       |  FROM cand JOIN f_n sa ON sa.doc_id = cand.new_id
+       |    JOIN f_m sb ON sb.doc_id = cand.dup_of)
+       |SELECT new_id, dup_of,
+       |  round(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
+       |FROM v WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= 0.2
+       |ORDER BY new_id, dup_of""".stripMargin
 
   /** Corpus data card: per (source, lang) release accounting — doc
     * and token counts, mean document length, and each cell's share of
@@ -2255,6 +2296,7 @@ object TrainingData {
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
+    "d_incremental_minhash" -> (dIncrementalMinhash _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_neardup_pipeline" -> (dNeardupPipeline _),
@@ -2308,6 +2350,7 @@ object TrainingData {
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" -> dDedupExactSql,
     "d_incremental_dedup" -> dIncrementalDedupSql,
+    "d_incremental_minhash" -> dIncrementalMinhashSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_neardup_pipeline" -> dNeardupPipelineSql,

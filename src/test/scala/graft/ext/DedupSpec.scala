@@ -106,6 +106,35 @@ class DedupSpec extends SparkSpec {
     both.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
+  test("incremental MinHash+LSH equals the cross-side subset of the " +
+      "full self-join, and never reports within-batch pairs") {
+    val corpus = graft.Tables.documents(spark, sf0001)
+    val isNew = col("doc_id") % 10 === 0
+    val inc = Dedup.minhashLshIncremental(
+        corpus.filter(isNew), corpus.filter(!isNew),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.2)
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    // reference: the full self-join's verified pairs, restricted to
+    // pairs with exactly one side in the batch, re-oriented to
+    // (new, manifest) — band keys are per-doc, so the cross-side
+    // candidate sets coincide and the verified sets must be equal
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expected = full.flatMap { case (a, b) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _ => None
+      }
+    }.toSet
+    assert(inc == expected, s"inc=${inc.size} expected=${expected.size}")
+    assert(inc.nonEmpty, "fixture must exercise a true cross-side dup")
+    // within-batch duplicates are out of contract
+    assert(inc.forall { case (n2, m) => n2 % 10 == 0 && m % 10 != 0 })
+  }
+
   test("simhash: identical text → distance 0; pairs respect maxHamming") {
     val h = docs.select(Dedup.simhash32($"text").as("h"))
       .as[Long].collect()
