@@ -201,7 +201,10 @@ object ScaleProbe {
     * payload must stay 1×-sized while row count scales. */
   private def verbatimDocsCorpus(spark: SparkSession, scale: Int)
       : String = {
-    val dir = s"/tmp/sf${scale / 10}lmprobe"
+    // dir keyed on the RAW scale: an integer-divided key (sf{scale/10})
+    // would silently reuse a wrong-size corpus for any non-multiple
+    // of 10 and collide all scales below 10
+    val dir = s"/tmp/docsprobe${scale}x"
     if (!new java.io.File(s"$dir/documents.parquet").exists()) {
       println(s"[probe] building verbatim ${scale}x docs at $dir")
       val t0 = System.nanoTime()

@@ -33,7 +33,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
@@ -43,7 +43,14 @@ object Tables {
         // NTZ→TZ cast is value-identity; casting keeps every consumer
         // on the same TimestampType they were built against
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case TimestampType => raw
+      case other =>
+        // fail LOUDLY on the next encoding drift: a silent passthrough
+        // (or a mis-scaled long) would diverge from the DuckDB oracle
+        // with no visible error — the exact failure mode this dispatch
+        // exists to prevent
+        sys.error(s"events.ts: unhandled parquet encoding $other — " +
+          "extend Tables.events' type dispatch")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -915,6 +915,25 @@ object Multimodal {
     }
   }
 
+  /** One per-sample feature row from [[frameDecodePipeline]]. */
+  case class FrameFeatures(doc_id: Long, sample_idx: Int,
+      features: Array[Double])
+
+  /** [[mp4RoundTrip]] composed with [[frameFeatures]] — the full
+    * video-frame feature path: build + demux the real ISO-BMFF
+    * container, then run the codec dispatch on every demuxed sample.
+    * MJPEG/PNG samples get REAL raster statistics ([[decodeFrame]] →
+    * [[rasterFeatures]]); codec-less payloads the labeled stub — one
+    * 8-dim row either way, so downstream schemas don't branch on
+    * codec. Same mapPartitions batching as [[mp4RoundTrip]]. */
+  def frameDecodePipeline(records: Dataset[MediaRecord],
+      maxSamples: Int, sampleBytes: Int): Dataset[FrameFeatures] = {
+    import records.sparkSession.implicits._
+    mp4RoundTrip(records, maxSamples, sampleBytes)
+      .map(f => FrameFeatures(f.doc_id, f.sample_idx,
+        frameFeatures(f.frame)))
+  }
+
   /** documents.text re-cast as a media corpus (the container has no
     * real media files; byte payloads exercise identical plumbing). */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -43,19 +43,27 @@ object Projects {
   /** Run against current `users(user_id, netid, curr_role)` and
     * `projects` state. `sheet` is the all-string staged frame.
     *
-    * `materialize` is applied at the two fan-out points — the merged
-    * projects frame (full-outer merge + id window, consumed by the
-    * project output and the melt) and the NARROW melted long frame
-    * (4 columns, consumed by links, reconciliation, and returning
-    * marks) — pass `_.localCheckpoint()` (or `persist`) when all
-    * outputs are consumed, so each runs once instead of once per
-    * consumer and the three role-derived sections never re-scan the
-    * wide frame. Default is identity: callers that consume a single
-    * output keep a fully lazy plan (and Spark's ReuseExchange still
-    * dedups the shuffles). */
+    * Two materialization knobs, one per fan-out point, both defaulting
+    * to identity (single-output callers keep a fully lazy plan, and
+    * Spark's ReuseExchange still dedups the shuffles):
+    *
+    *   - `materialize` wraps the merged projects frame (full-outer
+    *     merge + id window; consumed by the project output and the
+    *     melt) — pass `_.localCheckpoint()` when all outputs are
+    *     consumed so the merge runs once;
+    *   - `materializeMelt` wraps the NARROW exploded long frame
+    *     (4 columns; consumed by links, reconciliation, and returning
+    *     marks) — pass `_.persist(...)` (LAZY, not a checkpoint: an
+    *     eager job for the 5×-row exploded frame measured net slower
+    *     than re-melting; a lazy cache is populated inside the
+    *     caller's single output job and shared by all three
+    *     consumers). The caller owns the returned frame's lifecycle:
+    *     keep the handle and `unpersist()` after consuming the
+    *     outputs, as [[graft.queries.Parity.pProjectsPipeline]] does. */
   def run(sheet: DataFrame, users: DataFrame,
       curProjects: DataFrame,
-      materialize: DataFrame => DataFrame = identity): Result = {
+      materialize: DataFrame => DataFrame = identity,
+      materializeMelt: DataFrame => DataFrame = identity): Result = {
     // P2: multi-candidate header coalesce (absent headers → skip)
     val resolvedCols = KeyMap.map { case (target, cands) =>
       val present = cands.filter(sheet.columns.contains)
@@ -102,27 +110,17 @@ object Projects {
     // reconciliation (J7), and returning marks (J8). The 100× probe
     // showed each consumer re-scanning the full-width merged
     // checkpoint (name/semester/client ride along for nothing —
-    // column pruning cannot reach through a materialized frame), so:
-    // (a) the melt input projects down to id + action + the five role
-    // columns first, and (b) the exploded long frame is persisted
-    // LAZILY, not checkpointed — within the caller's single output
-    // job all three consumers share the one in-memory copy with no
-    // serializing materialization job (A/B/C-measured at 10×: lazy
-    // persist cut the three consumers from ~10 s each to one ~9 s
-    // populate + cache hits; an eager checkpoint of the 5×-row
-    // exploded frame was NET SLOWER than re-melting). The cache is
-    // narrow (4 columns), MEMORY_AND_DISK (evictable), at most one
-    // per run() invocation, and never populated unless a melt
-    // consumer actually executes — the bounded residency is the
-    // price of cross-branch sharing inside one job, which no
-    // unpersist-after-materialize pattern can provide here.
-    val melted = Melt.melt(projects.select(
+    // column pruning cannot reach through a materialized frame), so
+    // the melt input projects down to id + action + the five role
+    // columns first, and `materializeMelt` lets an all-outputs caller
+    // share the exploded long frame across the three consumers (see
+    // the scaladoc for the measured trade and lifecycle contract).
+    val melted = materializeMelt(Melt.melt(projects.select(
           (Seq("project_id", Merge.ActionCol) ++
             Roles.map { case (r, _) => s"${r}_id" }).map(col): _*),
         Seq("project_id", Merge.ActionCol),
         Roles.map { case (r, code) => code -> s"${r}_id" },
-        "role", "user_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        "role", "user_id"))
 
     // R2/J9: link rows — insert path only (reference behavior)
     val links = melted.filter(col(Merge.ActionCol) === "insert")

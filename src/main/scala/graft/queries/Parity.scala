@@ -686,9 +686,21 @@ object Parity {
       lit(null).cast("long").as("sc2_id")) // k even ⇒ staged sc2 NULL
     // all six output sections consume the merged frame → materialize
     // it once (the full-outer merge + id window would otherwise
-    // re-execute per union branch)
+    // re-execute per union branch); the narrow exploded melt persists
+    // LAZILY so its three consumers share one copy inside the single
+    // union job — the handle is held here and released after the
+    // eager evaluation below (the cosineDupPairs lifecycle pattern:
+    // a DataFrame persist is CacheManager-rooted and never GC-cleaned,
+    // so without the unpersist every Bench rep would leak a cache)
+    var meltCache: Option[DataFrame] = None
     val r = graft.pipelines.Projects.run(sheet, users, curProjects,
-      materialize = _.localCheckpoint())
+      materialize = _.localCheckpoint(),
+      materializeMelt = df => {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        meltCache = Some(p)
+        p
+      })
     val idsV = Seq("em_id", "sm_id", "pm_id", "sc1_id", "sc2_id")
       .map(cn => coalesce(col(cn).cast("string"), lit("-")))
     val vProj = concat_ws("|",
@@ -717,9 +729,14 @@ object Parity {
       .unionByName(r.summary.select(lit("summary").as("section"),
         col("invalid_rows").cast("long").as("id"),
         lit("invalid_rows").as("k"), lit(null).cast("string").as("v")))
-    projRows.unionByName(linkRows).unionByName(roleRows)
+    val unioned = projRows.unionByName(linkRows).unionByName(roleRows)
       .unionByName(retRows).unionByName(qRows).unionByName(sumRows)
-      .orderBy("section", "id", "k", "v")
+    // evaluate the whole dataflow ONCE and release the shared melt
+    // cache before returning — the result is served from the
+    // materialized frame, so no caller can observe the unpersist
+    val out = unioned.localCheckpoint()
+    meltCache.foreach(_.unpersist())
+    out.orderBy("section", "id", "k", "v")
   }
 
   /** Dev-only ([[graft.ProjProfile]]): the six section frames of

@@ -956,9 +956,7 @@ object TrainingData {
     }.mkString("\n    + ")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |qids AS (SELECT vec_id FROM base
-       |  ORDER BY ((((vec_id % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647, vec_id
-       |  LIMIT 16),
+       |$qidsSql,
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
        |bscored AS (SELECT query_id, vec_id AS neighbor_id,
@@ -1289,6 +1287,44 @@ object TrainingData {
     * derivable on this ASCII corpus, so even the stub path is
     * hash-verified end-to-end (typed Dataset → mapPartitions →
     * explode). */
+  /** Video-frame feature extraction ([[graft.ext.Multimodal
+    * .frameDecodePipeline]]): real ISO-BMFF build + demux, then the
+    * per-sample codec dispatch — MJPEG/PNG samples decode to REAL
+    * raster statistics, codec-less payloads (this ASCII corpus) take
+    * the labeled stub, which the oracle reproduces exactly; the real
+    * branch is spec-verified on JDK-encoder JPEG fixtures
+    * (MultimodalSpec). */
+  def mFrameDecode(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.frameDecodePipeline(
+        graft.ext.Multimodal.mediaFromDocuments(s, d),
+        maxSamples = 4, sampleBytes = 256).toDF()
+      .select(col("doc_id"), col("sample_idx"),
+        posexplode(col("features")).as(Seq("dim", "value")))
+      .orderBy("doc_id", "sample_idx", "dim")
+
+  private val mFrameDecodeSql = {
+    val mults = graft.ext.Multimodal.FeatureMults
+    val hashes = mults.zipWithIndex.map { case (m, i) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(frame, ''), c -> ord(c)::BIGINT)), " +
+      s"(a, b) -> (a * $m + b) % 2147483647) AS h_$i"
+    }.mkString(",\n    ")
+    val dims = mults.indices.map { i =>
+      s"SELECT doc_id, i, $i AS dim, " +
+      s"(h_$i % 2000 - 1000) / 1000.0 AS value FROM h"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH m AS (SELECT doc_id, text FROM documents
+       |  WHERE length(text) > 0),
+       |fr AS (SELECT doc_id, i,
+       |    substring(text, CAST(i * 256 AS INT) + 1, 256) AS frame
+       |  FROM m CROSS JOIN range(0, 4) t(i)),
+       |f AS (SELECT doc_id, i, frame FROM fr WHERE length(frame) > 0),
+       |h AS (SELECT doc_id, i, $hashes FROM f)
+       |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+       |  CAST(dim AS INT) AS dim, value
+       |FROM ($dims) ORDER BY doc_id, sample_idx, dim""".stripMargin
+  }
+
   def mFeatures(s: SparkSession, d: String): DataFrame =
     graft.ext.Multimodal.extractFeatures(
         graft.ext.Multimodal.mediaFromDocuments(s, d)).toDF()
@@ -2343,6 +2379,7 @@ object TrainingData {
     "m_media_decode" -> (mMediaDecode _),
     "m_frame_sample" -> (mFrameSample _),
     "m_mp4_demux" -> (mMp4Demux _),
+    "m_frame_decode" -> (mFrameDecode _),
     "m_features" -> (mFeatures _),
     "m_resize" -> (mResize _),
   )
@@ -2395,6 +2432,7 @@ object TrainingData {
     "m_media_decode" -> mMediaDecodeSql,
     "m_frame_sample" -> mFrameSampleSql,
     "m_mp4_demux" -> mMp4DemuxSql,
+    "m_frame_decode" -> mFrameDecodeSql,
     "m_features" -> mFeaturesSql,
     "m_resize" -> mResizeSql,
   )

@@ -162,27 +162,26 @@ object StatefulOps {
     * user_id).
     *
     * State is BOUNDED (the property [[sessionizeStream]] always had
-    * and r6 proved for streaming dedup), two eviction paths:
+    * and r6 proved for streaming dedup): every user — completed or
+    * partial — evicts on idle timeout (`idleUs`, default 24h
+    * event-time past the user's last event). The default event-time
+    * form applies `delayThreshold` as the input watermark and expires
+    * a user once the watermark passes last-event + idle, so live
+    * state is ≤ users ACTIVE within the idle horizon — independent of
+    * lifetime distinct users.
     *
-    *   - completed funnels evict IMMEDIATELY: once all three stages
-    *     are set the state is immutable under the ts-ordered-arrival
-    *     contract ([[foldFunnel]] only ever moves a stage EARLIER,
-    *     and in-order arrival means no later event can) — holding it
-    *     buys nothing;
-    *   - partial funnels evict on idle timeout (`idleUs`, default
-    *     24h event-time past the user's last event): the default
-    *     event-time form applies `delayThreshold` as the input
-    *     watermark and expires a user once the watermark passes
-    *     last-event + idle. Live state is therefore ≤ users ACTIVE
-    *     within the idle horizon — independent of lifetime distinct
-    *     users.
-    *
-    * The documented trade of any TTL'd streaming state: an evicted
-    * user who reappears folds from empty and emits a fresh partial
-    * row (the downstream upsert overwrites) — same contract as every
-    * production streaming funnel. Pass
-    * `GroupStateTimeout.NoTimeout` for the exact-convergence test
-    * shape (no watermark, no eviction). */
+    * Completed funnels deliberately HOLD state until the TTL rather
+    * than evicting on completion: a completed state is a fixpoint of
+    * [[foldFunnel]] under in-order arrival, so keeping it makes
+    * post-purchase activity re-emit the SAME completed row — evicting
+    * eagerly would instead fold the user's next event from empty and
+    * the downstream Update-mode upsert would regress the conversion
+    * to a partial row. The residual (documented) trade of any TTL'd
+    * state: a user who reappears after full idle expiry folds from
+    * empty and emits a fresh partial row — same contract as every
+    * production streaming funnel. Pass `GroupStateTimeout.NoTimeout`
+    * for the exact-convergence test shape (no watermark, no
+    * eviction). */
   def funnelStream(events: Dataset[EventRow],
       timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout,
       delayThreshold: String = "1 hour",
@@ -207,22 +206,17 @@ object StatefulOps {
             val evs = it.map(e => (e.event_type, toMicros(e.ts)))
               .toSeq.sortBy(_._2)
             val s = foldFunnel(evs, state.getOption.getOrElse(EmptyFunnel))
-            if (useTimeout && s.tPurchase != FunnelUnset) {
-              // completed — immutable under in-order arrival: evict now
-              state.remove()
-            } else {
-              state.update(s)
-              if (eventTime) {
-                // expire once the watermark passes last-event + idle;
-                // clamp above the current watermark (setTimeoutTimestamp
-                // rejects timestamps the watermark already passed)
-                val lastMs = evs.map(_._2).max / 1000L
-                state.setTimeoutTimestamp(math.max(
-                  lastMs + idleUs / 1000L,
-                  state.getCurrentWatermarkMs() + 1L))
-              } else if (useTimeout) {
-                state.setTimeoutDuration(idleUs / 1000L)
-              }
+            state.update(s)
+            if (eventTime) {
+              // expire once the watermark passes last-event + idle;
+              // clamp above the current watermark (setTimeoutTimestamp
+              // rejects timestamps the watermark already passed)
+              val lastMs = evs.map(_._2).max / 1000L
+              state.setTimeoutTimestamp(math.max(
+                lastMs + idleUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            } else if (useTimeout) {
+              state.setTimeoutDuration(idleUs / 1000L)
             }
             funnelOut(uid, s)
           }

@@ -372,6 +372,26 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pngDecode(png).get.rgb.toSeq)
   }
 
+  test("frameDecodePipeline (the m_frame_decode path) routes JPEG " +
+      "payloads to real raster stats and codec-less ones to the stub, " +
+      "distributed") {
+    import spark.implicits._
+    val jpg = jpegBytes(16, 12, (_, _) => (200 << 16) | (90 << 8) | 30)
+    val text = "plain payload".getBytes("UTF-8")
+    val ds = Seq(Multimodal.MediaRecord(1L, jpg),
+      Multimodal.MediaRecord(2L, text)).toDS()
+    // sampleBytes ≥ payload so sample 0 is the whole blob — the MJPEG
+    // layout (one complete JPEG per sample)
+    val got = Multimodal.frameDecodePipeline(ds, maxSamples = 1,
+        sampleBytes = math.max(jpg.length, text.length))
+      .collect().map(f => (f.doc_id, f.sample_idx) -> f.features.toSeq)
+      .toMap
+    assert(got((1L, 0)) == Multimodal.jpegFeatures(jpg).get.toSeq,
+      "JPEG sample must take the real decode branch")
+    assert(got((2L, 0)) == Multimodal.featureStub(text).toSeq,
+      "codec-less sample must take the labeled stub")
+  }
+
   test("jpegResize downscales through the shared box fit and emits a " +
       "standards-valid PNG transcode") {
     val jpg = jpegBytes(16, 12, (x, y) => (x * 10) << 16 | (y * 20) << 8)

@@ -112,9 +112,8 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming funnel state is BOUNDED: completed funnels evict " +
-      "immediately, idle partials evict once the watermark passes " +
-      "their TTL") {
+  test("streaming funnel state is BOUNDED by the idle TTL, and a " +
+      "completed funnel never regresses on post-purchase activity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
       spark.sqlContext
@@ -127,8 +126,10 @@ class StatefulOpsSpec extends SparkSpec {
       .format("memory").queryName("funnel_state_out")
       .start()
     try {
-      // user 1 COMPLETES the funnel in one batch; users 2 and 3 stay
-      // partial → only the two partials may hold state
+      // user 1 COMPLETES the funnel; users 2 and 3 stay partial —
+      // all three hold state until their TTL (a completed state is a
+      // foldFunnel fixpoint; holding it is what makes post-purchase
+      // activity harmless)
       src.addData(
         ev(1, "2024-01-01 00:00:00", 1, "view"),
         ev(2, "2024-01-01 00:01:00", 1, "click"),
@@ -137,27 +138,37 @@ class StatefulOpsSpec extends SparkSpec {
         ev(5, "2024-01-01 00:00:00", 3, "view"))
       q.processAllAvailable()
       val afterA = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-      assert(afterA == 2L,
-        s"completed funnel must evict immediately: expected 2 partial " +
-        s"state rows, got $afterA")
-      // jump event time 12h → watermark (max ts − 1h) passes the
-      // partials' last-event + 1h TTL; eviction applies the watermark
-      // computed at the END of the previous batch, so one more batch
-      // actually drops the rows (same two-step as the dedup spec)
-      src.addData(ev(6, "2024-01-01 12:00:00", 4, "view"))
+      assert(afterA == 3L, s"3 users must hold state, got $afterA")
+      // post-purchase activity within the TTL horizon: the completed
+      // user browses again — the re-emitted row must still be the
+      // COMPLETED conversion (same stages), never a partial reset
+      // that the downstream Update-mode upsert would regress to
+      src.addData(ev(6, "2024-01-01 00:30:00", 1, "view"))
       q.processAllAvailable()
-      src.addData(ev(7, "2024-01-01 23:00:00", 5, "view"))
+      val u1 = spark.table("funnel_state_out")
+        .filter(col("user_id") === 1)
+        .select("t_view", "t_click", "t_purchase")
+        .collect()
+      assert(u1.length >= 2, "the post-purchase batch re-emits user 1")
+      assert(u1.forall(r => !r.isNullAt(2)),
+        "every emitted user-1 row keeps the completed conversion — " +
+        "a NULL purchase here means eager eviction regressed it")
+      // jump event time far past every TTL; eviction applies the
+      // watermark computed at the END of the previous batch, so one
+      // more batch actually drops the rows (same two-step as the
+      // dedup spec)
+      src.addData(ev(7, "2024-01-01 12:00:00", 4, "view"))
+      q.processAllAvailable()
+      src.addData(ev(8, "2024-01-01 23:00:00", 5, "view"))
       q.processAllAvailable()
       val afterC = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-      // users 2/3 (TTL 01:00) are gone; user 4 (TTL 13:00) may also
-      // have expired in the trailing no-data batch processAllAvailable
-      // triggers once the watermark reached 22:00 — either way the
-      // live set is a strict subset of the 4 partial users ever seen
-      assert(afterC <= 2L,
-        s"idle partial funnels must be evicted — got $afterC state " +
-        "rows; unbounded state grows with lifetime distinct users")
-      // eviction never loses emitted rows: user 2's partial row and
-      // user 1's completed row are both in the sink
+      // users 1/2/3 (TTLs ≤ 01:30) are gone; user 4 (TTL 13:00) may
+      // also expire in the trailing no-data batch once the watermark
+      // reached 22:00 — either way state declined despite 2 new users
+      assert(afterC <= 2L && afterC < afterA,
+        s"idle funnels (completed AND partial) must be evicted — got " +
+        s"$afterC state rows; unbounded state grows with lifetime users")
+      // eviction never loses emitted rows
       assert(!spark.table("funnel_state_out")
         .filter(col("user_id") === 2 && col("t_view").isNotNull)
         .isEmpty, "partial row must have been emitted before eviction")
