@@ -2,9 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: per-section wall-time profile of p_projects_pipeline's
-  * output union at a probe corpus — which of the six section scans
-  * actually costs at scale. Usage: ProjProfile [dir]. */
+/** Dev-only: wall-time profile of p_projects_pipeline at a probe
+  * corpus. Since the r7 lifecycle fix the builder evaluates the whole
+  * dataflow eagerly (union localCheckpoint, then melt-cache release),
+  * so "construct" carries the full pipeline cost and the six section
+  * timings measure reads of the materialized frame — useful as a
+  * sanity floor, not a section-cost breakdown. (The r7 section-cost
+  * A/B/C in BASELINE.md was measured on the pre-fix lazy shape.)
+  * Usage: ProjProfile [dir]. */
 object ProjProfile {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/sf1parityprobe")
