@@ -136,7 +136,12 @@ object ScaleProbe {
     val tBuild = System.nanoTime()
     buildCorpus(spark, "/root/testdata/sf0.1")
     println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs")
-    for (q <- Queries) {
+    // SPARK_GRAFT_PROBE_QUERIES overrides here too (it always did for
+    // the deep path) — without this a 10x point for a single query
+    // cost a full default-family sweep
+    val tenXQueries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Queries)
+    for (q <- tenXQueries) {
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, ProbeDir)
@@ -152,8 +157,9 @@ object ScaleProbe {
     // corpus) — at 10× that is the deliberate WORST case: mean cluster
     // size grows 10×, pair work Σ|c|² grows ~100×. The production
     // recipe keeps mean cluster size constant by scaling k with N;
-    // measure it so both points are on record.
-    {
+    // measure it so both points are on record. (Default-set runs
+    // only, same rule as probeDeep's rescue leg.)
+    if (sys.env.get("SPARK_GRAFT_PROBE_QUERIES").isEmpty) {
       val kScaled = 80
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -233,7 +239,7 @@ object ScaleProbe {
   def probeMedia(spark: SparkSession, scale: Int, reps: Int): Unit = {
     val dir = verbatimDocsCorpus(spark, scale)
     for (q <- Seq("m_binary_meta", "m_media_decode", "m_frame_sample",
-        "m_mp4_demux", "m_features", "m_resize")) {
+        "m_mp4_demux", "m_frame_decode", "m_features", "m_resize")) {
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)
