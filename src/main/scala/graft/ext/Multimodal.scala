@@ -7,16 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed per-partition in batches.
   *
   * Decode coverage: PNG (from-scratch Inflater+unfilter decoder),
-  * PCM WAV (from-scratch RIFF walk), and JPEG (the JDK's bundled
-  * ImageIO codec — the one compressed format every standard JVM
-  * ships a full decoder for) are REAL pixel/sample decodes. MP4 gets
+  * PCM WAV (from-scratch RIFF walk), JPEG and GIF (the JDK's bundled
+  * ImageIO codecs — the compressed formats every standard JVM ships
+  * full decoders for) are REAL pixel/sample decodes. MP4 gets
   * a REAL pure-JVM container parse ([[mp4Info]]: ftyp/mvhd/tkhd
   * metadata) and sample demux ([[mp4Samples]]: stsz × stsc × stco
   * resolved to exact encoded-sample byte ranges); demuxed samples
-  * that sniff as JPEG or PNG (MJPEG-in-MP4, the one video codec a
-  * bare JVM can actually decode) route through the REAL image
-  * decoders ([[decodeFrame]]); only H.26x frame decode — no bare-JVM
-  * codec exists — takes
+  * that sniff as JPEG/PNG/GIF (MJPEG-in-MP4 and kin, the video
+  * layouts a bare JVM can actually decode) route through the REAL
+  * image decoders ([[decodeFrame]]); only H.26x frame decode — no
+  * bare-JVM codec exists — takes
   * the clearly-marked deterministic STUB (`decodeStub`). The
   * Spark-side plumbing is the
   * same for all: typed Dataset schema, mapPartitions batching
@@ -152,6 +152,7 @@ object Multimodal {
     * encoded-sample boundaries). */
   def decode(bytes: Array[Byte]): MediaMeta =
     pngMeta(bytes).orElse(wavMeta(bytes)).orElse(jpegMeta(bytes))
+      .orElse(gifMeta(bytes))
       .orElse(mp4Meta(bytes))
       .getOrElse(decodeStub(bytes))
 
@@ -493,6 +494,15 @@ object Multimodal {
             m.width.toLong * m.height * 3 > MaxRasterBytes) return None
       case None => return None
     }
+    imageIoToPixels(b)
+  }
+
+  /** Shared ImageIO tail for the JDK-codec formats (JPEG, GIF):
+    * decode, post-check dimensions against the raster cap, expand to
+    * the 3-byte-RGB [[PngPixels]] raster. Callers MUST have run their
+    * format's pre-decode dimension check first — this is the second
+    * line of defense, not the first. */
+  private def imageIoToPixels(b: Array[Byte]): Option[PngPixels] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -513,6 +523,43 @@ object Multimodal {
     }
     Some(PngPixels(w, h, rgb))
   }
+
+  /** GIF87a/GIF89a pixel decode — the third compressed image format
+    * whose full decoder ships in every standard JVM (ImageIO, like
+    * JPEG). The logical-screen descriptor (bytes 6-9, little-endian
+    * u16 width/height) is checked against the raster cap BEFORE
+    * ImageIO inflates anything, mirroring the JPEG/PNG pre-decode
+    * guards. First frame only: animated-GIF frame extraction is a
+    * sampling concern ([[sampleFrames]]/[[mp4Samples]]-style), not a
+    * decode concern. */
+  def gifDecode(b: Array[Byte]): Option[PngPixels] = {
+    gifDims(b) match {
+      case Some((w, h))
+          if w > 0 && h > 0 && w.toLong * h * 3 <= MaxRasterBytes =>
+        imageIoToPixels(b)
+      case _ => None
+    }
+  }
+
+  /** GIF signature + logical-screen dimensions, header-only. */
+  private def gifDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    Some(((b(6) & 0xff) | ((b(7) & 0xff) << 8),
+      (b(8) & 0xff) | ((b(9) & 0xff) << 8)))
+  }
+
+  /** [[gifDims]] shaped into the decode schema. */
+  def gifMeta(b: Array[Byte]): Option[MediaMeta] =
+    gifDims(b).filter { case (w, h) => w > 0 && h > 0 }
+      .map { case (w, h) => MediaMeta(-1L, b.length, w, h, "gif", crc(b)) }
+
+  /** [[rasterFeatures]] over [[gifDecode]]; None when the bytes
+    * aren't a decodable GIF. */
+  def gifFeatures(b: Array[Byte]): Option[Array[Double]] =
+    gifDecode(b).map(rasterFeatures)
 
   /** Minimal PNG encoder (the write half of [[pngDecode]]): 8-bit
     * truecolor, filter 0 scanlines, one deflated IDAT — enough to
@@ -603,6 +650,7 @@ object Multimodal {
     * callers fall back to the labeled stub), never a wrong answer. */
   def decodeFrame(sample: Array[Byte]): Option[PngPixels] =
     pngDecode(sample).orElse(jpegDecode(sample))
+      .orElse(gifDecode(sample))
 
   /** Per-frame feature vector for a demuxed sample: REAL
     * [[rasterFeatures]] when [[decodeFrame]] has a codec for it,
@@ -822,6 +870,7 @@ object Multimodal {
         batch.iterator.map(r => MediaFeatures(r.doc_id,
           pngFeatures(r.media).orElse(wavFeatures(r.media))
             .orElse(jpegFeatures(r.media))
+            .orElse(gifFeatures(r.media))
             .getOrElse(featureStub(r.media))))
       }
     }

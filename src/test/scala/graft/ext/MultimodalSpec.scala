@@ -372,6 +372,47 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pngDecode(png).get.rgb.toSeq)
   }
 
+  test("gifDecode recovers pixel stats from a real GIF through the " +
+      "shared ImageIO tail; sniff and caps mirror the JPEG guards") {
+    // GIF is palette-based: a two-color image survives quantization
+    // exactly
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    assert(new String(gif, 0, 6, "US-ASCII").startsWith("GIF8"),
+      "fixture must be a real GIF")
+    val px = Multimodal.gifDecode(gif).get
+    assert(px.width == 8 && px.height == 6)
+    val f = Multimodal.gifFeatures(gif).get
+    // half the pixels pure red, half pure blue → mean R = mean B
+    assert(math.abs(f(0) - f(2)) <= 1, s"mean R ${f(0)} vs B ${f(2)}")
+    assert(f(1) <= 1, s"mean G ${f(1)} must be ~0")
+    // meta sniff: dims from the logical-screen descriptor, no decode
+    val m = Multimodal.gifMeta(gif).get
+    assert(m.width == 8 && m.height == 6 && m.format == "gif")
+    assert(Multimodal.decode(gif).format == "gif")
+    // decodeFrame dispatch + extractFeatures routing
+    assert(Multimodal.decodeFrame(gif).get.rgb.toSeq == px.rgb.toSeq)
+    import spark.implicits._
+    val got = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRecord(1L, gif)).toDS()).collect()
+    assert(got.head.features.toSeq == f.toSeq,
+      "GIF routes to the real featurizer")
+    // oversized logical screen rejected BEFORE ImageIO runs
+    val huge = gif.clone()
+    huge(6) = 0xff.toByte; huge(7) = 0xff.toByte // w = 65535
+    huge(8) = 0xff.toByte; huge(9) = 0x7f.toByte // h = 32767
+    assert(Multimodal.gifDecode(huge).isEmpty,
+      "raster cap must reject before decode")
+    // non-GIF bytes: None
+    assert(Multimodal.gifDecode("GIF8 but not really".getBytes).isEmpty)
+    assert(Multimodal.gifMeta("plain text".getBytes).isEmpty)
+  }
+
   test("frameDecodePipeline (the m_frame_decode path) routes JPEG " +
       "payloads to real raster stats and codec-less ones to the stub, " +
       "distributed") {
