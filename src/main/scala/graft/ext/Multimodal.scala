@@ -677,6 +677,13 @@ object Multimodal {
   def jpegResize(b: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =
     jpegDecode(b).map(img => pngEncode(resizeRaster(img, maxW, maxH)))
 
+  /** Real pixel resize for GIF payloads — same box fit and lossless
+    * PNG transcode as [[jpegResize]] (GIF re-encoding would also
+    * re-quantize the palette, the wrong property for reproducible
+    * pipelines). None for non-GIF bytes. */
+  def gifResize(b: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =
+    gifDecode(b).map(img => pngEncode(resizeRaster(img, maxW, maxH)))
+
   /** Nearest-neighbor fit-within-box resample (same arithmetic as
     * [[resizeDims]]: scale = min(maxW/w, maxH/h, 1), floor, ≥ 1,
     * never upscale) — shared by the PNG and JPEG resize paths. */

@@ -411,6 +411,12 @@ class MultimodalSpec extends SparkSpec {
     // non-GIF bytes: None
     assert(Multimodal.gifDecode("GIF8 but not really".getBytes).isEmpty)
     assert(Multimodal.gifMeta("plain text".getBytes).isEmpty)
+    // resize leg: box fit + lossless PNG transcode, like jpegResize
+    val resized = Multimodal.gifResize(gif, 4, 4).get
+    val rimg = Multimodal.pngDecode(resized).get
+    assert(rimg.width == 4 && rimg.height == 3,
+      s"8x6 into 4x4 box must yield 4x3, got ${rimg.width}x${rimg.height}")
+    assert(Multimodal.gifResize("text".getBytes, 2, 2).isEmpty)
   }
 
   test("frameDecodePipeline (the m_frame_decode path) routes JPEG " +
