@@ -526,35 +526,89 @@ object Multimodal {
 
   /** GIF87a/GIF89a pixel decode — the third compressed image format
     * whose full decoder ships in every standard JVM (ImageIO, like
-    * JPEG). The logical-screen descriptor (bytes 6-9, little-endian
-    * u16 width/height) is checked against the raster cap BEFORE
-    * ImageIO inflates anything, mirroring the JPEG/PNG pre-decode
-    * guards. First frame only: animated-GIF frame extraction is a
-    * sampling concern ([[sampleFrames]]/[[mp4Samples]]-style), not a
-    * decode concern. */
+    * JPEG). The raster cap is enforced BEFORE ImageIO inflates
+    * anything, against BOTH the logical-screen descriptor AND every
+    * frame's image descriptor ([[gifScan]]'s full block walk —
+    * ImageIO allocates the frame's dimensions, so a 1×1 logical
+    * screen hiding a 65535×65535 frame must be rejected at the
+    * header walk, not post-decode). First frame only: animated-GIF
+    * frame extraction is a sampling concern
+    * ([[sampleFrames]]/[[mp4Samples]]-style), not a decode concern. */
   def gifDecode(b: Array[Byte]): Option[PngPixels] = {
-    gifDims(b) match {
-      case Some((w, h))
-          if w > 0 && h > 0 && w.toLong * h * 3 <= MaxRasterBytes =>
+    gifScan(b) match {
+      case Some((w, h, fw, fh))
+          if w > 0 && h > 0 && w.toLong * h * 3 <= MaxRasterBytes &&
+            fw.toLong * fh * 3 <= MaxRasterBytes =>
         imageIoToPixels(b)
       case _ => None
     }
   }
 
-  /** GIF signature + logical-screen dimensions, header-only. */
-  private def gifDims(b: Array[Byte]): Option[(Int, Int)] = {
-    if (b.length < 13) return None
+  /** Structural GIF walk: signature + logical-screen descriptor, then
+    * the full block chain (extensions with len-prefixed sub-blocks,
+    * image descriptors with their local color tables and LZW data
+    * sub-blocks) to the 0x3B trailer. Returns (logical W, logical H,
+    * max frame W, max frame H) only for a WELL-FORMED stream.
+    *
+    * The walk is the load-bearing sniff, not the 6-byte signature:
+    * "GIF89a" is printable ASCII, so a text document can carry the
+    * magic — but every sub-block length byte must then chain exactly
+    * onto the next structural byte all the way to a trailer, which
+    * arbitrary text does not survive. This is the same
+    * structure-backstop discipline as [[wavMeta]]'s fmt-chunk walk
+    * and the ISO-BMFF box-size bound, and it is what keeps the
+    * documents-as-media oracles stub-exact on an ASCII corpus. */
+  private def gifScan(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 14) return None
     val sig = new String(b, 0, 6,
       java.nio.charset.StandardCharsets.US_ASCII)
     if (sig != "GIF87a" && sig != "GIF89a") return None
-    Some(((b(6) & 0xff) | ((b(7) & 0xff) << 8),
-      (b(8) & 0xff) | ((b(9) & 0xff) << 8)))
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val w = le16(6)
+    val h = le16(8)
+    var off = 13
+    // global color table: flag bit 7, size 2^(n+1) entries × 3 bytes
+    if ((b(10) & 0x80) != 0) off += 3 * (1 << ((b(10) & 0x07) + 1))
+    var maxFw = 0
+    var maxFh = 0
+    var frames = 0
+    // skip a len-prefixed sub-block chain; -1 on truncation
+    def subBlocks(start: Int): Int = {
+      var o = start
+      while (o < b.length && b(o) != 0) {
+        o += 1 + (b(o) & 0xff)
+      }
+      if (o < b.length) o + 1 else -1
+    }
+    while (off >= 0 && off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3b => // trailer: well-formed iff we saw at least a frame
+          return if (frames > 0) Some((w, h, maxFw, maxFh)) else None
+        case 0x21 => // extension: label byte + sub-blocks
+          if (off + 2 > b.length) return None
+          off = subBlocks(off + 2)
+        case 0x2c => // image descriptor: 9 bytes + [LCT] + LZW + subs
+          if (off + 10 > b.length) return None
+          maxFw = math.max(maxFw, le16(off + 5))
+          maxFh = math.max(maxFh, le16(off + 7))
+          var o = off + 10
+          if ((b(off + 9) & 0x80) != 0)
+            o += 3 * (1 << ((b(off + 9) & 0x07) + 1))
+          if (o + 1 > b.length) return None
+          frames += 1
+          off = subBlocks(o + 1) // skip LZW min-code byte, then subs
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
   }
 
-  /** [[gifDims]] shaped into the decode schema. */
+  /** [[gifScan]] shaped into the decode schema — only a structurally
+    * well-formed GIF sniffs (see the walk's scaladoc for why the
+    * 6-byte magic alone must not). */
   def gifMeta(b: Array[Byte]): Option[MediaMeta] =
-    gifDims(b).filter { case (w, h) => w > 0 && h > 0 }
-      .map { case (w, h) => MediaMeta(-1L, b.length, w, h, "gif", crc(b)) }
+    gifScan(b).collect { case (w, h, _, _) if w > 0 && h > 0 =>
+      MediaMeta(-1L, b.length, w, h, "gif", crc(b)) }
 
   /** [[rasterFeatures]] over [[gifDecode]]; None when the bytes
     * aren't a decodable GIF. */

@@ -1281,12 +1281,6 @@ object TrainingData {
        |FROM fr WHERE length(frame) > 0
        |ORDER BY doc_id, sample_idx""".stripMargin
 
-  /** Feature extraction (stub embedding model) via batched
-    * mapPartitions, exploded to (dim, value) rows. The stub is a
-    * per-dimension polynomial byte hash scaled to [−1, 1) — SQL-
-    * derivable on this ASCII corpus, so even the stub path is
-    * hash-verified end-to-end (typed Dataset → mapPartitions →
-    * explode). */
   /** Video-frame feature extraction ([[graft.ext.Multimodal
     * .frameDecodePipeline]]): real ISO-BMFF build + demux, then the
     * per-sample codec dispatch — MJPEG/PNG samples decode to REAL
@@ -1325,6 +1319,12 @@ object TrainingData {
        |FROM ($dims) ORDER BY doc_id, sample_idx, dim""".stripMargin
   }
 
+  /** Feature extraction (stub embedding model) via batched
+    * mapPartitions, exploded to (dim, value) rows. The stub is a
+    * per-dimension polynomial byte hash scaled to [−1, 1) — SQL-
+    * derivable on this ASCII corpus, so even the stub path is
+    * hash-verified end-to-end (typed Dataset → mapPartitions →
+    * explode). */
   def mFeatures(s: SparkSession, d: String): DataFrame =
     graft.ext.Multimodal.extractFeatures(
         graft.ext.Multimodal.mediaFromDocuments(s, d)).toDF()

@@ -408,6 +408,30 @@ class MultimodalSpec extends SparkSpec {
     huge(8) = 0xff.toByte; huge(9) = 0x7f.toByte // h = 32767
     assert(Multimodal.gifDecode(huge).isEmpty,
       "raster cap must reject before decode")
+    // the cap also binds the FRAME dims (what ImageIO actually
+    // allocates): tiny 1x1 logical screen, 65535x65535 image
+    // descriptor, structurally well-formed to the trailer
+    val sneaky = Array[Byte](
+      'G', 'I', 'F', '8', '9', 'a',
+      1, 0, 1, 0, 0, 0, 0,                       // LSD 1x1, no GCT
+      0x2c, 0, 0, 0, 0,                          // image descriptor
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, // 65535^2
+      0,                                         // no LCT
+      2, 1, 0, 0,                                // LZW min + 1-byte sub
+      0x3b)                                      // trailer
+    assert(Multimodal.gifMeta(sneaky).nonEmpty,
+      "fixture must be structurally valid (the sniff accepts it)")
+    assert(Multimodal.gifDecode(sneaky).isEmpty,
+      "frame-dims cap must reject before ImageIO allocates")
+    // printable-ASCII text carrying the magic must NOT sniff: the
+    // block walk is the load-bearing check (this is what keeps the
+    // documents-as-media oracles stub-exact on an ASCII corpus)
+    assert(Multimodal.gifMeta(
+      "GIF89a this is a document about the gif format.".getBytes)
+      .isEmpty, "magic alone must not sniff as GIF")
+    assert(Multimodal.decode(
+      "GIF89a this is a document about the gif format.".getBytes)
+      .format != "gif")
     // non-GIF bytes: None
     assert(Multimodal.gifDecode("GIF8 but not really".getBytes).isEmpty)
     assert(Multimodal.gifMeta("plain text".getBytes).isEmpty)
