@@ -1541,6 +1541,64 @@ object TrainingData {
        |FROM t WHERE dh % 100 < 10 + (sh % 3) * 15
        |ORDER BY doc_id""".stripMargin
 
+  /** Token-budget subsampling — the "give me N tokens per source"
+    * mixture op (how pretraining mixes are actually specified: token
+    * budgets per source, not document rates — cf. the per-source
+    * token accounting in `d_corpus_card`/`d_mix_sources`). Documents
+    * are visited in deterministic epoch-shuffle order (the portable
+    * doc-id hash, ties by doc_id — reproducible across runs AND
+    * engines, no RNG state) and taken until the source's budget is
+    * reached; the boundary document is kept (standard take-until
+    * overshoot ≤ one doc). Per-source budgets here are keyed off the
+    * portable source hash (400/700/1000 tokens) the same way
+    * `d_stratified_sample` keys its rates.
+    *
+    * Scale shape: one narrow projection + ONE running-sum window
+    * partitioned by source — the cumsum parallelizes across strata
+    * exactly like `d_pack`'s, with only (doc_id, source, n_tok, ord)
+    * ever shuffling (never text). No global sort, no driver state; at
+    * 100 TB the per-stratum windows are independent tasks, and a
+    * skewed giant source can be sub-stratified by a hash-derived salt
+    * without changing take-until semantics (budget split across
+    * salts pro rata). */
+  def dTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docHash = graft.functions.RollingHash.rolling_hash(
+      col("doc_id").cast("string"))
+    val srcHash = graft.functions.RollingHash.rolling_hash(col("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"),
+        docHash.as("ord"),
+        (lit(400) + pmod(srcHash, lit(3)) * 300).cast("long")
+          .as("budget_tok"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < col("budget_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("budget_tok"), col("cum_before"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val dTokenBudgetSql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} AS ord,
+       |    CAST(400 + (${sqlPolyHash("source")} % 3) * 300 AS BIGINT)
+       |      AS budget_tok
+       |  FROM documents),
+       |c AS (SELECT *, CAST(coalesce(sum(n_tok) OVER (
+       |      PARTITION BY source ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tok, budget_tok, cum_before,
+       |  cum_before < budget_tok AS kept
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Context-window chunking: each document split into 32-token
     * chunks on a 24-token stride (8-token overlap) — the packing
     * precursor for LLM training. One narrow explode per doc (chunk
@@ -2356,6 +2414,7 @@ object TrainingData {
     "d_quality_lr" -> (dQualityLr _),
     "d_repetition_break" -> (dRepetitionBreak _),
     "d_stratified_sample" -> (dStratifiedSample _),
+    "d_token_budget" -> (dTokenBudget _),
     "d_chunking" -> (dChunking _),
     "d_pack" -> (dPack _),
     "d_top_tokens" -> (dTopTokens _),
@@ -2403,6 +2462,7 @@ object TrainingData {
     "d_quality_lr" -> dQualityLrSql,
     "d_repetition_break" -> dRepetitionBreakSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
+    "d_token_budget" -> dTokenBudgetSql,
     "d_chunking" -> dChunkingSql,
     "d_pack" -> dPackSql,
     "d_top_tokens" -> dTopTokensSql,

@@ -40,6 +40,31 @@ class TrainingDataSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("d_token_budget: take-until semantics per source — kept set " +
+      "is a prefix of shuffle order, overshoot bounded by one doc") {
+    val t = TrainingData.dTokenBudget(spark, sf0001).cache()
+    // verdict is a pure function of its emitted inputs
+    assert(t.filter(col("kept") =!=
+      (col("cum_before") < col("budget_tok"))).isEmpty)
+    // kept tokens reach the budget wherever the source has enough
+    // tokens, and overshoot past it by at most the boundary doc
+    val per = t.groupBy("source")
+      .agg(sum(when(col("kept"), col("n_tok")).otherwise(0L))
+          .as("kept_tok"),
+        sum(col("n_tok")).as("all_tok"),
+        first(col("budget_tok")).as("budget"),
+        max(when(col("kept"), col("n_tok"))).as("max_kept"))
+      .cache()
+    assert(per.filter(col("all_tok") >= col("budget") &&
+      col("kept_tok") < col("budget")).isEmpty)
+    assert(per.filter(col("kept_tok") >=
+      col("budget") + col("max_kept")).isEmpty)
+    // budgets actually split this corpus (some dropped, some kept)
+    assert(t.filter(col("kept")).count() > 0)
+    assert(t.filter(!col("kept")).count() > 0)
+    per.unpersist(); t.unpersist()
+  }
+
   test("d_gopher_rules: fractions bounded, verdict consistent with " +
       "its inputs") {
     val g = TrainingData.dGopherRules(spark, sf0001).cache()
