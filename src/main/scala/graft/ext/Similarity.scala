@@ -448,6 +448,18 @@ object Similarity {
     * and recomputes centroids with order-independent decimal sums —
     * so the fit is bit-reproducible across runs, partitionings, AND
     * engines (the DuckDB oracle unrolls the same iterations).
+    *
+    * The centroid mean is deliberately NOT rounded: `decimal-sum →
+    * double → ÷ count` is one IEEE division of identical inputs —
+    * bit-identical in both engines — whereas `round(mean, 6)` was a
+    * cross-engine divergence point. A 6-decimal-quantized sum divided
+    * by a count with only 2/5 prime factors terminates EXACTLY on a
+    * 7th-decimal half (e.g. S=0.105872/2 = .0529355…ish), where
+    * Spark (HALF_UP on the exact binary expansion) and DuckDB
+    * (scaled-multiply round) legitimately disagree — observed once
+    * across 4096 means in the m=16 PQ fit. Cluster counts are small,
+    * so such counts are common; dropping the round removes the
+    * entire hazard class instead of shrinking it.
     * Distributed shape: assignment is a broadcast cross join (k tiny),
     * the update is the same explode-by-dimension aggregation as
     * [[ivfTopK]] — no driver-side collect anywhere. */
@@ -466,8 +478,8 @@ object Similarity {
       centroids = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
-        .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
-          count(lit(1)), 6).as("cv"))
+        .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+          count(lit(1))).as("cv"))
         .groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
@@ -492,6 +504,141 @@ object Similarity {
         max(struct(col("a_sim"), (-col("cid")).as("neg_cid"),
           col("cid"))).as("_best"))
       .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
+
+  /** Rounded squared-L2 distance between two double arrays, in the
+    * algebraic form `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩` — three [[cosine]]-style
+    * codegen dot products and one fixed combination, so Spark and the
+    * DuckDB oracle evaluate the IDENTICAL float expression tree
+    * (an element-wise `Σ(aᵢ−bᵢ)²` would accumulate differently and
+    * break hash parity). No division anywhere: L2 assignment is
+    * well-defined even for zero-norm subvectors, which is why the PQ
+    * fit uses it rather than cosine. */
+  private def l2sq(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
+    round(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), 6)
+  }
+
+  /** Nearest-centroid assignment under rounded squared-L2 — the
+    * [[assignClusters]] sibling for the PQ codebook fit. Argmin is a
+    * struct-min hash aggregate (partial combine, no sort shuffle):
+    * min orders by distance first, then cid, so ties resolve to the
+    * smallest cluster id — identical semantics to `row_number() OVER
+    * (ORDER BY d2 ASC, cid ASC) = 1` in the oracle. */
+  def assignClustersL2(base: DataFrame, centroids: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
+      .withColumn("a_d2", l2sq(col("emb"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"), // constant within the group
+        min(struct(col("a_d2"), col("cid"))).as("_best"))
+      .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
+
+  /** [[kmeansCentroids]] under squared-L2 assignment (the textbook
+    * k-means objective and the metric PQ codebooks are trained with):
+    * same smallest-vec_id seeding, same order-independent decimal-sum
+    * centroid updates, same per-iteration lineage truncation — so the
+    * fit is bit-reproducible across runs, partitionings, AND engines
+    * and the DuckDB oracle can unroll it. */
+  def kmeansCentroidsL2(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seedW = Window.orderBy("vec_id")
+    var centroids = base.orderBy("vec_id").limit(k)
+      .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("cid"), col("emb").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignClustersL2(base, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+          count(lit(1))).as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x("cv")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011) — the memory-layout
+    * production shape for corpus-scale similarity search. The `dim`
+    * dimensions are split into `m` contiguous subspaces of dim/m; a
+    * separate [[kmeansCentroidsL2]] codebook of `kSub` centroids is
+    * fitted per subspace; every corpus vector is encoded as `m` small
+    * codes (nearest sub-centroid per subspace — at kSub ≤ 256 that is
+    * m BYTES per vector vs 8·dim for raw doubles, a 128× compression
+    * at the catalog's 64-dim/4-byte-code parameterization). Queries
+    * are NOT quantized (asymmetric distance computation): each query
+    * precomputes a lookup table of `⟨q_sub, centroid⟩` partial dots —
+    * |Q|·m·kSub tiny rows, broadcast — and a candidate's approximate
+    * inner product is the sum of its m table entries, reached without
+    * ever touching the raw corpus vectors again.
+    *
+    * Distributed shape: the fit is m small broadcast-assign/decimal-
+    * mean loops (corpus-linear, like [[ivfTopKKmeans]]'s); encode is
+    * one partial-combined argmin aggregate per subspace; scoring joins
+    * the corpus-sized CODES frame to the broadcast LUT and reduces
+    * per (query, vector) with map-side combine — the only
+    * corpus-sized shuffle carries (query_id, vec_id, partial-sum)
+    * rows, never vectors. Every step is rounded/decimal-summed, so
+    * the whole index — fit, codes, ADC scores — is hash-verified
+    * against an unrolled DuckDB oracle.
+    *
+    * Scores are approximate inner products (`adc_dot`), the standard
+    * PQ ranking score; recall vs the exact scan is bounded in
+    * SimilaritySpec and measured per-corpus the same way
+    * `s_ann_recall` does for LSH. */
+  def pqTopK(embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      m: Int, kSub: Int, iters: Int, dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
+    val subDim = dim / m
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = (0 until m).map { si =>
+      base.select(col("vec_id"),
+        slice(col("emb"), si * subDim + 1, subDim).as("emb"))
+    }
+    // per-subspace codebooks; kmeansCentroidsL2 ends in a
+    // localCheckpoint, so reuse below (encode + LUT) never refits
+    val cents = subs.map(kmeansCentroidsL2(_, kSub, iters))
+    val codes = subs.zip(cents).zipWithIndex.map { case ((b, c), si) =>
+        assignClustersL2(b, c)
+          .select(col("vec_id"), lit(si).as("sub"), col("cid"))
+      }.reduce(_ unionByName _)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    // pdot stays a RAW double: the decimal cast inside sumDec is the
+    // one quantization point (the proven centroid-mean pattern). A
+    // per-term round(·,6) here would add 16 extra half-way rounding
+    // decisions per pair, and round() at a boundary is the one
+    // operation Spark (exact-expansion HALF_UP) and DuckDB (scaled
+    // multiply) can disagree on — observed once in 40 960 terms at
+    // sf0.01 before this was removed.
+    val lut = cents.zipWithIndex.map { case (c, si) =>
+        q.crossJoin(broadcast(c))
+          .select(col("query_id"), lit(si).as("sub"), col("cid"),
+            graft.functions.ArrayOps.dot_product(
+              slice(col("q_emb"), si * subDim + 1, subDim),
+              col("centroid")).as("pdot"))
+      }.reduce(_ unionByName _)
+    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(graft.queries.QueryUtil.sumDec(col("pdot")), 6)
+        .as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("adc_dot"), asc("vec_id"))
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dot"), col("rank"))
+    val out = topk.localCheckpoint()
+    base.unpersist()
+    out
+  }
 
   /** [[ivfTopK]] with a real (deterministic) k-means coarse quantizer
     * instead of the `label` column: fit `kClusters` centroids with
@@ -584,8 +731,8 @@ object Similarity {
     val centroids = base
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
-        count(lit(1)), 6).as("cv"))
+      .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+        count(lit(1))).as("cv"))
       .groupBy(col("label"))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("cv")))),
@@ -670,8 +817,8 @@ object Similarity {
     base0
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(graft.queries.QueryUtil.sumDec(col("v")) /
-        count(lit(1)), 6).as("cv"))
+      .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+        count(lit(1))).as("cv"))
       .groupBy(col("label"))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("cv")))),

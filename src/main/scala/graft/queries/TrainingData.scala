@@ -706,8 +706,8 @@ object TrainingData {
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |dims AS (SELECT label, i,
-       |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
-       |      / count(*), 6) AS cv
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
        |  FROM base CROSS JOIN range(1, 65) t(i)
        |  GROUP BY label, i),
        |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
@@ -811,8 +811,8 @@ object TrainingData {
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |dims AS (SELECT label, i,
-       |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
-       |      / count(*), 6) AS cv
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
        |  FROM base CROSS JOIN range(1, 65) t(i)
        |  GROUP BY label, i),
        |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
@@ -867,8 +867,8 @@ object TrainingData {
          |  FROM base b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
     def updateSql(assigned: String, out: String): String =
       s"""${out}d AS (SELECT cid, i,
-         |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
-         |      / count(*), 6) AS cv
+         |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) AS cv
          |  FROM $assigned CROSS JOIN range(1, 65) t(i)
          |  GROUP BY cid, i),
          |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
@@ -906,6 +906,103 @@ object TrainingData {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Product-quantization ANN ([[Similarity.pqTopK]]): 64 dims → 16
+    * subspaces × 4 dims, one deterministic L2 codebook (32 centroids,
+    * 2 Lloyd iterations) per subspace, corpus encoded to 16 codes per
+    * vector, asymmetric-distance scoring for the fixed |Q| = 16 query
+    * sample. The whole index — sixteen k-means fits, the code
+    * assignment, the per-query lookup tables, the summed ADC scores —
+    * is hash-verified against an oracle that unrolls every subspace
+    * fit. Complements the int8 entries: scalar quantization
+    * compresses bandwidth ~7×; PQ compresses the scan state 32× (16
+    * code bytes vs 512 raw bytes) and replaces per-pair arithmetic
+    * with table lookups — the memory layout a 100-TB corpus scan
+    * actually ships. Parameter sweep on this corpus (uniform-random
+    * embeddings — PQ's worst case, no cluster structure to exploit):
+    * recall@5 vs brute = 0.16 (m=4,k=8), 0.29 (8,16), 0.54 (16,32),
+    * 0.65 (16,64); the catalog pins (16,32) as the cost/recall
+    * balance and SimilaritySpec bounds both this corpus's recall and
+    * exactness on a separable fixture. */
+  def sAnnPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.pqTopK(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, m = 16, kSub = 32, iters = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Unrolled-SQL mirror of the m=16 PQ index: per subspace s, CTEs
+    * `bs` (sliced corpus) → `is` (seeds) → assign/update ×2 →
+    * `ms` (final assignment); then the broadcast LUT join and the
+    * decimal-summed ADC ranking. Same fragment grammar as
+    * [[kmUnrolledSql]] with L2 in place of cosine. */
+  private val sAnnPqSql = {
+    val m = 16; val subDim = 4; val kSub = 32
+    def lo(s: Int) = s * subDim + 1
+    def hi(s: Int) = (s + 1) * subDim
+    // identical float expression tree to Similarity.l2sq
+    def l2(a: String, b: String) =
+      s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
+      s" + list_dot_product($b, $b), 6)"
+    def assignSql(sub: Int, cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, emb, cid FROM (
+         |  SELECT b.vec_id, b.emb, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${l2("b.emb", "c.centroid")} ASC, c.cid)
+         |      AS rn
+         |  FROM b$sub b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def updateSql(assigned: String, out: String) =
+      s"""${out}d AS (SELECT cid, i,
+         |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) AS cv
+         |  FROM $assigned CROSS JOIN range(1, ${subDim + 1}) t(i)
+         |  GROUP BY cid, i),
+         |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
+         |  FROM ${out}d GROUP BY cid)""".stripMargin
+    val perSub = (0 until m).map { s =>
+      s"""b$s AS (SELECT vec_id, emb[${lo(s)}:${hi(s)}] AS emb
+         |  FROM base),
+         |i$s AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
+         |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
+         |    FROM b$s) WHERE rn <= $kSub),
+         |${assignSql(s, s"i$s", s"a${s}1")},
+         |${updateSql(s"a${s}1", s"c${s}1")},
+         |${assignSql(s, s"c${s}1", s"a${s}2")},
+         |${updateSql(s"a${s}2", s"c${s}2")},
+         |${assignSql(s, s"c${s}2", s"m$s")}""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS sub, cid FROM m$s")
+      .mkString("\n  UNION ALL ")
+    // pdot raw (no per-term round) — see Similarity.pqTopK's note on
+    // half-way rounding divergence; the sumDec decimal cast is the
+    // one shared quantization point
+    val lutUnion = (0 until m)
+      .map(s => s"SELECT query_id, $s AS sub, cid, " +
+        s"list_dot_product(q_emb[${lo(s)}:${hi(s)}], centroid)" +
+        s" AS pdot FROM q CROSS JOIN c${s}2")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |$perSub,
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |codes AS ($codesUnion),
+       |lut AS ($lutUnion),
+       |scored AS (SELECT query_id, k.vec_id AS neighbor_id,
+       |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY query_id, k.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** ANN quality evaluation: recall@k of the LSH path against the
     * brute-force ground truth — the number that decides whether an
@@ -1042,8 +1139,8 @@ object TrainingData {
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |dims AS (SELECT label, i,
-       |    round(CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
-       |      / count(*), 6) AS cv
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
        |  FROM base CROSS JOIN range(1, 65) t(i)
        |  GROUP BY label, i),
        |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
@@ -2406,6 +2503,7 @@ object TrainingData {
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
+    "s_ann_pq" -> (sAnnPq _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
     "d_curation_pipeline" -> (dCurationPipeline _),
@@ -2487,6 +2585,7 @@ object TrainingData {
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
+    "s_ann_pq" -> sAnnPqSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "m_binary_meta" -> mBinaryMetaSql,
     "m_media_decode" -> mMediaDecodeSql,

@@ -363,4 +363,76 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.hardNegatives(emb,
         col("vec_id").isInCollection(idSet), 5)))
   }
+
+  test("L2 assignment picks the nearest centroid with smallest-cid " +
+      "ties, and the L2 k-means fit recovers separated blobs") {
+    // assignClustersL2: hand-checkable nearest-centroid cases
+    val base = Seq(
+      (0L, Seq(0.0, 0.0)),   // equidistant from both → cid 0
+      (1L, Seq(0.9, 0.0)),   // nearest c0
+      (2L, Seq(0.0, 1.1)))   // nearest c1
+      .toDF("vec_id", "emb")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "centroid")
+    val got = Similarity.assignClustersL2(base, cents)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1))
+    // kmeansCentroidsL2 on two tight blobs: one cluster each, and the
+    // fitted centroids are the blob means (decimal-exact inputs)
+    def blob(cx: Double, cy: Double, ids: Range) =
+      ids.map(i => (i.toLong, Seq(cx + 0.01 * (i % 4), cy)))
+    val df = (blob(1.0, 0.0, 0 until 8) ++ blob(0.0, 1.0, 8 until 16))
+      .toDF("vec_id", "emb")
+    val fit = Similarity.kmeansCentroidsL2(df, k = 2, iters = 2)
+    val members = Similarity.assignClustersL2(df, fit)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert((0L until 8L).map(members).toSet.size == 1)
+    assert((8L until 16L).map(members).toSet.size == 1)
+    assert(members(0L) != members(8L))
+    val cs = fit.orderBy("cid").select("centroid")
+      .as[Seq[Double]].collect()
+    // blob x-mean = 1.0/0.0 + mean(0,.01,.02,.03 twice) = +0.015
+    assert(cs.exists(c => math.abs(c(0) - 1.015) < 1e-9 &&
+      math.abs(c(1)) < 1e-9))
+    assert(cs.exists(c => math.abs(c(0) - 0.015) < 1e-9 &&
+      math.abs(c(1) - 1.0) < 1e-9))
+  }
+
+  test("PQ top-k is exact on blob-separated data and keeps " +
+      "substantial recall on the random corpus") {
+    // 8-dim, 2 subspaces: three tight blobs, membership = id mod 3 so
+    // the smallest-id seeds (0,1,2) span all three blobs; ADC ranking
+    // must put same-blob neighbors first for every query
+    def v(axis: Int, eps: Double): Seq[Float] =
+      (0 until 8).map(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == axis + 4) eps else 0.0)).map(_.toFloat)
+    val vecs = (0 until 18).map(i =>
+      (i.toLong, v(i % 3, 0.01 * (i / 3))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qids = Seq(0L, 1L, 2L).toDF("vec_id")
+    val pq = Similarity.pqTopK(df, qids, k = 3, m = 2, kSub = 3,
+      iters = 2, dim = 8)
+    val byQ = pq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    def sameBlob(q: Long, n: Long) = (q % 3) == (n % 3)
+    assert(byQ.forall { case (q, ns) =>
+      ns.length == 3 && ns.forall(p => sameBlob(q, p._2)) },
+      s"cross-blob neighbor leaked: $byQ")
+    // corpus recall@5 vs brute at the catalog parameterization
+    // (deterministic — fixed fit, fixed query sample)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val truth = Similarity.bruteForceTopK(emb, q16, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val approx = Similarity.pqTopK(emb, q16, 5, m = 16, kSub = 32,
+        iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val recall = approx.count(truth.contains).toDouble / truth.size
+    // uniform-random embeddings are PQ's worst case (no cluster
+    // structure); measured 0.4875 here, 0.5375 at sf0.01
+    assert(recall >= 0.4, s"PQ recall degraded: $recall")
+  }
 }
