@@ -561,6 +561,70 @@ object Similarity {
     centroids
   }
 
+  /** (vec_id, sub, semb): the corpus exploded into its m PQ
+    * subspaces — one narrow pass, the posexplode index IS the
+    * subspace id. All PQ fit/encode work runs on this one frame so
+    * every Lloyd iteration is ONE broadcast join + two aggregates
+    * regardless of m (the per-subspace formulation cost m separate
+    * job chains — 16× the scheduling and corpus passes at the
+    * catalog parameterization; measured 38.5s → see pqTopK). */
+  private def pqSubExplode(base: DataFrame, m: Int, subDim: Int)
+      : DataFrame =
+    base.select(col("vec_id"), posexplode(
+        array((0 until m).map(si =>
+          slice(col("emb"), si * subDim + 1, subDim)): _*))
+      .as(Seq("sub", "semb")))
+
+  /** Batched nearest-centroid assignment for all m subspaces at once:
+    * the broadcast codebook frame (sub, cid, centroid) equi-joins on
+    * `sub` (kSub candidate rows per input row — identical work to the
+    * per-subspace cross join, one job instead of m) and the argmin is
+    * the same struct-min aggregate as [[assignClustersL2]], keyed
+    * (vec_id, sub). Semantics are EXACTLY the per-subspace fit's —
+    * SimilaritySpec asserts the equivalence — so the unrolled
+    * per-subspace DuckDB oracle verifies this batched physical
+    * shape. */
+  private def pqAssign(subBase: DataFrame, cents: DataFrame): DataFrame =
+    subBase.join(broadcast(cents), Seq("sub"))
+      .withColumn("a_d2", l2sq(col("semb"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(first(col("semb")).as("semb"), // constant within the group
+        min(struct(col("a_d2"), col("cid"))).as("_best"))
+      .select(col("vec_id"), col("sub"), col("semb"),
+        col("_best.cid").as("cid"))
+
+  /** All m PQ codebooks fitted in one batched Lloyd loop. Seeds are
+    * the kSub smallest vec_ids — the SAME rows for every subspace, so
+    * one TakeOrdered of the unsliced corpus seeds all m codebooks
+    * (sliced per subspace). Each iteration: [[pqAssign]] + the
+    * decimal-mean update keyed (sub, cid, dim) — order-independent
+    * and unrounded, per [[kmeansCentroids]]' portability note. */
+  private def pqFitCodebooks(base: DataFrame, subBase: DataFrame,
+      m: Int, subDim: Int, kSub: Int, iters: Int): DataFrame = {
+    val seedW = Window.orderBy("vec_id")
+    var cents = base.orderBy("vec_id").limit(kSub)
+      .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("cid"), posexplode(
+          array((0 until m).map(si =>
+            slice(col("emb"), si * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "centroid")))
+      .select(col("sub"), col("cid"), col("centroid"))
+    for (_ <- 0 until iters) {
+      cents = pqAssign(subBase, cents)
+        .select(col("sub"), col("cid"),
+          posexplode(col("semb")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+          count(lit(1))).as("cv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x("cv")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011) — the memory-layout
     * production shape for corpus-scale similarity search. The `dim`
     * dimensions are split into `m` contiguous subspaces of dim/m; a
@@ -575,9 +639,12 @@ object Similarity {
     * inner product is the sum of its m table entries, reached without
     * ever touching the raw corpus vectors again.
     *
-    * Distributed shape: the fit is m small broadcast-assign/decimal-
-    * mean loops (corpus-linear, like [[ivfTopKKmeans]]'s); encode is
-    * one partial-combined argmin aggregate per subspace; scoring joins
+    * Distributed shape: all m codebooks fit in ONE batched Lloyd loop
+    * over the subspace-exploded corpus ([[pqSubExplode]] /
+    * [[pqFitCodebooks]] — per iteration one broadcast join + two
+    * partial-combined aggregates, regardless of m; the per-subspace
+    * formulation cost m separate job chains and ran 4× slower at
+    * m=16); encode is one batched argmin aggregate; scoring joins
     * the corpus-sized CODES frame to the broadcast LUT and reduces
     * per (query, vector) with map-side combine — the only
     * corpus-sized shuffle carries (query_id, vec_id, partial-sum)
@@ -597,17 +664,11 @@ object Similarity {
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val subs = (0 until m).map { si =>
-      base.select(col("vec_id"),
-        slice(col("emb"), si * subDim + 1, subDim).as("emb"))
-    }
-    // per-subspace codebooks; kmeansCentroidsL2 ends in a
-    // localCheckpoint, so reuse below (encode + LUT) never refits
-    val cents = subs.map(kmeansCentroidsL2(_, kSub, iters))
-    val codes = subs.zip(cents).zipWithIndex.map { case ((b, c), si) =>
-        assignClustersL2(b, c)
-          .select(col("vec_id"), lit(si).as("sub"), col("cid"))
-      }.reduce(_ unionByName _)
+    val subBase = pqSubExplode(base, m, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = pqFitCodebooks(base, subBase, m, subDim, kSub, iters)
+    val codes = pqAssign(subBase, cents)
+      .select(col("vec_id"), col("sub"), col("cid"))
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     // pdot stays a RAW double: the decimal cast inside sumDec is the
@@ -617,13 +678,12 @@ object Similarity {
     // operation Spark (exact-expansion HALF_UP) and DuckDB (scaled
     // multiply) can disagree on — observed once in 40 960 terms at
     // sf0.01 before this was removed.
-    val lut = cents.zipWithIndex.map { case (c, si) =>
-        q.crossJoin(broadcast(c))
-          .select(col("query_id"), lit(si).as("sub"), col("cid"),
-            graft.functions.ArrayOps.dot_product(
-              slice(col("q_emb"), si * subDim + 1, subDim),
-              col("centroid")).as("pdot"))
-      }.reduce(_ unionByName _)
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("cid"),
+        graft.functions.ArrayOps.dot_product(
+          slice(col("q_emb"), col("sub") * lit(subDim) + lit(1),
+            lit(subDim)),
+          col("centroid")).as("pdot"))
     val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -636,6 +696,94 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_dot"), col("rank"))
     val out = topk.localCheckpoint()
+    subBase.unpersist()
+    base.unpersist()
+    out
+  }
+
+  /** IVF × PQ — the canonical production ANN composition (IVF-PQ,
+    * Jégou et al. 2011; what FAISS/SCaNN-class systems deploy at
+    * billion-vector scale): [[ivfTopK]]'s per-label coarse quantizer
+    * prunes the corpus to `nprobe` label partitions per query, and
+    * fine ranking inside the probed partitions runs entirely on the
+    * [[pqTopK]] code index — candidates are scored by summing m
+    * broadcast-LUT entries, never re-reading raw vectors. Codebooks
+    * are fitted on the full vectors (non-residual IVF-PQ — the
+    * residual variant quantizes `v − centroid(v)` for tighter error
+    * at the same code size, but couples the two fits; the simpler
+    * composition keeps both levels independently oracle-verifiable).
+    *
+    * The coded index frame (vec_id, label, m codes) is materialized
+    * once — in production that IS the stored ANN index (codes live
+    * next to the partition key; at kSub ≤ 256, m bytes + a label per
+    * vector), and queries touch raw doubles only for their own
+    * embeddings. Work per query: k_clusters coarse dots + nprobe·|C|/
+    * k_clusters LUT-sum candidates — corpus-linear at fixed |Q|, with
+    * the PQ constant ~32× smaller than the raw-vector IVF scan. */
+  def ivfTopKPq(embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      nprobe: Int, m: Int, kSub: Int, iters: Int, dim: Int = 64)
+      : DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
+    val subDim = dim / m
+    val base = embeddings.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coarse level: exact decimal-mean per-label centroids (the
+    // ivfTopK frame, unrounded — see kmeansCentroids' portability
+    // note), probed with raw-double cosine
+    val cent = base
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+        count(lit(1))).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x("cv")).as("centroid"))
+    // fine level: the pqTopK codebooks + code index (batched fit —
+    // one Lloyd job chain for all m subspaces), label attached via
+    // one (vec_id)-keyed join of two narrow frames, materialized once
+    // as "the stored index"
+    val subBase = pqSubExplode(base, m, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = pqFitCodebooks(base, subBase, m, subDim, kSub, iters)
+    val index = pqAssign(subBase, cents)
+      .select(col("vec_id"), col("sub"), col("cid"))
+      .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .localCheckpoint()
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("label"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("c_sim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("c_sim"), asc("label"))
+    val probed = probes.withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("label"))
+    // raw pdots; the sumDec decimal cast is the one quantization
+    // point (same rationale as pqTopK)
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("cid"),
+        graft.functions.ArrayOps.dot_product(
+          slice(col("q_emb"), col("sub") * lit(subDim) + lit(1),
+            lit(subDim)),
+          col("centroid")).as("pdot"))
+    val scored = index.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(graft.queries.QueryUtil.sumDec(col("pdot")), 6)
+        .as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("adc_dot"), asc("vec_id"))
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dot"), col("rank"))
+    val out = topk.localCheckpoint()
+    subBase.unpersist()
     base.unpersist()
     out
   }

@@ -933,15 +933,20 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
-  /** Unrolled-SQL mirror of the m=16 PQ index: per subspace s, CTEs
-    * `bs` (sliced corpus) → `is` (seeds) → assign/update ×2 →
-    * `ms` (final assignment); then the broadcast LUT join and the
-    * decimal-summed ADC ranking. Same fragment grammar as
-    * [[kmUnrolledSql]] with L2 in place of cosine. */
-  private val sAnnPqSql = {
-    val m = 16; val subDim = 4; val kSub = 32
-    def lo(s: Int) = s * subDim + 1
-    def hi(s: Int) = (s + 1) * subDim
+  /** Shared oracle fragments for the PQ family (catalog
+    * parameterization m=16, subDim=4, kSub=32). [[pqFitsSql]] unrolls
+    * every subspace fit — per subspace s, CTEs `bs` (sliced corpus) →
+    * `is` (seeds) → assign/update ×2 → `ms` (final assignment, the
+    * codes) with `cs2` the fitted codebook; [[pqCodesUnionSql]] /
+    * [[pqLutUnionSql]] splice the per-subspace frames into the
+    * `codes` and `lut` bodies. Same fragment grammar as
+    * [[kmUnrolledSql]] with L2 in place of cosine; shared by
+    * `s_ann_pq` and `s_ann_ivf_pq` so the two fits can never
+    * drift. */
+  private val PqM = 16; private val PqSubDim = 4; private val PqKSub = 32
+  private def pqLo(s: Int) = s * PqSubDim + 1
+  private def pqHi(s: Int) = (s + 1) * PqSubDim
+  private def pqFitsSql: String = {
     // identical float expression tree to Similarity.l2sq
     def l2(a: String, b: String) =
       s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
@@ -957,41 +962,44 @@ object TrainingData {
       s"""${out}d AS (SELECT cid, i,
          |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
          |      / count(*) AS cv
-         |  FROM $assigned CROSS JOIN range(1, ${subDim + 1}) t(i)
+         |  FROM $assigned CROSS JOIN range(1, ${PqSubDim + 1}) t(i)
          |  GROUP BY cid, i),
          |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
          |  FROM ${out}d GROUP BY cid)""".stripMargin
-    val perSub = (0 until m).map { s =>
-      s"""b$s AS (SELECT vec_id, emb[${lo(s)}:${hi(s)}] AS emb
+    (0 until PqM).map { s =>
+      s"""b$s AS (SELECT vec_id, emb[${pqLo(s)}:${pqHi(s)}] AS emb
          |  FROM base),
          |i$s AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
          |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
-         |    FROM b$s) WHERE rn <= $kSub),
+         |    FROM b$s) WHERE rn <= $PqKSub),
          |${assignSql(s, s"i$s", s"a${s}1")},
          |${updateSql(s"a${s}1", s"c${s}1")},
          |${assignSql(s, s"c${s}1", s"a${s}2")},
          |${updateSql(s"a${s}2", s"c${s}2")},
          |${assignSql(s, s"c${s}2", s"m$s")}""".stripMargin
     }.mkString(",\n")
-    val codesUnion = (0 until m)
-      .map(s => s"SELECT vec_id, $s AS sub, cid FROM m$s")
-      .mkString("\n  UNION ALL ")
-    // pdot raw (no per-term round) — see Similarity.pqTopK's note on
-    // half-way rounding divergence; the sumDec decimal cast is the
-    // one shared quantization point
-    val lutUnion = (0 until m)
-      .map(s => s"SELECT query_id, $s AS sub, cid, " +
-        s"list_dot_product(q_emb[${lo(s)}:${hi(s)}], centroid)" +
-        s" AS pdot FROM q CROSS JOIN c${s}2")
-      .mkString("\n  UNION ALL ")
+  }
+  private def pqCodesUnionSql: String = (0 until PqM)
+    .map(s => s"SELECT vec_id, $s AS sub, cid FROM m$s")
+    .mkString("\n  UNION ALL ")
+  // pdot raw (no per-term round) — see Similarity.pqTopK's note on
+  // half-way rounding divergence; the sumDec decimal cast is the one
+  // shared quantization point
+  private def pqLutUnionSql: String = (0 until PqM)
+    .map(s => s"SELECT query_id, $s AS sub, cid, " +
+      s"list_dot_product(q_emb[${pqLo(s)}:${pqHi(s)}], centroid)" +
+      s" AS pdot FROM q CROSS JOIN c${s}2")
+    .mkString("\n  UNION ALL ")
+
+  private val sAnnPqSql =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |$perSub,
+       |$pqFitsSql,
        |$qidsSql,
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
-       |codes AS ($codesUnion),
-       |lut AS ($lutUnion),
+       |codes AS ($pqCodesUnionSql),
+       |lut AS ($pqLutUnionSql),
        |scored AS (SELECT query_id, k.vec_id AS neighbor_id,
        |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
        |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
@@ -1002,7 +1010,61 @@ object TrainingData {
        |  FROM scored)
        |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF × PQ ([[Similarity.ivfTopKPq]]) — the canonical production
+    * composition (what FAISS-class systems deploy): per-label coarse
+    * pruning to nprobe=3 partitions per query + PQ-coded ADC fine
+    * ranking inside them. Both levels hash-verified in one oracle:
+    * the per-label decimal-mean centroids AND all 16 unrolled
+    * subspace fits (shared fragments with `s_ann_pq`, so the two
+    * indexes can never drift). */
+  def sAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKPq(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3, m = 16, kSub = 32, iters = 2)
+      .orderBy("query_id", "rank")
   }
+
+  private val sAnnIvfPqSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dims AS (SELECT label, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |$pqFitsSql,
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |probes AS (SELECT query_id, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN cent),
+       |probed AS (SELECT query_id, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |codes AS ($pqCodesUnionSql),
+       |codesl AS (SELECT c.vec_id, b.label, c.sub, c.cid
+       |  FROM codes c JOIN base b ON c.vec_id = b.vec_id),
+       |lut AS ($pqLutUnionSql),
+       |scored AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+       |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
+       |  FROM codesl k
+       |  JOIN probed p ON k.label = p.label
+       |  JOIN lut l ON l.query_id = p.query_id
+       |    AND l.sub = k.sub AND l.cid = k.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY l.query_id, k.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** ANN quality evaluation: recall@k of the LSH path against the
     * brute-force ground truth — the number that decides whether an
@@ -2504,6 +2566,7 @@ object TrainingData {
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
     "s_ann_pq" -> (sAnnPq _),
+    "s_ann_ivf_pq" -> (sAnnIvfPq _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
     "d_curation_pipeline" -> (dCurationPipeline _),
@@ -2586,6 +2649,7 @@ object TrainingData {
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
     "s_ann_pq" -> sAnnPqSql,
+    "s_ann_ivf_pq" -> sAnnIvfPqSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "m_binary_meta" -> mBinaryMetaSql,
     "m_media_decode" -> mMediaDecodeSql,

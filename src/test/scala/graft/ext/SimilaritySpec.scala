@@ -435,4 +435,73 @@ class SimilaritySpec extends SparkSpec {
     // structure); measured 0.4875 here, 0.5375 at sf0.01
     assert(recall >= 0.4, s"PQ recall degraded: $recall")
   }
+
+  test("batched PQ fit equals the per-subspace reference fit, and " +
+      "IVF×PQ with all labels probed equals the plain PQ scan") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("embedding").isNotNull)
+    val (m, subDim, kSub) = (4, 16, 8)
+    // reference: the public per-subspace L2 fit, one codebook at a
+    // time — the semantics the unrolled DuckDB oracle spells out
+    val base = emb.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("emb"))
+    val perSub = (0 until m).flatMap { si =>
+      val sliced = base.select(col("vec_id"),
+        slice(col("emb"), si * subDim + 1, subDim).as("emb"))
+      Similarity.kmeansCentroidsL2(sliced, kSub, 2)
+        .select("cid", "centroid").as[(Int, Seq[Double])].collect()
+        .map { case (cid, c) => (si, cid) -> c }
+    }.toMap
+    // batched: what pqTopK actually runs (private — reached through
+    // the query, so compare through the LUT-visible quantity: the
+    // pqTopK output against a hand-built ADC over the per-sub fit)
+    val qids = Similarity.sampleQueryIds(emb, 4).localCheckpoint()
+    val pq = Similarity.pqTopK(emb, qids, k = 3, m = m, kSub = kSub,
+      iters = 2)
+    // hand ADC from the per-subspace reference fit
+    val codes = (0 until m).flatMap { si =>
+      val sliced = base.select(col("vec_id"),
+        slice(col("emb"), si * subDim + 1, subDim).as("emb"))
+      val cents = Similarity.kmeansCentroidsL2(sliced, kSub, 2)
+      Similarity.assignClustersL2(sliced, cents)
+        .select("vec_id", "cid").as[(Long, Int)].collect()
+        .map { case (v, cid) => (v, si, cid) }
+    }
+    val qembs = base.join(broadcast(qids), Seq("vec_id"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val want = (for {
+      (qid, qe) <- qembs.toSeq
+      (v, grps) <- codes.groupBy(_._1) if v != qid
+    } yield {
+      val adc = grps.sortBy(_._2).map { case (_, si, cid) =>
+        val c = perSub((si, cid))
+        val qs = qe.slice(si * subDim, (si + 1) * subDim)
+        BigDecimal(qs.zip(c).foldLeft(0.0) {
+          case (a, (x, y)) => a + x * y
+        }).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (qid, v, adc.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }).groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(3)
+    }.map(r => (r._1, r._2)).toSet
+    val got = pq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want,
+      "batched pqTopK diverged from the per-subspace reference ADC")
+    // IVF×PQ with every label probed ranks the same candidate set as
+    // the unpruned PQ scan — the pruning-only invariant (mirrors the
+    // int8 nprobe=all spec)
+    val nLabels = emb.select("label").distinct().count().toInt
+    val full = Similarity.ivfTopKPq(emb, qids, k = 3, nprobe = nLabels,
+      m = m, kSub = kSub, iters = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val plain = Similarity.pqTopK(emb, qids, k = 3, m = m, kSub = kSub,
+      iters = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == plain,
+      "IVF×PQ with all labels probed must equal the plain PQ scan")
+  }
 }
