@@ -442,6 +442,82 @@ object Similarity {
     cosineDupPairs(embeddings, threshold, tables, planes, seed, dim)
   }
 
+  /** Semantic (embedding-level) benchmark decontamination — the
+    * embedding-space complement of the lexical 5-gram gate
+    * (`d_decontaminate`): paraphrased or lightly-rewritten eval items
+    * share no 5-grams with their corpus source but still sit at high
+    * cosine, which is how modern decontamination actually audits a
+    * pretraining corpus (cf. SemDeDup's cross-split variant). The
+    * `isEval` predicate splits the embedded corpus into the held-out
+    * eval set and the training side; candidate pairs are generated
+    * ONLY across the split, through the same multi-table hyperplane
+    * buckets as [[cosineDupPairs]] (one kernel call, all tables),
+    * then exact-cosine verified at `threshold`. Output: one verdict
+    * row per eval vector — match count, best similarity (NULL when
+    * clean), contaminated flag.
+    *
+    * Scale shape: the eval side is a benchmark — constant-sized while
+    * the corpus grows — so the bucket join degenerates to "probe the
+    * corpus's bucket index with a tiny key set" (the
+    * `d_incremental_minhash` ingest-gate shape; the optimizer
+    * broadcasts the eval side on its own). Per-bucket work is
+    * |E_b|·|C_b| with |E_b| bounded by the eval set; raising planes
+    * with log n bounds |C_b| exactly as [[cosineDupPairsAuto]]
+    * argues. Only ids and bucket keys shuffle; vectors reattach by id
+    * for the verified candidates. */
+  def embedDecontaminate(embeddings: DataFrame, isEval: Column,
+      threshold: Double, tables: Int, planesPerTable: Int, seed: Long,
+      dim: Int = 64): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
+    // same base guards as cosineDupPairs (NULL embeddings can never
+    // pair; dim mismatch fails fast), plus the eval flag computed
+    // once from the caller's predicate
+    val base = embeddings.withColumn("_eval", isEval)
+      .select(col("vec_id"), col("_eval"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .filter(coalesce(assert_true(size(col("emb")) === dim,
+        lit(s"embedDecontaminate: embedding dim != $dim")), lit(true)))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = base.select(col("vec_id"), col("_eval"),
+      posexplode(graft.functions.HyperplaneBuckets(col("emb"),
+        (0 until tables).map(t =>
+          hyperplanes(planesPerTable, dim, seed + t)))))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    // cross-split candidates only: eval × corpus within a bucket
+    val cand = keyed.filter(col("_eval")).alias("a")
+      .join(keyed.filter(!col("_eval")).alias("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("eval_id"),
+        col("b.vec_id").as("corpus_id"))
+      .distinct()
+    val ea = base.select(col("vec_id").as("eval_id"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val eb = base.select(col("vec_id").as("corpus_id"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    val hits = cand.join(ea, "eval_id").join(eb, "corpus_id")
+      .select(col("eval_id"), col("corpus_id"),
+        round(dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val perEval = hits.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cos_sim")).as("best_sim"))
+    val out = base.filter(col("_eval"))
+      .select(col("vec_id").as("eval_id"))
+      .join(perEval, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_sim"),
+        col("n_matches").isNotNull.as("contaminated"))
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
   /** Deterministic Lloyd's k-means over an embedding frame
     * (`vec_id`, `emb`): seeds are the `k` smallest vec_ids, every
     * iteration assigns by rounded cosine (ties → smallest cluster id)

@@ -1336,6 +1336,59 @@ object TrainingData {
        |WHERE cos_sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Semantic benchmark decontamination
+    * ([[Similarity.embedDecontaminate]]): the embedding-space
+    * complement of the lexical `d_decontaminate` gate — eval items
+    * whose wording changed but whose meaning (embedding) still
+    * matches a training document. Eval split = `vec_id % 20 = 0`
+    * (≈5%), same hyperplane-bucket family and 0.45 threshold as
+    * `d_embed_dups`; one verdict row per eval vector, hash-verified
+    * with inlined plane literals. */
+  def dEmbedDecontaminate(s: SparkSession, d: String): DataFrame =
+    Similarity.embedDecontaminate(embs(s, d),
+        col("vec_id") % 20 === 0, threshold = 0.45,
+        tables = 8, planesPerTable = 2, seed = 7L)
+      .orderBy("eval_id")
+
+  private val dEmbedDecontaminateSql = {
+    val tables = 8
+    val planesPerTable = 2
+    val buckets = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, 64, 7L + t)
+      val bucket = planes.zipWithIndex.map { case (pl, i) =>
+        val arr = "[" + pl.mkString(", ") + "]"
+        s"CASE WHEN list_dot_product(emb, $arr) > 0 " +
+        s"THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, is_eval, $t AS tbl, $bucket AS bucket FROM base"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, vec_id % 20 = 0 AS is_eval,
+       |    embedding::DOUBLE[] AS emb,
+       |    sqrt(list_dot_product(embedding::DOUBLE[],
+       |      embedding::DOUBLE[])) AS norm
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |keyed AS ($buckets),
+       |cand AS (SELECT DISTINCT a.vec_id AS eval_id,
+       |    b.vec_id AS corpus_id
+       |  FROM keyed a JOIN keyed b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.is_eval AND NOT b.is_eval),
+       |hits AS (SELECT * FROM (SELECT eval_id, corpus_id,
+       |    round(list_dot_product(ea.emb, eb.emb) /
+       |      (ea.norm * eb.norm), 6) AS cos_sim
+       |  FROM cand JOIN base ea ON ea.vec_id = cand.eval_id
+       |    JOIN base eb ON eb.vec_id = cand.corpus_id)
+       |  WHERE cos_sim >= 0.45),
+       |per AS (SELECT eval_id, count(*) AS n_matches,
+       |    max(cos_sim) AS best_sim
+       |  FROM hits GROUP BY eval_id)
+       |SELECT b.vec_id AS eval_id,
+       |  coalesce(p.n_matches, 0) AS n_matches, p.best_sim,
+       |  p.n_matches IS NOT NULL AS contaminated
+       |FROM base b LEFT JOIN per p ON b.vec_id = p.eval_id
+       |WHERE b.is_eval ORDER BY eval_id""".stripMargin
+  }
+
   // ---- multimodal plumbing ------------------------------------------
   /** Binary-column metadata pass: treat text bytes as an opaque media
     * blob (the container has no image/audio codecs — see
@@ -2568,6 +2621,7 @@ object TrainingData {
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
     "d_embed_dups" -> (dEmbedDups _),
+    "d_embed_decontaminate" -> (dEmbedDecontaminate _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
     "d_curation_pipeline" -> (dCurationPipeline _),
     "d_dup_clusters" -> (dDupClusters _),
@@ -2651,6 +2705,7 @@ object TrainingData {
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,
     "d_embed_dups" -> dEmbedDupsSql,
+    "d_embed_decontaminate" -> dEmbedDecontaminateSql,
     "m_binary_meta" -> mBinaryMetaSql,
     "m_media_decode" -> mMediaDecodeSql,
     "m_frame_sample" -> mFrameSampleSql,

@@ -436,6 +436,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall degraded: $recall")
   }
 
+  test("embedDecontaminate flags planted cross-split near-dups, " +
+      "ignores eval-eval and corpus-corpus pairs, drops NULLs") {
+    def v(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1.0f else 0.0f)
+    val near = (0 until 64).map(i =>
+      if (i == 0) 0.99f else if (i == 1) 0.14f else 0.0f)
+    val vecs = Seq(
+      (0L, v(0)),          // eval (id % 4 == 0): contaminated by 1, 2
+      (1L, v(0)),          // corpus: identical to eval 0
+      (2L, near),          // corpus: near-dup of eval 0
+      (3L, v(10)),         // corpus: far from everything
+      (4L, v(20)),         // eval: clean (only eval 8 matches it)
+      (8L, v(20)),         // eval: identical to eval 4 — must NOT flag
+      (5L, v(30)),         // corpus: far
+      (12L, null.asInstanceOf[Seq[Float]])) // NULL eval — no verdict
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedDecontaminate(vecs,
+        col("vec_id") % 4 === 0, threshold = 0.9,
+        tables = 8, planesPerTable = 2, seed = 7L)
+      .select("eval_id", "n_matches", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    assert(got.keySet == Set(0L, 4L, 8L), s"verdict rows: $got")
+    assert(got(0L)._2 && got(0L)._1 == 2,
+      s"eval 0 must match corpus 1 and 2: $got")
+    assert(!got(4L)._2 && !got(8L)._2,
+      s"eval-eval twins must not flag each other: $got")
+  }
+
   test("batched PQ fit equals the per-subspace reference fit, and " +
       "IVF×PQ with all labels probed equals the plain PQ scan") {
     val emb = graft.Tables.embeddings(spark, sf0001)
