@@ -1031,6 +1031,37 @@ object Similarity {
     out
   }
 
+  /** Two-stage retrieval (coarse ANN + exact rerank) — the standard
+    * production composition for recall-critical search: the IVF×int8
+    * index of [[ivfTopKInt8]] generates `kCoarse` cheap candidates
+    * per query, then ONLY those candidates are re-scored with the
+    * exact double-precision cosine and the true top `k` kept. The
+    * coarse stage eats the corpus-scale work on 72-byte codes; the
+    * exact stage touches raw vectors for just |Q|·kCoarse pairs —
+    * reattached by a vec_id equi-join against the corpus scan (ship
+    * ids, not payloads; the small candidate side broadcast-joins), so
+    * no corpus-sized frame is ever broadcast and recall losses from
+    * quantization at the final ranking are repaired at negligible
+    * cost. Deterministic end-to-end (both stages round before
+    * ranking, ties by neighbor_id) and fully oracle-reproducible. */
+  def ivfInt8RerankTopK(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, kCoarse: Int, nprobe: Int): DataFrame = {
+    val coarse = ivfTopKInt8(embeddings, queryIds, kCoarse, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val exact = coarse
+      .join(base.select(col("vec_id").as("neighbor_id"),
+        col("emb").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos_sim"))
+    rankTopK(exact, k)
+  }
+
   /** Int8-quantized per-label centroid frame (label, c_qv, c_qn)
     * shared by the IVF×int8 scorers: the exact decimal-arithmetic
     * per-label means of [[ivfTopK]] (order-independent and

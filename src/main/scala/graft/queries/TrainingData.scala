@@ -570,7 +570,12 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  private val dDupClustersSql =
+  /** Shared recursive-CTE chain computing near-dup components from
+    * 3-gram Jaccard pairs (min-id component labels), ending at
+    * `comp(doc_id, comp)` — ONE SQL definition of the transitive
+    * closure, shared by [[dDupClustersSql]] and
+    * [[dDedupKeepBestSql]]. */
+  private val dupClusterCtes =
     """WITH RECURSIVE sh AS (SELECT doc_id,
       |    list_sort(list_distinct(list_transform(
       |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -588,9 +593,60 @@ object TrainingData {
       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs),
       |reach(a, b) AS (SELECT a, b FROM edges
-      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      |SELECT a AS doc_id, least(a, min(b)) AS component
-      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp
+      |  FROM reach GROUP BY a)""".stripMargin
+
+  private val dDupClustersSql =
+    s"""$dupClusterCtes
+      |SELECT doc_id, comp AS component
+      |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** Quality-aware near-dup resolution — what production curation
+    * actually does with a duplicate cluster: instead of keeping the
+    * arbitrary min-id representative, keep the HIGHEST-QUALITY member
+    * (hashing-trick LR score of [[dQualityLr]]; exact integer milli
+    * units, so the argmax is deterministic cross-engine; ties by
+    * smallest doc_id). Docs in no cluster are their own singleton
+    * component and always kept. Output: one row per doc —
+    * (doc_id, component, score_milli, keep).
+    *
+    * Scale shape: clustering is the [[dDupClusters]] blocked-pair +
+    * label-propagation path (never all-pairs); the quality score is a
+    * pure projection; resolution is one window keyed by component —
+    * components are near-dup clusters, bounded by the block cap, so
+    * no window partition is corpus-sized. Only (doc_id, component,
+    * score) rows shuffle. */
+  def dDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d)
+    val pairs = Dedup.jaccardPairs(dd, "doc_id", "text",
+      n = 3, threshold = 0.2)
+    val comps = graft.ext.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
+    val labeled = lrScoreMilli(dd)
+      .select(col("doc_id"), col("score_milli"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("comp"), col("doc_id")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(desc("score_milli"), asc("doc_id"))
+    labeled.withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("score_milli"),
+        (col("rnk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dDedupKeepBestSql =
+    s"""$dupClusterCtes,
+      |$lrScoreCtes,
+      |l AS (SELECT w.doc_id,
+      |    coalesce(c.comp, w.doc_id) AS component, w.score_milli
+      |  FROM w LEFT JOIN comp c ON w.doc_id = c.doc_id)
+      |SELECT doc_id, component, score_milli,
+      |  row_number() OVER (PARTITION BY component
+      |    ORDER BY score_milli DESC, doc_id ASC) = 1 AS keep
+      |FROM l ORDER BY doc_id""".stripMargin
 
   // ---- similarity search --------------------------------------------
   // Proportional query predicate — kept ONLY by the two deliberate
@@ -702,7 +758,12 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
-  private val sAnnIvfInt8Sql =
+  /** Shared oracle CTE chain of the two-level IVF×int8 index — ends at
+    * `ranked` (all fine-ranked candidates, rank unfiltered) so both
+    * [[sAnnIvfInt8Sql]] (top-5 directly) and [[sAnnRerankSql]]
+    * (top-20 coarse candidates + exact rerank) read from the ONE
+    * definition and cannot drift. */
+  private val ivfInt8RankedCtes =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |dims AS (SELECT label, i,
@@ -742,8 +803,41 @@ object TrainingData {
        |  WHERE n.vec_id <> p.query_id),
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  private val sAnnIvfInt8Sql =
+    s"""$ivfInt8RankedCtes
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Two-stage retrieval: IVF×int8 coarse candidates (top-20 per
+    * query on the quantized index) re-scored with the exact
+    * double-precision cosine, true top-5 kept — the standard
+    * recall-repair composition every production vector-search stack
+    * runs (coarse ANN + exact rerank). See
+    * [[Similarity.ivfInt8RerankTopK]] for the scale shape. */
+  def sAnnRerank(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfInt8RerankTopK(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, kCoarse = 20, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnRerankSql =
+    s"""$ivfInt8RankedCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM ranked
+       |  WHERE rank <= 20),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    ${sqlCosine("qb.emb", "nb.emb")} AS cos_sim
+       |  FROM cand c
+       |  JOIN base nb ON nb.vec_id = c.neighbor_id
+       |  JOIN base qb ON qb.vec_id = c.query_id),
+       |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM ex)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM rr
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** LSH-bucketed ANN. Oracle-verified: the seeded hyperplanes are
@@ -1649,27 +1743,39 @@ object TrainingData {
     * mean would sit on engine-specific tie-breaking at the 6th
     * decimal), so engine and oracle agree bit-for-bit. Pure projection: no shuffle, whole-stage codegen
     * end-to-end, embarrassingly parallel at 100 TB. */
-  def dQualityLr(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
+  def dQualityLr(s: SparkSession, d: String): DataFrame =
+    lrScoreMilli(docs(s, d))
+      .withColumn("keep", col("score_milli") > 0)
+      .orderBy("doc_id")
+
+  /** (doc_id, n_tok, score_milli) of the hashing-trick scorer — the
+    * shared body of [[dQualityLr]] and the cluster-resolution quality
+    * key of [[dDedupKeepBest]]. */
+  private def lrScoreMilli(dd: DataFrame): DataFrame = {
+    val base = dd
       .withColumn("_hs", graft.functions.ArrayOps.array_poly_hash(
         TextStats.tokens(col("text"))))
     val ws = transform(col("_hs"), h =>
       (h % 256L) * 2654435761L % 2147483647L % 2001L - 1000L)
     val n = size(col("_hs"))
     base.select(col("doc_id"), n.cast("long").as("n_tok"),
-        aggregate(ws, lit(0L), (a, x) => a + x).as("score_milli"))
-      .withColumn("keep", col("score_milli") > 0)
-      .orderBy("doc_id")
+      aggregate(ws, lit(0L), (a, x) => a + x).as("score_milli"))
   }
 
-  private val dQualityLrSql =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+  /** Oracle CTE chain of [[lrScoreMilli]] (`t`, `w`) — ONE SQL
+    * definition of the hashing-trick score, shared by
+    * [[dQualityLrSql]] and [[dDedupKeepBestSql]]. */
+  private def lrScoreCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
        |  FROM documents),
        |w AS (SELECT doc_id, len(toks) AS n_tok,
        |    CAST(list_sum(list_transform(toks, tok ->
        |      (${sqlPolyHash("tok")} % 256) * 2654435761
        |        % 2147483647 % 2001 - 1000)) AS BIGINT) AS score_milli
-       |  FROM t)
+       |  FROM t)""".stripMargin
+
+  private val dQualityLrSql =
+    s"""WITH $lrScoreCtes
        |SELECT doc_id, n_tok, score_milli,
        |  score_milli > 0 AS keep
        |FROM w ORDER BY doc_id""".stripMargin
@@ -2116,17 +2222,87 @@ object TrainingData {
     }
   }
 
+  /** Oracle CTE chain of the unigram LM (`tk`, `v`, `tot`, `sc`) —
+    * ONE SQL definition of the per-token NLL model, shared by
+    * [[dLmScoreSql]] and [[dCcnetBucketsSql]]. */
+  private val lmScoreCtes =
+    """tk AS (SELECT doc_id, unnest(string_split(text, ' '))
+      |    AS tok FROM documents),
+      |v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total FROM v),
+      |sc AS (SELECT tok, round(ln(total::DOUBLE / cnt), 6) AS nll_tok
+      |  FROM v, tot)""".stripMargin
+
   private val dLmScoreSql =
-    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' '))
-       |    AS tok FROM documents),
-       |v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
-       |tot AS (SELECT sum(cnt) AS total FROM v),
-       |sc AS (SELECT tok, round(ln(total::DOUBLE / cnt), 6) AS nll_tok
-       |  FROM v, tot)
+    s"""WITH $lmScoreCtes
        |SELECT doc_id, count(*) AS n_tok,
        |  ${sqlAvgDec("nll_tok")} AS nll
        |FROM tk JOIN sc USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359, public): per-language tercile split of the
+    * unigram LM score — the head/middle/tail partition CCNet uses to
+    * gate training data by LM fit. The tercile is NOT a per-doc
+    * ntile (a global per-language sort — single-task at corpus
+    * scale); instead the rounded score is binned to exact integer
+    * micro units and the two cutoffs come from a cumulative count
+    * over the (lang, score)-DISTINCT histogram: t1 = smallest score
+    * with cum·3 ≥ n, t2 = smallest with cum·3 ≥ 2n. The histogram is
+    * bounded by distinct rounded scores (≪ corpus), the cutoff frame
+    * is per-language tiny and broadcast back, and every per-doc step
+    * is a projection — no global sort anywhere. Boundary ties share a
+    * bucket by construction, so the result is deterministic and
+    * engine-identical. */
+  def dCcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d)
+    val withLang = lmScore(dd)
+      .join(dd.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("micro", round(col("nll") * 1e6).cast("long"))
+    val hist = withLang.groupBy(col("lang"), col("micro"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy(col("lang")).orderBy(col("micro"))))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val cj = cum.join(tot, Seq("lang"))
+    val t1 = cj.filter(col("cum") * 3 >= col("n"))
+      .groupBy(col("lang")).agg(min(col("micro")).as("t1"))
+    val t2 = cj.filter(col("cum") * 3 >= col("n") * 2)
+      .groupBy(col("lang")).agg(min(col("micro")).as("t2"))
+    withLang.join(broadcast(t1.join(t2, Seq("lang"))), Seq("lang"))
+      .withColumn("bucket",
+        when(col("micro") <= col("t1"), "head")
+          .when(col("micro") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("nll"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val dCcnetBucketsSql =
+    s"""WITH $lmScoreCtes,
+       |s AS (SELECT doc_id, ${sqlAvgDec("nll_tok")} AS nll
+       |  FROM tk JOIN sc USING (tok) GROUP BY doc_id),
+       |wl AS (SELECT s.doc_id, d.lang, s.nll,
+       |    CAST(round(s.nll * 1000000) AS BIGINT) AS micro
+       |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+       |h AS (SELECT lang, micro, count(*) AS c FROM wl GROUP BY 1, 2),
+       |cum AS (SELECT lang, micro, c,
+       |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY micro)
+       |      AS BIGINT) AS cum
+       |  FROM h),
+       |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h
+       |  GROUP BY 1),
+       |t1 AS (SELECT lang, min(micro) AS t1 FROM cum JOIN n USING (lang)
+       |  WHERE cum * 3 >= n GROUP BY lang),
+       |t2 AS (SELECT lang, min(micro) AS t2 FROM cum JOIN n USING (lang)
+       |  WHERE cum * 3 >= n * 2 GROUP BY lang)
+       |SELECT wl.doc_id, wl.lang, wl.nll,
+       |  CASE WHEN wl.micro <= t1.t1 THEN 'head'
+       |    WHEN wl.micro <= t2.t2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket
+       |FROM wl JOIN t1 USING (lang) JOIN t2 USING (lang)
+       |ORDER BY doc_id""".stripMargin
 
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): per-document
@@ -2617,6 +2793,7 @@ object TrainingData {
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
+    "s_ann_rerank" -> (sAnnRerank _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
@@ -2625,6 +2802,8 @@ object TrainingData {
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
     "d_curation_pipeline" -> (dCurationPipeline _),
     "d_dup_clusters" -> (dDupClusters _),
+    "d_dedup_keep_best" -> (dDedupKeepBest _),
+    "d_ccnet_buckets" -> (dCcnetBuckets _),
     "d_gopher_rules" -> (dGopherRules _),
     "d_quality_lr" -> (dQualityLr _),
     "d_repetition_break" -> (dRepetitionBreak _),
@@ -2673,6 +2852,8 @@ object TrainingData {
     "d_fingerprint" -> dFingerprintSql,
     "d_curation_pipeline" -> dCurationPipelineSql,
     "d_dup_clusters" -> dDupClustersSql,
+    "d_dedup_keep_best" -> dDedupKeepBestSql,
+    "d_ccnet_buckets" -> dCcnetBucketsSql,
     "d_gopher_rules" -> dGopherRulesSql,
     "d_quality_lr" -> dQualityLrSql,
     "d_repetition_break" -> dRepetitionBreakSql,
@@ -2701,6 +2882,7 @@ object TrainingData {
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
+    "s_ann_rerank" -> sAnnRerankSql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,

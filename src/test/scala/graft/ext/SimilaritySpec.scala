@@ -533,4 +533,26 @@ class SimilaritySpec extends SparkSpec {
     assert(full == plain,
       "IVF×PQ with all labels probed must equal the plain PQ scan")
   }
+
+  test("rerank: with all labels probed and a wide coarse set, the " +
+      "exact rerank recovers the true top-k with exact cosine scores") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nonNull = emb.filter(col("embedding").isNotNull)
+    val qids = Similarity.sampleQueryIds(nonNull, n = 8)
+    val nLabels = emb.select("label").distinct().count().toInt
+    val got = Similarity.ivfInt8RerankTopK(emb, qids, k = 5,
+      kCoarse = 100, nprobe = nLabels)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val qset = qids.as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(nonNull,
+        col("vec_id").isin(qset.toSeq: _*), k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // int8 coarse top-100 of 500 must contain the true top-5, so the
+    // rerank output IS the exact answer — ids, ranks, AND scores
+    // (scores exact-double, proving the rerank left quantization)
+    assert(got.toSet == brute.toSet,
+      "rerank must equal the exact scan when the coarse set is wide")
+  }
 }

@@ -487,4 +487,60 @@ class TrainingDataSpec extends SparkSpec {
     assert(runs(1L) == 1L && runs(2L) == 12L)
     r.unpersist()
   }
+
+  test("d_dedup_keep_best: one keeper per component, and it is the " +
+      "max-score (min-id tie) member; singletons always kept") {
+    val r = TrainingData.dDedupKeepBest(spark, sf0001).cache()
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(r.count() == nDocs, "one row per doc")
+    // exactly one keep per component
+    val badCount = r.groupBy("component")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .filter(col("n_keep") =!= 1L)
+    assert(badCount.isEmpty)
+    // the keeper dominates every non-keeper in its component:
+    // higher score, or equal score and smaller id
+    val keepers = r.filter(col("keep"))
+      .select(col("component"), col("score_milli").as("k_score"),
+        col("doc_id").as("k_id"))
+    val dominated = r.filter(!col("keep"))
+      .join(keepers, Seq("component"))
+      .filter(col("score_milli") > col("k_score") ||
+        (col("score_milli") === col("k_score") &&
+          col("doc_id") < col("k_id")))
+    assert(dominated.isEmpty)
+    // a doc that appears in no pair is its own component and kept
+    val singletons = r.groupBy("component").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1)
+    assert(singletons.count() > 0)
+    r.unpersist()
+  }
+
+  test("d_ccnet_buckets: buckets respect score order and tercile " +
+      "cumulative bounds per language") {
+    val r = TrainingData.dCcnetBuckets(spark, sf0001).cache()
+    val n = r.count()
+    assert(n == graft.Tables.documents(spark, sf0001).count())
+    // ordering: max nll in head <= min nll in middle <= ... per lang
+    val agg = r.groupBy("lang").pivot("bucket",
+        Seq("head", "middle", "tail"))
+      .agg(min("nll").as("mn"), max("nll").as("mx"),
+        count(lit(1)).as("n"))
+    agg.collect().foreach { row =>
+      def d(f: String) = Option(row.getAs[Any](f))
+        .map(_.toString.toDouble)
+      def l(f: String) = Option(row.getAs[Any](f))
+        .map(_.toString.toLong).getOrElse(0L)
+      for (hMax <- d("head_mx"); mMin <- d("middle_mn"))
+        assert(hMax <= mMin, s"head/middle overlap in $row")
+      for (mMax <- d("middle_mx"); tMin <- d("tail_mn"))
+        assert(mMax <= tMin, s"middle/tail overlap in $row")
+      val (h, m, t) = (l("head_n"), l("middle_n"), l("tail_n"))
+      val tot = h + m + t
+      // t1/t2 are the smallest cutoffs reaching 1/3 and 2/3 of mass
+      assert(h * 3 >= tot, s"head below tercile mass: $row")
+      assert((h + m) * 3 >= 2 * tot, s"head+middle below 2/3: $row")
+    }
+    r.unpersist()
+  }
 }
