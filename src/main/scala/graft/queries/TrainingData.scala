@@ -451,7 +451,10 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  private val dLangIdSql = {
+  /** Oracle fragments of the stopword-voting langid
+    * (`scoreCols`, `best`, `pred`) — ONE SQL definition of the vote,
+    * shared by [[dLangIdSql]] and [[dFilterStackSql]]. */
+  private def langIdSqlFragments: (String, String, String) = {
     val scoreCols = TextStats.StopwordsByLang.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(toks, x -> x IN ($lst))) AS s_$lang"
@@ -460,6 +463,11 @@ object TrainingData {
     val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     val pred = langs.map(l =>
       s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    (scoreCols, best, pred)
+  }
+
+  private val dLangIdSql = {
+    val (scoreCols, best, pred) = langIdSqlFragments
     s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
        |  FROM documents),
        |sc AS (SELECT doc_id, lang,
@@ -1731,6 +1739,113 @@ object TrainingData {
       |    AND dup_tok_frac <= 0.6 AND dup_2gram_frac <= 0.05 AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Sequential filter-stack attrition report — the "data recipe
+    * funnel" every published curation pipeline reports (how many docs
+    * each rule removed, applied in order): too-short → token-shape →
+    * repetition → unknown-language → low-quality-score. Each rule's
+    * metric is the SAME formulation as its standalone query
+    * ([[dGopherRules]] shapes, [[dLangId]]'s stopword vote,
+    * [[dQualityLr]]'s integer score), so the report provably accounts
+    * for the catalog's own filters. A doc is charged to the FIRST
+    * rule it fails; n_in/n_out chain by construction.
+    *
+    * Scale shape: one projection computes every metric + the
+    * first-fail verdict in a single pass (whole-stage codegen, no
+    * shuffle), then a 6-group partial-combined count; everything
+    * after operates on the 5-row rule frame (the global window runs
+    * on 5 rows post-aggregation, not on data). */
+  def dFilterStack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val base = docs(s, d).withColumn("_toks",
+      TextStats.tokens(col("text")))
+    val n = size(col("_toks")).cast("double")
+    val nSafe = greatest(n, lit(1.0))
+    val meanLen = round(
+      length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nSafe, 6)
+    val dupTok = round(lit(1.0) -
+      size(array_distinct(col("_toks"))).cast("double") / nSafe, 6)
+    val dup2 = round(lit(1.0) -
+      size(graft.functions.ArrayOps.shingle_set(col("_toks"), 2))
+        .cast("double") / greatest(n - 1.0, lit(1.0)), 6)
+    val score = aggregate(
+      transform(graft.functions.ArrayOps.array_poly_hash(col("_toks")),
+        h => (h % 256L) * 2654435761L % 2147483647L % 2001L - 1000L),
+      lit(0L), (a, x) => a + x)
+    val firstFail = when(n.cast("long") < 20, 1)
+      .when(!meanLen.between(3.0, 10.0), 2)
+      .when(dupTok > 0.6 || dup2 > 0.05, 3)
+      .when(TextStats.predictedLang(col("_toks")) === "und", 4)
+      .when(score <= 0, 5)
+      .otherwise(0)
+    val perDoc = base.select(firstFail.as("first_fail"))
+    val counts = perDoc.groupBy(col("first_fail"))
+      .agg(count(lit(1)).as("n"))
+    val tot = perDoc.agg(count(lit(1)).as("total"))
+    val rules = Seq((1, "too_short"), (2, "bad_tok_shape"),
+      (3, "repetitive"), (4, "lang_unknown"), (5, "low_quality"))
+      .toDF("rule_idx", "rule")
+    val w = Window.orderBy(col("rule_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rules.join(counts.withColumnRenamed("first_fail", "rule_idx"),
+        Seq("rule_idx"), "left")
+      .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_in", col("total") -
+        coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .select(col("rule_idx"), col("rule"), col("n_in"),
+        col("n_dropped"), col("n_out"))
+      .orderBy("rule_idx")
+  }
+
+  private val dFilterStackSql = {
+    val (scoreCols, best, pred) = langIdSqlFragments
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    len(toks) AS n_tok,
+       |    round(len(replace(text, ' ', ''))::DOUBLE /
+       |      greatest(len(toks), 1), 6) AS mean_tok_len,
+       |    round(1 - len(list_distinct(toks))::DOUBLE /
+       |      greatest(len(toks), 1), 6) AS dup_tok_frac,
+       |    round(1 - len(list_distinct(list_transform(
+       |        range(1, greatest(len(toks) - 1, 1) + 1),
+       |        i -> array_to_string(toks[i:i+1], ' '))))::DOUBLE /
+       |      greatest(len(toks) - 1, 1), 6) AS dup_2gram_frac,
+       |    CAST(list_sum(list_transform(toks, tok ->
+       |      (${sqlPolyHash("tok")} % 256) * 2654435761
+       |        % 2147483647 % 2001 - 1000)) AS BIGINT) AS score_milli,
+       |    $scoreCols
+       |  FROM t),
+       |p AS (SELECT *, $best AS best FROM m),
+       |f AS (SELECT doc_id,
+       |    CASE WHEN n_tok < 20 THEN 1
+       |      WHEN NOT (mean_tok_len BETWEEN 3 AND 10) THEN 2
+       |      WHEN dup_tok_frac > 0.6 OR dup_2gram_frac > 0.05 THEN 3
+       |      WHEN (CASE $pred ELSE 'und' END) = 'und' THEN 4
+       |      WHEN score_milli <= 0 THEN 5
+       |      ELSE 0 END AS first_fail
+       |  FROM p),
+       |c AS (SELECT first_fail, count(*) AS n FROM f GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM f),
+       |r(rule_idx, rule) AS (VALUES (1, 'too_short'),
+       |  (2, 'bad_tok_shape'), (3, 'repetitive'),
+       |  (4, 'lang_unknown'), (5, 'low_quality')),
+       |dr AS (SELECT r.rule_idx, r.rule,
+       |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped
+       |  FROM r LEFT JOIN c ON r.rule_idx = c.first_fail),
+       |cm AS (SELECT rule_idx, rule, n_dropped,
+       |    CAST(total - coalesce(sum(n_dropped) OVER (ORDER BY rule_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n_in
+       |  FROM dr, tot)
+       |SELECT rule_idx, rule, n_in, n_dropped,
+       |  n_in - n_dropped AS n_out
+       |FROM cm ORDER BY rule_idx""".stripMargin
+  }
+
   /** Hashing-trick linear quality classifier — the fastText-style
     * scorer every large pipeline runs for quality filtering (CCNet,
     * LLaMA's Wikipedia-reference classifier; all public). Each token
@@ -2805,6 +2920,7 @@ object TrainingData {
     "d_dedup_keep_best" -> (dDedupKeepBest _),
     "d_ccnet_buckets" -> (dCcnetBuckets _),
     "d_gopher_rules" -> (dGopherRules _),
+    "d_filter_stack" -> (dFilterStack _),
     "d_quality_lr" -> (dQualityLr _),
     "d_repetition_break" -> (dRepetitionBreak _),
     "d_stratified_sample" -> (dStratifiedSample _),
@@ -2855,6 +2971,7 @@ object TrainingData {
     "d_dedup_keep_best" -> dDedupKeepBestSql,
     "d_ccnet_buckets" -> dCcnetBucketsSql,
     "d_gopher_rules" -> dGopherRulesSql,
+    "d_filter_stack" -> dFilterStackSql,
     "d_quality_lr" -> dQualityLrSql,
     "d_repetition_break" -> dRepetitionBreakSql,
     "d_stratified_sample" -> dStratifiedSampleSql,

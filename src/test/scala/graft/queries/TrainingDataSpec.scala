@@ -516,6 +516,41 @@ class TrainingDataSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("d_filter_stack: attrition chains, and the stack reconciles " +
+      "with the standalone gopher/langid/quality queries") {
+    val r = TrainingData.dFilterStack(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("rule_idx"))
+    assert(r.map(_.getAs[String]("rule")).toSeq == Seq("too_short",
+      "bad_tok_shape", "repetitive", "lang_unknown", "low_quality"))
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(r.head.getAs[Long]("n_in") == total)
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"),
+        s"chain break between ${a} and ${b}")
+    }
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_in") - row.getAs[Long]("n_dropped") ==
+        row.getAs[Long]("n_out"))
+    }
+    // rules 1-3 are exactly the gopher keep conjuncts: survivors of
+    // rule 3 == gopher-kept docs
+    val gopherKept = TrainingData.dGopherRules(spark, sf0001)
+      .filter(col("keep")).count()
+    assert(r(2).getAs[Long]("n_out") == gopherKept,
+      "rule-3 survivors must equal the gopher keep count")
+    // final survivors = gopher ∩ known-language ∩ positive LR score
+    val finalKept = TrainingData.dGopherRules(spark, sf0001)
+      .filter(col("keep")).select("doc_id")
+      .join(TrainingData.dLangId(spark, sf0001)
+        .filter(col("pred_lang") =!= "und").select("doc_id"), "doc_id")
+      .join(TrainingData.dQualityLr(spark, sf0001)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+      .count()
+    assert(r(4).getAs[Long]("n_out") == finalKept,
+      "stack survivors must equal the intersection of the " +
+        "standalone filters")
+  }
+
   test("d_ccnet_buckets: buckets respect score order and tercile " +
       "cumulative bounds per language") {
     val r = TrainingData.dCcnetBuckets(spark, sf0001).cache()
