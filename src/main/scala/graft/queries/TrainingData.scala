@@ -492,6 +492,116 @@ object TrainingData {
       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the
+    * MOSS local fingerprinting scheme, public): hash every POSITIONAL
+    * 4-token gram (order kept, duplicates kept — unlike the shingle
+    * SET of the Jaccard family), slide a window of 4 consecutive gram
+    * hashes, select each window's minimum hash (value-min selection;
+    * a doc with fewer grams than the window contributes the single
+    * min of all its grams), and keep the distinct selected values as
+    * the doc's fingerprint set. Winnowing guarantees any shared token
+    * run of ≥ w+k−1 = 7 tokens produces at least one shared
+    * fingerprint — position-robust overlap detection at a density of
+    * ~2/(w+1) of the grams. Output per doc: fingerprint count, the
+    * max document frequency among its fingerprints (≥2 ⇔ some
+    * fingerprint is shared), and how many are unique to the doc —
+    * the originality signal plagiarism/dedup pipelines report.
+    *
+    * Scale shape: selection is a pure per-doc HOF projection (no
+    * shuffle); the corpus pass is one explode into a
+    * partial-combined count keyed by the 8-byte hash, reattached by
+    * an fp equi-join — compact keys, linear in corpus size, and no
+    * doc-pair frame is ever materialized (pair generation is
+    * [[dJaccardPairs]]' job; this op reports overlap statistics
+    * without the quadratic). */
+  def dWinnowing(s: SparkSession, d: String): DataFrame =
+    winnowStats(docs(s, d))
+
+  /** Operator body of [[dWinnowing]] over any (doc_id, text) frame —
+    * separate so specs can assert the winnowing guarantee on
+    * constructed corpora. Fingerprint selection is the codegen'd
+    * [[graft.functions.WinnowSet]] kernel — the interpreted HOF
+    * formulation ([[hofWinnowFps]], kept for equivalence specs)
+    * allocates a gram string + slice per position and measured 75s
+    * on the 10× probe corpus vs ~2s compiled. */
+  def winnowStats(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"),
+        graft.functions.WinnowSet.winnow_set(
+          split(col("text"), " "), k = 4, w = 4).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfreq = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(dfreq, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), max(col("df")).as("max_fp_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique_fp"))
+    val out = base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        col("max_fp_df"),
+        coalesce(col("n_unique_fp"), lit(0L)).as("n_unique_fp"))
+      .orderBy("doc_id")
+    val res = out.localCheckpoint()
+    base.unpersist()
+    res
+  }
+
+  /** HOF reference formulation of the [[graft.functions.WinnowSet]]
+    * kernel — interpreted lambda per position; kept for equivalence
+    * testing only (TrainingDataSpec). */
+  def hofWinnowFps(textCol: Column, k: Int = 4, w: Int = 4): Column = {
+    val toks = split(textCol, " ")
+    val n = size(toks)
+    val grams = when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val gh = graft.functions.ArrayOps.array_poly_hash(grams)
+    val m = size(gh)
+    val sel = when(m >= w,
+        transform(sequence(lit(1), m - (w - 1)),
+          j => array_min(slice(gh, j, lit(w)))))
+      .when(m > 0, array(array_min(gh)))
+      .otherwise(array().cast("array<long>"))
+    array_sort(array_distinct(sel))
+  }
+
+  private val dWinnowingSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN len(toks) >= 4 THEN
+       |      list_transform(range(1, len(toks) - 3 + 1),
+       |        i -> array_to_string(toks[i:i+3], ' '))
+       |    ELSE [] END AS grams
+       |  FROM t),
+       |h AS (SELECT doc_id,
+       |    list_transform(grams, gr -> ${sqlPolyHash("gr")}) AS gh
+       |  FROM g),
+       |sel AS (SELECT doc_id,
+       |    CASE WHEN len(gh) >= 4 THEN
+       |      list_transform(range(1, len(gh) - 3 + 1),
+       |        j -> list_aggregate(gh[j:j+3], 'min'))
+       |    WHEN len(gh) > 0 THEN [list_aggregate(gh, 'min')]
+       |    ELSE [] END AS s
+       |  FROM h),
+       |f AS (SELECT doc_id, list_sort(list_distinct(s)) AS fps
+       |  FROM sel),
+       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |dfreq AS (SELECT fp, count(*) AS df FROM ex GROUP BY 1),
+       |pd AS (SELECT e.doc_id, count(*) AS n_fp,
+       |    max(d.df) AS max_fp_df,
+       |    CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unique_fp
+       |  FROM ex e JOIN dfreq d ON e.fp = d.fp GROUP BY 1)
+       |SELECT f.doc_id,
+       |  CAST(coalesce(pd.n_fp, 0) AS BIGINT) AS n_fp,
+       |  pd.max_fp_df,
+       |  CAST(coalesce(pd.n_unique_fp, 0) AS BIGINT) AS n_unique_fp
+       |FROM f LEFT JOIN pd ON f.doc_id = pd.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+
   /** Flagship curation pipeline: the full training-data pass chained
     * end-to-end — exact dedup (keep min doc_id per content hash) →
     * quality floor → language filter → per-source kept/dropped
@@ -2903,6 +3013,7 @@ object TrainingData {
     "d_text_stats" -> (dTextStats _),
     "d_langid" -> (dLangId _),
     "d_fingerprint" -> (dFingerprint _),
+    "d_winnowing" -> (dWinnowing _),
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_int8" -> (sAnnInt8 _),
     "s_ann_lsh" -> (sAnnLsh _),
@@ -2966,6 +3077,7 @@ object TrainingData {
     "d_text_stats" -> dTextStatsSql,
     "d_langid" -> dLangIdSql,
     "d_fingerprint" -> dFingerprintSql,
+    "d_winnowing" -> dWinnowingSql,
     "d_curation_pipeline" -> dCurationPipelineSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_dedup_keep_best" -> dDedupKeepBestSql,

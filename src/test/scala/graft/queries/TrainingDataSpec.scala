@@ -516,6 +516,49 @@ class TrainingDataSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("winnowing: the shared-run guarantee holds, a unique doc has " +
+      "all-unique fingerprints, and n_fp matches a brute-force winnow") {
+    // token vocabularies are disjoint across docs except the shared
+    // run, so any shared fingerprint must come from the run
+    val sharedRun = (1 to 10).map(i => s"run$i").mkString(" ")
+    val docA = (1 to 30).map(i => s"a$i").mkString(" ") +
+      " " + sharedRun
+    val docB = sharedRun + " " + (1 to 30).map(i => s"b$i").mkString(" ")
+    val docC = (1 to 40).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, docA), (2L, docB), (3L, docC))
+      .toDF("doc_id", "text")
+    val r = TrainingData.winnowStats(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_fp"), x.getAs[Long]("max_fp_df"),
+          x.getAs[Long]("n_unique_fp"))).toMap
+    // Schleimer guarantee: a shared run of 10 >= w+k-1 = 7 tokens
+    // yields at least one shared fingerprint -> df >= 2 on both docs
+    assert(r(1L)._2 >= 2 && r(2L)._2 >= 2,
+      s"shared run must produce a shared fingerprint: $r")
+    assert(r(1L)._3 < r(1L)._1, "doc A must have a non-unique fp")
+    // doc C shares nothing: every fingerprint unique
+    assert(r(3L)._2 == 1 && r(3L)._3 == r(3L)._1, s"C not unique: $r")
+    // brute-force winnow of doc C reproduces n_fp exactly
+    def polyHash(g: String): Long =
+      g.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483647L)
+    val toks = docC.split(" ")
+    val gh = toks.sliding(4).map(g => polyHash(g.mkString(" "))).toSeq
+    val brute = gh.sliding(4).map(_.min).toSet.size
+    assert(r(3L)._1 == brute,
+      s"n_fp ${r(3L)._1} != brute winnow $brute")
+  }
+
+  test("winnowing: the codegen kernel equals the HOF reference " +
+      "formulation on the real corpus") {
+    val diff = graft.Tables.documents(spark, sf0001)
+      .select(
+        graft.functions.WinnowSet.winnow_set(
+          split(col("text"), " "), k = 4, w = 4).as("kern"),
+        TrainingData.hofWinnowFps(col("text")).as("hof"))
+      .filter(col("kern") =!= col("hof"))
+    assert(diff.isEmpty, "kernel and HOF winnow sets must be identical")
+  }
+
   test("d_filter_stack: attrition chains, and the stack reconciles " +
       "with the standalone gopher/langid/quality queries") {
     val r = TrainingData.dFilterStack(spark, sf0001)
