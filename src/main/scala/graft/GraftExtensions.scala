@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.GraftShims
 
 import graft.functions.{ArrayPolyHash, DotProduct, MinHashSig,
-  RollingHash, ShingleSet, SimHash32, SortedIntersectSize}
+  RollingHash, ShingleSet, SimHash32, SortedIntersectSize, WinnowSet}
 
 /** Session extension registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -87,6 +87,15 @@ object GraftExtensions {
     "simhash32" -> { exprs =>
       arity("simhash32", exprs, 1, 1)
       SimHash32(exprs.head)
+    },
+    "winnow_set" -> { exprs =>
+      arity("winnow_set", exprs, 1, 5)
+      WinnowSet(exprs.head,
+        if (exprs.length > 1) longArg(exprs(1), 4L).toInt else 4,
+        if (exprs.length > 2) longArg(exprs(2), 4L).toInt else 4,
+        if (exprs.length > 3) longArg(exprs(3), 31L) else 31L,
+        if (exprs.length > 4) longArg(exprs(4), 2147483647L)
+        else 2147483647L)
     })
 
   /** Register on an already-running session. */

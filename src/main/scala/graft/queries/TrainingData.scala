@@ -214,6 +214,63 @@ object TrainingData {
        |SELECT doc_a, doc_b, jaccard FROM mh_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Candidate-generation eval for the near-dup family — the dedup
+    * analog of [[sAnnRecall]]: how much of the blocked-exact-Jaccard
+    * pair set ([[dJaccardPairs]]' min-shingle blocking) the
+    * MinHash+LSH index ([[dMinhashLsh]]) recovers, and how many true
+    * pairs LSH finds that blocking misses (both generators verify
+    * with exact Jaccard, so every emitted pair is true — the two
+    * heuristics differ only in which CANDIDATES they surface). The
+    * accept/reject metric for banding parameters, exactly like
+    * recall@k gates an ANN index. Output: one row — n_exact, n_lsh,
+    * n_both, recall_lsh, n_lsh_only.
+    *
+    * Scale shape: both pair generators are the shipped linear paths
+    * (block equi-join / band equi-join); the overlap is a pair-keyed
+    * equi-join of two pair-id frames and the rest is three
+    * partial-combined counts folded into one broadcast-composed row.
+    * Nothing here adds a shape beyond what the generators already
+    * carry at 100×. */
+  def dDedupRecall(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val ex = Dedup.jaccardPairs(dd, "doc_id", "text",
+      n = 3, threshold = 0.2).select(col("doc_a"), col("doc_b"))
+    val mh = Dedup.minhashLshPairs(dd, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    val exC = ex.agg(count(lit(1)).as("n_exact"))
+    val mhC = mh.agg(count(lit(1)).as("n_lsh"))
+    val bothC = ex.join(mh, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    exC.crossJoin(broadcast(mhC)).crossJoin(broadcast(bothC))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_exact"), 6)
+          .as("recall_lsh"),
+        (col("n_lsh") - col("n_both")).as("n_lsh_only"))
+  }
+
+  private val dDedupRecallSql =
+    s"""WITH $minhashPairsCtes,
+       |esh AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+       |eblocked AS (SELECT doc_id, sh, sh[1] AS block FROM esh
+       |  WHERE len(sh) > 0),
+       |ex_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM eblocked a JOIN eblocked b
+       |    ON a.block = b.block AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |    >= 0.2),
+       |bc AS (SELECT count(*) AS n_both FROM ex_pairs e
+       |  JOIN mh_pairs m ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b),
+       |ec AS (SELECT count(*) AS n_exact FROM ex_pairs),
+       |mc AS (SELECT count(*) AS n_lsh FROM mh_pairs)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_lsh AS BIGINT) AS n_lsh,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  round(n_both::DOUBLE / n_exact, 6) AS recall_lsh,
+       |  CAST(n_lsh - n_both AS BIGINT) AS n_lsh_only
+       |FROM ec, mc, bc""".stripMargin
+
   /** Incremental near-dup ingest gate ([[Dedup.minhashLshIncremental]]):
     * the batch = every 10th doc, the manifest = the rest; output =
     * which incoming docs near-duplicate the already-ingested corpus
@@ -3006,6 +3063,7 @@ object TrainingData {
     "d_incremental_minhash" -> (dIncrementalMinhash _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_dedup_recall" -> (dDedupRecall _),
     "d_neardup_pipeline" -> (dNeardupPipeline _),
     "d_corpus_card" -> (dCorpusCard _),
     "g_doc_centrality" -> (gDocCentrality _),
@@ -3070,6 +3128,7 @@ object TrainingData {
     "d_incremental_minhash" -> dIncrementalMinhashSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_dedup_recall" -> dDedupRecallSql,
     "d_neardup_pipeline" -> dNeardupPipelineSql,
     "d_corpus_card" -> dCorpusCardSql,
     "g_doc_centrality" -> gDocCentralitySql,

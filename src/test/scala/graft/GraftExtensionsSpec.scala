@@ -29,14 +29,20 @@ class GraftExtensionsSpec extends SparkSpec {
         |    array(3L, 7L, 9L)) AS n,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  array_poly_hash(array('abc')) AS ph,
-        |  simhash32(array_poly_hash(array('abc'))) AS sim
+        |  simhash32(array_poly_hash(array('abc'))) AS sim,
+        |  winnow_set(array('a', 'b', 'c', 'd'), 4, 4) AS wn
         |""".stripMargin)
-      .as[(Seq[String], Int, Double, Seq[Long], Long)].collect().head
+      .as[(Seq[String], Int, Double, Seq[Long], Long, Seq[Long])]
+      .collect().head
     assert(got._1 == Seq("a b", "b c"))
     assert(got._2 == 2)
     assert(got._3 == 11.0)
     assert(got._4 == Seq((97L * 31 + 98) * 31 + 99))
     assert(got._5 == (97L * 31 + 98) * 31 + 99) // one token votes its bits
+    // 4 tokens = one 4-gram = one window = hash of "a b c d"
+    val abcd = "a b c d".foldLeft(0L)((a, c) => (a * 31 + c.toInt)
+      % 2147483647L)
+    assert(got._6 == Seq(abcd))
   }
 
   test("SQL surface rejects wrong arity and wrong input types at " +

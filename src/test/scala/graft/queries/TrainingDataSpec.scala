@@ -516,6 +516,25 @@ class TrainingDataSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("d_dedup_recall: counts reconcile with the two pair queries " +
+      "and the overlap bounds hold") {
+    val r = TrainingData.dDedupRecall(spark, sf0001).collect()(0)
+    val nExact = TrainingData.dJaccardPairs(spark, sf0001).count()
+    val nLsh = TrainingData.dMinhashLsh(spark, sf0001).count()
+    assert(r.getAs[Long]("n_exact") == nExact)
+    assert(r.getAs[Long]("n_lsh") == nLsh)
+    val nBoth = r.getAs[Long]("n_both")
+    assert(nBoth <= math.min(nExact, nLsh))
+    assert(r.getAs[Long]("n_lsh_only") == nLsh - nBoth)
+    assert(r.getAs[Double]("recall_lsh") ==
+      BigDecimal(nBoth.toDouble / nExact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // at 16x4 banding on this corpus the index should recover most
+    // of the blocked-exact set
+    assert(r.getAs[Double]("recall_lsh") > 0.5,
+      s"LSH recall unexpectedly low: $r")
+  }
+
   test("winnowing: the shared-run guarantee holds, a unique doc has " +
       "all-unique fingerprints, and n_fp matches a brute-force winnow") {
     // token vocabularies are disjoint across docs except the shared
