@@ -156,6 +156,71 @@ object Dedup {
     out
   }
 
+  /** Asymmetric containment near-dup pairs — the doc-in-doc signal
+    * Jaccard misses: C(A→B) = |S_A ∩ S_B| / |S_A| over `n`-token
+    * shingle-hash sets. A short document fully quoted inside a long
+    * one has containment ≈ 1 in one direction while its Jaccard is
+    * tiny (the union is dominated by the long doc), which is exactly
+    * the boilerplate-inclusion / quotation / version-supersets case
+    * (cf. Broder 1997's resemblance-vs-containment distinction).
+    * Emits both directions per unordered pair; policy downstream
+    * keeps the superset doc or cuts the contained span.
+    *
+    * Scale shape: grams travel as 8-byte poly-hash longs (never
+    * text). Candidate generation self-joins ONLY grams whose
+    * document frequency is ≤ `dfCap` — a corpus-common gram
+    * (boilerplate by definition) would otherwise fan out df² id
+    * pairs on one join key, the same hot-block failure mode
+    * [[jaccardPairs]] caps; a pair sharing exclusively over-cap
+    * grams is dropped by construction (documented recall trade —
+    * such pairs share only boilerplate). Candidates ARE
+    * `distinct`-ed before verification — unlike [[cosineDupPairs]]'
+    * one-dot-product verify, verification here explodes each pair by
+    * |S_A| gram rows, so collapsing the per-shared-gram multiplicity
+    * first is the cheaper side of the trade. Verification counts the
+    * exact intersection via two id-keyed equi-joins of the persisted
+    * gram frame (hash-partitioned on (doc, gram) keys — never a
+    * per-pair array intersect of shipped shingle arrays). A gram-hash
+    * collision inflates both engines' counts identically (portable
+    * hash family), keeping oracle parity; containment is computed on
+    * hash sets, flag-for-review semantics. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Int = 16): DataFrame = {
+    require(dfCap >= 2, "dfCap < 2 can never generate a candidate")
+    // feeds four subtrees (sizes, df, both verification reattaches):
+    // persist once, release after the small output materializes
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ArrayOps.array_poly_hash(
+          shingles(col(textCol), n))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dfq = grams.groupBy("g").agg(count(lit(1)).as("_df"))
+    val rare = grams.join(dfq.filter(col("_df") <= dfCap), Seq("g"))
+      .select(col("doc_id"), col("g"))
+    val cand = rare.alias("a").join(rare.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ga = grams.select(col("doc_id").as("doc_a"), col("g"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("g"))
+    val shared = cand.join(ga, "doc_a").join(gb, Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    val sa = sizes.select(col("doc_id").as("doc_a"),
+      col("n_grams").as("n_a"))
+    val sb = sizes.select(col("doc_id").as("doc_b"),
+      col("n_grams").as("n_b"))
+    val scored = shared.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_a"), 6)
+          .as("cont_a"),
+        round(col("n_shared").cast("double") / col("n_b"), 6)
+          .as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+    val out = scored.localCheckpoint()
+    grams.unpersist()
+    out
+  }
+
   /** MinHash signature over pre-hashed shingles: for permutation j,
     * min over shingle hashes h of (a_j * h + b_j) mod p. Hashing the
     * shingle strings once (`hs`) and permuting the longs keeps this

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Okapi BM25 ranked retrieval over a tokenized document corpus —
+  * the lexical retrieval operator a training-data pipeline uses for
+  * corpus search, eval-set mining, and retrieval-augmented data
+  * curation (the sparse complement of the dense ANN family in
+  * [[Similarity]]).
+  *
+  * Distributed shape (the inverted-index probe): the query side is a
+  * tiny (qid, term) frame that BROADCASTS; the corpus-sized token
+  * stream is filtered down to query-term postings immediately after
+  * the explode — everything aggregated afterwards is bounded by
+  * |docs containing a query term| × |distinct terms|, never the full
+  * token count. Document lengths come from a separate narrow pass
+  * (`size(tokens)` — no explode), and the global (N, Σdl) statistics
+  * frame is one row, broadcast into the scoring join. Total: two
+  * corpus scans, both projection-only; the only wide exchanges key on
+  * `doc_id` (postings ⋈ lengths) and `qid` (the top-k window).
+  *
+  * Cross-engine determinism (DuckDB oracle parity): per-term scores
+  * are pure double arithmetic of identical expression shape in both
+  * engines, rounded to 6 decimals BEFORE the per-(query, doc)
+  * summation, which then runs through the exact decimal accumulator
+  * ([[graft.queries.QueryUtil.sumDec]]) so partial-aggregation order
+  * cannot change the sum. Ranking orders by the rounded score with
+  * doc_id as the tiebreak. Callers should pick k1/b values exactly
+  * representable in binary (the catalog uses k1=1.5, b=0.75) so the
+  * constant folding is bit-identical across engines.
+  */
+object Retrieval {
+
+  /** BM25 top-k documents per query.
+    *
+    * @param docs    (doc_id, text) corpus; text is whitespace-tokenized
+    *                with the corpus-wide [[TextStats.tokens]] rule
+    * @param queries tiny (qid: long, term: string) frame — one row per
+    *                query term; duplicate terms within a qid are legal
+    *                and score once per occurrence row
+    * @param k       results per query
+    * @param k1      term-frequency saturation (BM25 k1)
+    * @param b       length normalization strength (BM25 b)
+    *
+    * Output: (qid, doc_id, score, rk) — rk in 1..k, score the rounded
+    * BM25 sum. Uses the Lucene-style non-negative idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextStats.tokens(col("text")).as("toks"))
+    // narrow pass: per-doc length + the one-row corpus stats frame
+    val dl = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      graft.queries.QueryUtil.sumDec(col("dl")).as("sum_dl"))
+    // postings pass: explode, keep only query terms (broadcast semi
+    // shape), then tf per (doc, term) — the hash agg keys on a term
+    // set bounded by the query frame
+    val terms = queries.select(col("term")).distinct()
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df per term is derived from the postings frame (one row per
+    // (doc, term) → count = document frequency); tiny → broadcast back
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("t_score", round(
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") /
+            (col("sum_dl") / col("n_docs")))), 6))
+    val agg = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(round(graft.queries.QueryUtil.sumDec(col("t_score")), 6)
+        .as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score"), asc("doc_id"))
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+}

@@ -117,8 +117,25 @@ object Streaming {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Batch form of the stream-static enrichment join
+    * ([[EventsStream.enrichWithSegment]]): every event decorated with
+    * its user's market segment from the customer dimension. The
+    * streaming form is stateless (no watermark, no join state) and
+    * parity-tested in EventsStreamSpec. */
+  def stStaticJoin(s: SparkSession, d: String): DataFrame =
+    EventsStream.enrichWithSegment(Tables.events(s, d),
+        graft.Tables.customer(s, d))
+      .orderBy("event_id")
+
+  private val stStaticJoinSql =
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |  c.c_mktsegment AS segment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_tumbling" -> (stTumbling _),
+    "st_static_join" -> (stStaticJoin _),
     "st_funnel" -> (stFunnel _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
@@ -128,6 +145,7 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "st_tumbling" -> stTumblingSql,
+    "st_static_join" -> stStaticJoinSql,
     "st_funnel" -> stFunnelSql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,

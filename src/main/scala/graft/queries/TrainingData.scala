@@ -123,6 +123,48 @@ object TrainingData {
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric containment near-dup pairs
+    * ([[Dedup.containmentPairs]]): C(A→B) = |S_A ∩ S_B| / |S_A| over
+    * 8-token shingle-hash sets — the doc-in-doc signal (quotation,
+    * boilerplate inclusion, version supersets) that symmetric Jaccard
+    * under-scores. Candidates come only from grams with document
+    * frequency ≤ 16 (the hot-gram cap — see the operator's scale
+    * note); each emitted pair carries the exact shared-gram count and
+    * both containment directions. */
+  def dContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+      n = 8, threshold = 0.5, dfCap = 16)
+      .orderBy("doc_a", "doc_b")
+
+  private val dContainmentSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(
+       |    ${sqlShingleList("toks", 8)},
+       |    s -> ${sqlPolyHash("s")})) AS g
+       |  FROM t),
+       |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+       |dfq AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+       |rare AS (SELECT g.doc_id, g.g FROM g JOIN dfq USING (g)
+       |  WHERE dfq.df <= 16),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id),
+       |sh AS (SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+       |  FROM cand c
+       |  JOIN g ga ON ga.doc_id = c.doc_a
+       |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+       |  GROUP BY 1, 2)
+       |SELECT sh.doc_a, sh.doc_b, sh.n_shared,
+       |  round(sh.n_shared::DOUBLE / sa.n_grams, 6) AS cont_a,
+       |  round(sh.n_shared::DOUBLE / sb.n_grams, 6) AS cont_b
+       |FROM sh
+       |JOIN sz sa ON sa.doc_id = sh.doc_a
+       |JOIN sz sb ON sb.doc_id = sh.doc_b
+       |WHERE greatest(round(sh.n_shared::DOUBLE / sa.n_grams, 6),
+       |  round(sh.n_shared::DOUBLE / sb.n_grams, 6)) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified so every
     * emitted pair is a true near duplicate. Oracle-verified: the
     * signature family is the engine-portable polynomial hash, so the
@@ -2339,6 +2381,57 @@ object TrainingData {
       |SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** BM25 ranked retrieval ([[graft.ext.Retrieval.bm25TopK]]): top-10
+    * documents per query for a fixed literal query set over the
+    * corpus vocabulary — the sparse-retrieval complement of the dense
+    * ANN family (corpus search, eval-set mining, retrieval-augmented
+    * curation). k1=1.5 and b=0.75 are exactly binary-representable so
+    * every folded constant is bit-identical across engines; per-term
+    * scores are rounded before the exact decimal sum (see the
+    * operator's determinism note). */
+  def dBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (0L, "sort"), (0L, "merge"), (0L, "join"),
+      (1L, "fast"), (1L, "query"),
+      (2L, "vector"), (2L, "stream"), (2L, "data"))
+      .toDF("qid", "term")
+    graft.ext.Retrieval.bm25TopK(docs(s, d), queries, k = 10,
+        k1 = 1.5, b = 0.75)
+      .orderBy("qid", "rk")
+  }
+
+  private val dBm25Sql =
+    """WITH q(qid, term) AS (VALUES
+      |    (CAST(0 AS BIGINT), 'sort'), (0, 'merge'), (0, 'join'),
+      |    (1, 'fast'), (1, 'query'),
+      |    (2, 'vector'), (2, 'stream'), (2, 'data')),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) AS sum_dl
+      |  FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT q.qid, tf.doc_id,
+      |    round(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+      |      (tf.tf * 2.5) /
+      |      (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl /
+      |        (n.sum_dl / n.n_docs))), 6) AS t_score
+      |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+      |  JOIN dl USING (doc_id), n),
+      |agg AS (SELECT qid, doc_id,
+      |    round(CAST(sum(CAST(t_score AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score, row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+      |  FROM agg)
+      |SELECT qid, doc_id, score, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** Benchmark decontamination: find corpus documents sharing any
     * 5-gram with a held-out eval set (doc_id % 10 == 0 stands in for
     * the benchmark), reporting the shared-gram count per (eval,
@@ -3062,7 +3155,9 @@ object TrainingData {
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_incremental_minhash" -> (dIncrementalMinhash _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
+    "d_containment" -> (dContainment _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_bm25" -> (dBm25 _),
     "d_dedup_recall" -> (dDedupRecall _),
     "d_neardup_pipeline" -> (dNeardupPipeline _),
     "d_corpus_card" -> (dCorpusCard _),
@@ -3127,7 +3222,9 @@ object TrainingData {
     "d_incremental_dedup" -> dIncrementalDedupSql,
     "d_incremental_minhash" -> dIncrementalMinhashSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
+    "d_containment" -> dContainmentSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_bm25" -> dBm25Sql,
     "d_dedup_recall" -> dDedupRecallSql,
     "d_neardup_pipeline" -> dNeardupPipelineSql,
     "d_corpus_card" -> dCorpusCardSql,

@@ -101,6 +101,36 @@ object EventsStream {
         col("p.event_id").as("purchase_id"),
         col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
 
+  /** Stream-static enrichment join: each event decorated with its
+    * user's dimension attributes (market segment from the customer
+    * table). Defined over arbitrary frames — batch for the oracle
+    * entry, streaming via [[streamingEnrich]].
+    *
+    * Streaming semantics: a stream-static equi-join is STATELESS —
+    * no watermark, no join state; each micro-batch probes the static
+    * side as of that batch's execution. No broadcast hint on
+    * purpose: under the autoBroadcastJoinThreshold the optimizer
+    * broadcasts the dim into every micro-batch (the common case —
+    * a user dim is orders smaller than the event stream), and a
+    * genuinely huge dim falls back to a per-batch shuffled join
+    * rather than OOMing the driver. Inner join = enrich-or-drop;
+    * callers wanting to keep unmatched events use a left join on
+    * the same frames. */
+  def enrichWithSegment(events: DataFrame, customers: DataFrame)
+      : DataFrame =
+    events.join(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"))
+
+  /** Streaming [[enrichWithSegment]]: the events side is a file
+    * stream; the customer frame stays a batch DataFrame joined into
+    * every micro-batch. */
+  def streamingEnrich(spark: SparkSession, sourceDir: String,
+      customers: DataFrame): DataFrame =
+    enrichWithSegment(
+      spark.readStream.schema(schema).parquet(sourceDir), customers)
+
   /** Streaming [[clickPurchaseJoin]]: watermarks on BOTH sides plus
     * the interval condition let Spark expire join state — clicks
     * older than the purchase watermark minus 30 minutes can never

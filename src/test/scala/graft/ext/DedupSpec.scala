@@ -29,6 +29,45 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 3L)))
   }
 
+  test("containment: a doc fully quoted inside a longer doc scores " +
+      "1.0 in its direction while Jaccard stays low") {
+    val short = "a b c d e f g h i j"                       // 10 tokens
+    val long = s"$short k l m n o p q r"                    // superset
+    val corpus = Seq((1L, short), (2L, long),
+      (3L, "z y x w v u t s r q p o")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+      n = 8, threshold = 0.9, dfCap = 16)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, ca, cb) = got.head
+    assert((a, b) == (1L, 2L))
+    assert(ca == 1.0, s"short-in-long containment must be 1.0, got $ca")
+    assert(cb < 0.9, "reverse direction is partial")
+    // the same pair under symmetric Jaccard sits far below 0.9
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 8, 0.9)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at the same threshold misses the pair")
+  }
+
+  test("containment hot-gram cap: pairs sharing only an over-cap " +
+      "(boilerplate) gram generate no candidates") {
+    // five docs, identical 8-token header + unique 8-token tails:
+    // every pair shares exactly the one header gram, whose df=5
+    val header = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val corpus = (1 to 5).map(i => (i.toLong,
+      s"$header u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text",
+      n = 8, threshold = 0.05, dfCap = 3)
+    assert(capped.collect().isEmpty,
+      "over-cap gram must not generate candidates")
+    val uncapped = Dedup.containmentPairs(corpus, "doc_id", "text",
+      n = 8, threshold = 0.05, dfCap = 16)
+    assert(uncapped.count() == 10,
+      "all 10 pairs emerge once the shared gram is under the cap")
+  }
+
   test("minhash LSH finds true near-dup pairs with verified jaccard") {
     val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)

@@ -51,6 +51,28 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join (stateless " +
+      "— no watermark required)") {
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_enrich_stream").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(staged)
+    val cust = Tables.customer(spark, sf0001)
+    val q = EventsStream.streamingEnrich(spark, staged, cust)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .orderBy("event_id").collect().toSeq
+      val batch = EventsStream.enrichWithSegment(
+          Tables.events(spark, sf0001), cust)
+        .orderBy("event_id").collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} rows")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup (bounded state) equals batch distinct when " +
       "recurrences fall inside the watermark delay") {
     import spark.implicits._
