@@ -103,6 +103,22 @@ object ScaleProbe {
       replicasV.reduce(_ unionByName _)
         .repartition(parts / 2)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // customer dim for the stream-static join (st_static_join):
+      // one dim row per REPLICATED user — keyed with the same userOff
+      // stride as the event replicas, so every scaled user resolves
+      // its segment and the dim grows linearly with the user
+      // population (the production shape; custkeys beyond the user
+      // range are dead dim weight for this join and are dropped)
+      val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+        .filter(col("c_custkey") < userOff)
+      val replicasC = (0 until replicas).map { i =>
+        cust.select((col("c_custkey") + lit(i * userOff)).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      }
+      replicasC.reduce(_ unionByName _)
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     }
   }
 
