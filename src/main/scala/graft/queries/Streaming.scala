@@ -117,6 +117,30 @@ object Streaming {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Batch form of the LEFT OUTER attribution join
+    * ([[EventsStream.clickPurchaseLeftJoin]]): every click row kept,
+    * purchase columns NULL where no same-user purchase landed in the
+    * 30-minute window. The watermark-gated streaming form (NULL rows
+    * emit only once the watermark passes the click's window) is
+    * parity-tested in EventsStreamSpec with a sentinel flush. */
+  def stLeftJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    EventsStream.clickPurchaseLeftJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val stLeftJoinSql =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id, c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM events c LEFT JOIN events p
+      |  ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |WHERE c.event_type = 'click'
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** Batch form of the stream-static enrichment join
     * ([[EventsStream.enrichWithSegment]]): every event decorated with
     * its user's market segment from the customer dimension. The
@@ -136,6 +160,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "st_tumbling" -> (stTumbling _),
     "st_static_join" -> (stStaticJoin _),
+    "st_left_join" -> (stLeftJoin _),
     "st_funnel" -> (stFunnel _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
@@ -146,6 +171,7 @@ object Streaming {
   val oracle: Map[String, String] = Map(
     "st_tumbling" -> stTumblingSql,
     "st_static_join" -> stStaticJoinSql,
+    "st_left_join" -> stLeftJoinSql,
     "st_funnel" -> stFunnelSql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,

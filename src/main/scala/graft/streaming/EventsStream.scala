@@ -101,6 +101,42 @@ object EventsStream {
         col("p.event_id").as("purchase_id"),
         col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
 
+  /** Attribution with misses kept: [[clickPurchaseJoin]] as a LEFT
+    * OUTER interval join — every click emits, matched to same-user
+    * purchases in its 30-minute window or to NULLs when none came.
+    * The unmatched-click rate is the abandonment metric the inner
+    * join cannot report. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+        col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") < col("c.ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+
+  /** Streaming [[clickPurchaseLeftJoin]]: watermarks on both sides
+    * bound the join state exactly as in the inner form, and
+    * additionally gate the NULL emissions — an unmatched click row
+    * can only be emitted once the purchase-side watermark has passed
+    * the end of its 30-minute window (before that a matching purchase
+    * could still arrive). Consequence for bounded sources: clicks
+    * whose window the final watermark never passes stay unemitted —
+    * the spec advances the watermark with a sentinel event to flush
+    * them (in production the stream simply keeps running). */
+  def streamingClickPurchaseLeftJoin(spark: SparkSession,
+      sourceDir: String): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    clickPurchaseLeftJoin(
+      src.filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour"),
+      src.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour"))
+  }
+
   /** Stream-static enrichment join: each event decorated with its
     * user's dimension attributes (market segment from the customer
     * table). Defined over arbitrary frames — batch for the oracle

@@ -51,6 +51,42 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LEFT OUTER interval join equals the batch left join " +
+      "once a sentinel advances the watermark past every click window") {
+    import spark.implicits._
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_leftjoin_stream").toString
+    val ev = Tables.events(spark, sf0001)
+    ev.write.mode("overwrite").parquet(staged)
+    // NULL-side rows only emit once the purchase watermark passes the
+    // click's 30-minute window; on a bounded source the tail would
+    // stay in state forever, so append one far-future click to push
+    // the watermark past all real windows (excluded from the compare)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(
+      maxTs.getTime + 3L * 3600 * 1000)
+    Seq((-999L, sentinelTs, -999L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(staged)
+    val q = EventsStream.streamingClickPurchaseLeftJoin(spark, staged)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("leftjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("leftjoin_out")
+        .filter(col("click_id") =!= -999L)
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      val batch = EventsStream.clickPurchaseLeftJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} rows")
+      assert(batch.exists(_.isNullAt(2)),
+        "corpus must contain unmatched clicks for the outer side to matter")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join (stateless " +
       "— no watermark required)") {
     val staged = java.nio.file.Files
