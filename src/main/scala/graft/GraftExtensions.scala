@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.GraftShims
 
-import graft.functions.{ArrayPolyHash, DotProduct, MinHashSig,
-  RollingHash, ShingleSet, SimHash32, SortedIntersectSize, WinnowSet}
+import graft.functions.{ArrayPolyHash, DotProduct, GramHashes,
+  MinHashSig, RollingHash, ShingleSet, SimHash32, SortedIntersectSize,
+  WinnowSet}
 
 /** Session extension registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -95,6 +96,14 @@ object GraftExtensions {
         if (exprs.length > 2) longArg(exprs(2), 4L).toInt else 4,
         if (exprs.length > 3) longArg(exprs(3), 31L) else 31L,
         if (exprs.length > 4) longArg(exprs(4), 2147483647L)
+        else 2147483647L)
+    },
+    "gram_hashes" -> { exprs =>
+      arity("gram_hashes", exprs, 1, 4)
+      GramHashes(exprs.head,
+        if (exprs.length > 1) longArg(exprs(1), 8L).toInt else 8,
+        if (exprs.length > 2) longArg(exprs(2), 31L) else 31L,
+        if (exprs.length > 3) longArg(exprs(3), 2147483647L)
         else 2147483647L)
     })
 

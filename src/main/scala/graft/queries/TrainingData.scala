@@ -2528,6 +2528,115 @@ object TrainingData {
        |FROM sh JOIN df USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring CUT — the rewrite step of exact-substring dedup
+    * (Lee et al. 2022, arXiv:2107.06499): [[dSpanDedup]] reports span
+    * duplication; this entry actually EMITS the deduplicated corpus.
+    * Every positional 8-token gram occurrence whose hash occurs
+    * anywhere else in the corpus keeps only its globally-first
+    * occurrence (min (doc_id, pos)); tokens covered by any
+    * non-canonical duplicated occurrence are dropped and the
+    * remaining tokens reassembled in order. Output per doc: token
+    * counts, cut fraction, and the rewritten text.
+    *
+    * Scale shape: positional gram hashes come from the codegen
+    * [[graft.functions.GramHashes]] kernel (one compiled pass — the
+    * HOF spelling allocates a slice + gram string per position, the
+    * winnowing lesson); the canonical election is ONE partial-
+    * combined hash aggregate keyed by the 8-byte gram hash (min
+    * (doc_id, pos) struct + count — skew-safe, unlike a window
+    * partitioned by a hot boilerplate gram); cut positions explode at
+    * most 8× the duplicated-occurrence count; reassembly is a
+    * doc_id-keyed aggregate whose partitions are doc-sized by
+    * construction. Only (id, pos, hash) rows shuffle — never text;
+    * the rewritten text materializes once, partition-local, in the
+    * final doc-keyed aggregate. */
+  def dSpanCut(s: SparkSession, d: String): DataFrame =
+    spanCut(docs(s, d))
+
+  /** [[dSpanCut]] over an arbitrary (doc_id, text) frame — the
+    * spec-testable core. */
+  def spanCut(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.select(col("doc_id"),
+        TextStats.tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pg = base.select(col("doc_id"),
+      posexplode(graft.functions.GramHashes.gram_hashes(col("toks"), 8))
+        .as(Seq("pos", "g")))
+    // canonical occurrence per gram: min (doc_id, pos) struct + count
+    // in one map-side-combined aggregate — same argmin-by-struct
+    // semantics as `row_number() OVER (PARTITION BY g ORDER BY
+    // doc_id, pos) = 1`, without a skewable window
+    val canon = pg.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+    val cut = pg.join(canon, Seq("g"))
+      .filter(col("cnt") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 7)).as("tp"))
+      .distinct()
+    val tok = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tp", "token")))
+    val kept = tok.join(cut, Seq("doc_id", "tp"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("token")))),
+          x => x("token")), " ").as("text_dedup"))
+    val out = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("double") / col("n_tokens"), 6).as("cut_frac"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
+  private val dSpanCutSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |gh AS (SELECT doc_id, toks,
+       |    CASE WHEN len(toks) >= 8 THEN
+       |      list_transform(range(1, len(toks) - 7 + 1),
+       |        i -> ${sqlPolyHash("array_to_string(toks[i:i+7], ' ')")})
+       |    ELSE [] END AS gh
+       |  FROM t),
+       |pg AS (SELECT doc_id,
+       |    unnest(range(1, len(gh) + 1)) - 1 AS pos,
+       |    unnest(gh) AS g
+       |  FROM gh),
+       |rk AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS cnt
+       |  FROM pg),
+       |cutpos AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS tp
+       |  FROM rk WHERE cnt > 1 AND rn > 1),
+       |cut AS (SELECT DISTINCT doc_id, tp FROM cutpos),
+       |tok AS (SELECT doc_id,
+       |    unnest(range(1, len(toks) + 1)) - 1 AS tp,
+       |    unnest(toks) AS token
+       |  FROM t),
+       |kept AS (SELECT k.doc_id, k.tp, k.token
+       |  FROM tok k LEFT JOIN cut c
+       |    ON k.doc_id = c.doc_id AND k.tp = c.tp
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |    array_to_string(list(token ORDER BY tp), ' ') AS text_dedup
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  round((len(t.toks) - coalesce(a.n_kept, 0))::DOUBLE /
+       |    len(t.toks), 6) AS cut_frac,
+       |  coalesce(a.text_dedup, '') AS text_dedup
+       |FROM t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Unigram-LM quality score (the perplexity-filter family, CCNet /
     * Wenzek et al. 2020 shape, with the LM trained on the corpus
     * itself): per-token negative log-probability −ln(cnt/total) under
@@ -3195,6 +3304,7 @@ object TrainingData {
     "d_tfidf" -> (dTfidf _),
     "d_decontaminate" -> (dDecontaminate _),
     "d_span_dedup" -> (dSpanDedup _),
+    "d_span_cut" -> (dSpanCut _),
     "d_lm_score" -> (dLmScore _),
     "d_lm_bigram" -> (dLmBigram _),
     "d_dsir" -> (dDsir _),
@@ -3250,6 +3360,7 @@ object TrainingData {
     "d_tfidf" -> dTfidfSql,
     "d_decontaminate" -> dDecontaminateSql,
     "d_span_dedup" -> dSpanDedupSql,
+    "d_span_cut" -> dSpanCutSql,
     "d_lm_score" -> dLmScoreSql,
     "d_lm_bigram" -> dLmBigramSql,
     "d_dsir" -> dDsirSql,

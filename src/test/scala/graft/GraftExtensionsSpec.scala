@@ -30,9 +30,10 @@ class GraftExtensionsSpec extends SparkSpec {
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  array_poly_hash(array('abc')) AS ph,
         |  simhash32(array_poly_hash(array('abc'))) AS sim,
-        |  winnow_set(array('a', 'b', 'c', 'd'), 4, 4) AS wn
+        |  winnow_set(array('a', 'b', 'c', 'd'), 4, 4) AS wn,
+        |  gram_hashes(array('a', 'b', 'c', 'd'), 4) AS gh
         |""".stripMargin)
-      .as[(Seq[String], Int, Double, Seq[Long], Long, Seq[Long])]
+      .as[(Seq[String], Int, Double, Seq[Long], Long, Seq[Long], Seq[Long])]
       .collect().head
     assert(got._1 == Seq("a b", "b c"))
     assert(got._2 == 2)
@@ -43,6 +44,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val abcd = "a b c d".foldLeft(0L)((a, c) => (a * 31 + c.toInt)
       % 2147483647L)
     assert(got._6 == Seq(abcd))
+    assert(got._7 == Seq(abcd)) // one positional 4-gram, same hash
   }
 
   test("SQL surface rejects wrong arity and wrong input types at " +

@@ -123,6 +123,26 @@ class ArrayOpsSpec extends SparkSpec {
     assert(bad.head.isNullAt(0))
   }
 
+  test("gram_hashes equals poly-hashing the HOF positional gram list; " +
+      "short docs yield an EMPTY array (no truncated whole-doc gram)") {
+    for (k <- Seq(1, 2, 3, 8)) {
+      val toks = split($"text", " ")
+      val hof = when(size(toks) >= k,
+          ArrayOps.array_poly_hash(
+            transform(sequence(lit(1), size(toks) - (k - 1)),
+              i => concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array().cast("array<long>"))
+      val both = docs.select(
+        GramHashes.gram_hashes(toks, k).as("fast"), hof.as("ref"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.foreach { case (fast, ref) => assert(fast == ref, s"k=$k") }
+    }
+    val short = docs.filter($"doc_id" === 3L)
+      .select(GramHashes.gram_hashes(split($"text", " "), 8))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("kernels survive both codegen and interpreted eval paths") {
     // interpreted path: force eval via a filter on a literal-free expr
     val row = docs.filter(

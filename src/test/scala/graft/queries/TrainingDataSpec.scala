@@ -567,6 +567,30 @@ class TrainingDataSpec extends SparkSpec {
       s"n_fp ${r(3L)._1} != brute winnow $brute")
   }
 
+  test("span cut: the globally-first occurrence of a duplicated " +
+      "8-token run survives, later occurrences are cut, untouched " +
+      "docs pass through verbatim") {
+    // disjoint vocabularies except the shared 8-token run
+    val run = (1 to 8).map(i => s"run$i").mkString(" ")
+    val docA = run + " " + (1 to 12).map(i => s"a$i").mkString(" ")
+    val docB = (1 to 12).map(i => s"b$i").mkString(" ") + " " + run
+    val docC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, docA), (2L, docB), (3L, docC))
+      .toDF("doc_id", "text")
+    val r = TrainingData.spanCut(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("text_dedup"))).toMap
+    // doc 1 holds the first occurrence (min doc_id): kept whole
+    assert(r(1L)._3 == docA, s"canonical doc must be untouched: $r")
+    // doc 2's copy of the run is cut — exactly its 8 run tokens
+    assert(r(2L)._2 == r(2L)._1 - 8, s"doc 2 must lose the run: $r")
+    assert(r(2L)._3 == (1 to 12).map(i => s"b$i").mkString(" "),
+      s"doc 2 keeps its own tokens in order: $r")
+    // doc 3 shares nothing: verbatim
+    assert(r(3L)._3 == docC && r(3L)._2 == r(3L)._1)
+  }
+
   test("winnowing: the codegen kernel equals the HOF reference " +
       "formulation on the real corpus") {
     val diff = graft.Tables.documents(spark, sf0001)
