@@ -168,7 +168,66 @@ object Relational {
       |  (SELECT n FROM dn) AS n_distinct_segments
       |FROM u GROUP BY seg ORDER BY seg""".stripMargin
 
+  /** Bucket-co-located join — the storage-layout technique for
+    * REPEATED large×large joins at corpus scale: both sides are
+    * WRITTEN `bucketBy`+`sortBy` the join key (8 buckets here;
+    * hundreds in production), so every later sort-merge join reads
+    * bucket i directly against bucket i — ZERO exchange below the
+    * join, i.e. zero network movement of either table. At 100 TB
+    * that converts the dominant repeated shuffle (think
+    * lineitem⋈orders run daily) into bucket-local work; the one-time
+    * bucketed write is the amortized cost. (Spark ≥3 still inserts a
+    * PARTITION-LOCAL sort below the join — bucket-local rows, no
+    * network — unless the legacy sorted-scan flag vouches for
+    * one-file-per-bucket order; the exchange elimination is the
+    * scale property.) BucketedJoinSpec forces sort-merge and asserts
+    * zero ShuffleExchange below the join; this catalog entry
+    * hash-verifies the join's SEMANTICS against the plain-join
+    * oracle (bucketing must never change results). The post-join
+    * aggregation exchanges only the tiny priority frame. */
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame =
+    bucketedJoin(s, Tables.orders(s, d), Tables.lineitem(s, d))
+      .orderBy("o_orderpriority")
+
+  /** Core of [[qBucketedJoin]], spec-testable: writes both frames as
+    * bucketed external tables under a fresh temp dir (repartitioned
+    * to one file per bucket — the precondition for sorted-scan reads
+    * on engines/flags that honor bucket-file order), reads them back
+    * through the catalog, joins on the bucket key, aggregates
+    * revenue per order priority. */
+  def bucketedJoin(s: SparkSession, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_buckets").toString
+    s.sql("DROP TABLE IF EXISTS graft_bk_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
+    orders.select("o_orderkey", "o_orderpriority")
+      .repartition(8, col("o_orderkey"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/orders").mode("overwrite")
+      .saveAsTable("graft_bk_orders")
+    lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(8, col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/lineitem").mode("overwrite")
+      .saveAsTable("graft_bk_lineitem")
+    s.table("graft_bk_orders")
+      .join(s.table("graft_bk_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  private val qBucketedJoinSql =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_correlated_min" -> (qCorrelatedMin _),
     "q7_volume_shipping" -> (qVolumeShipping _),
     "q_having" -> (qHaving _),
@@ -178,6 +237,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bucketed_join" -> qBucketedJoinSql,
     "q_correlated_min" -> qCorrelatedMinSql,
     "q7_volume_shipping" -> qVolumeShippingSql,
     "q_having" -> qHavingSql,
