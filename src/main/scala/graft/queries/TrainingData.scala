@@ -3096,6 +3096,98 @@ object TrainingData {
        |FROM b JOIN c2 USING (big) JOIN c1 ON b.prefix = c1.tok, vv
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram negative log-likelihood (Kneser &
+    * Ney 1995; the smoothing production n-gram LMs actually use, vs
+    * [[lmBigram]]'s add-one):
+    * `P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) ·
+    * N1+(·w2)/N1+(··)` with discount D = 0.75 (exactly
+    * binary-representable). The continuation term scores a word by
+    * how many CONTEXTS it follows, not how often it occurs — the
+    * "San Francisco" correction: "Francisco" is frequent but occurs
+    * after almost nothing else, so its continuation probability is
+    * tiny.
+    *
+    * Scale shape = [[lmBigram]] exactly: every KN component (prefix
+    * context counts c(w1·), prefix/suffix type counts N1+, the type
+    * total) aggregates over the BIGRAM-TYPE table, which is
+    * vocabulary-sized, never corpus-sized; the corpus is touched
+    * twice (bigram explode, final per-occurrence score attach keyed
+    * by the bigram string) and the same hot-token broadcast bypass
+    * splits score rows at `hotThreshold` occurrences so a Zipf-head
+    * bigram joins map-side. Per-term NLLs round to 6 before the
+    * exact-decimal per-doc average. */
+  def dLmKneserNey(s: SparkSession, d: String): DataFrame =
+    lmKneserNey(docs(s, d))
+
+  /** Operator body of [[dLmKneserNey]] over any (doc_id, text)
+    * frame. */
+  def lmKneserNey(documents: DataFrame,
+      hotThreshold: Long = 1L << 20): DataFrame = {
+    val bi = documents.select(col("doc_id"),
+        TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("big"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the bigram-TYPE table feeds all four component aggregations
+    val typ = bi.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+      .withColumn("prefix", substring_index(col("big"), " ", 1))
+      .withColumn("suffix", substring_index(col("big"), " ", -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = typ.groupBy(col("prefix"))
+      .agg(sum(col("c2")).as("cp"), count(lit(1)).as("n1p"))
+    val cs = typ.groupBy(col("suffix")).agg(count(lit(1)).as("n1s"))
+    val tt = typ.agg(count(lit(1)).as("t"))
+    val scoreT = typ.join(cp, "prefix").join(cs, "suffix")
+      .crossJoin(broadcast(tt))
+      .select(col("big"), col("c2"), round(-log(
+        (col("c2") - lit(0.75)) / col("cp") +
+        lit(0.75) * col("n1p") / col("cp") * col("n1s") / col("t")),
+        6).as("nll_tok"))
+    val hotScores = scoreT.filter(col("c2") >= hotThreshold).drop("c2")
+    val coldScores = scoreT.filter(col("c2") < hotThreshold).drop("c2")
+    val coldBi = bi.join(broadcast(hotScores.select(col("big"))),
+      Seq("big"), "left_anti")
+    val perBig = bi.join(broadcast(hotScores), "big")
+      .unionByName(coldBi.join(coldScores, "big"))
+    val out = perBig
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        avgDec(col("nll_tok")).as("nll_kn"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    typ.unpersist()
+    bi.unpersist()
+    out
+  }
+
+  private val dLmKneserNeySql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS big
+       |  FROM t WHERE len(toks) >= 2),
+       |ty AS (SELECT big, count(*) AS c2,
+       |    string_split(big, ' ')[1] AS prefix,
+       |    string_split(big, ' ')[2] AS suffix
+       |  FROM b GROUP BY 1),
+       |cp AS (SELECT prefix, CAST(sum(c2) AS BIGINT) AS cp,
+       |    count(*) AS n1p
+       |  FROM ty GROUP BY 1),
+       |cs AS (SELECT suffix, count(*) AS n1s FROM ty GROUP BY 1),
+       |tt AS (SELECT count(*) AS t FROM ty),
+       |sc AS (SELECT big, round(-ln(
+       |    (c2 - 0.75) / cp + 0.75 * n1p / cp * n1s / t), 6)
+       |    AS nll_tok
+       |  FROM ty JOIN cp USING (prefix) JOIN cs USING (suffix), tt)
+       |SELECT doc_id, count(*) AS n_big,
+       |  ${sqlAvgDec("nll_tok")} AS nll_kn
+       |FROM b JOIN sc USING (big)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -3307,6 +3399,7 @@ object TrainingData {
     "d_span_cut" -> (dSpanCut _),
     "d_lm_score" -> (dLmScore _),
     "d_lm_bigram" -> (dLmBigram _),
+    "d_lm_kn" -> (dLmKneserNey _),
     "d_dsir" -> (dDsir _),
     "d_semdedup" -> (dSemdedup _),
     "d_semdedup_auto" -> (dSemdedupAuto _),
@@ -3363,6 +3456,7 @@ object TrainingData {
     "d_span_cut" -> dSpanCutSql,
     "d_lm_score" -> dLmScoreSql,
     "d_lm_bigram" -> dLmBigramSql,
+    "d_lm_kn" -> dLmKneserNeySql,
     "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
     "d_chunk_dedup" -> dChunkDedupSql,

@@ -567,6 +567,49 @@ class TrainingDataSpec extends SparkSpec {
       s"n_fp ${r(3L)._1} != brute winnow $brute")
   }
 
+  test("Kneser-Ney bigram NLL matches an independent plain-Scala " +
+      "reference, and shares d_lm_bigram's bigram stream") {
+    val docsSeq = Seq(
+      1L -> "a b c a b",
+      2L -> "a b a c",
+      3L -> "c b c b a",
+      4L -> "d e",
+      5L -> "e d e d")
+    val df = docsSeq.toDF("doc_id", "text")
+    val got = TrainingData.lmKneserNey(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // reference: collections-only reimplementation, same IEEE op order
+    val bigs = docsSeq.flatMap { case (id, t) =>
+      t.split(" ").toSeq.sliding(2).filter(_.length == 2)
+        .map(p => id -> (p(0), p(1))).toSeq
+    }
+    val c2 = bigs.groupBy(_._2).view.mapValues(_.size).toMap
+    val cp = c2.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n1p = c2.toSeq.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val n1s = c2.toSeq.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val tTot = c2.size
+    def nll(bg: (String, String)): Double = {
+      val p = (c2(bg) - 0.75) / cp(bg._1) +
+        0.75 * n1p(bg._1) / cp(bg._1) * n1s(bg._2) / tTot
+      BigDecimal(-math.log(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((id, _) <- docsSeq) {
+      val mine = bigs.filter(_._1 == id).map(x => nll(x._2))
+      val want = BigDecimal(mine.map(BigDecimal(_)).sum.toDouble /
+        mine.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 == mine.size, s"doc $id n_big")
+      assert(got(id)._2 == want, s"doc $id: got ${got(id)._2}, want $want")
+    }
+
+    // the per-doc bigram stream is the same one d_lm_bigram scores
+    val kn = TrainingData.lmKneserNey(df).select("doc_id", "n_big")
+    val bg = TrainingData.lmBigram(df).select("doc_id", "n_big")
+    assert(kn.except(bg).isEmpty && bg.except(kn).isEmpty)
+  }
+
   test("span cut: the globally-first occurrence of a duplicated " +
       "8-token run survives, later occurrences are cut, untouched " +
       "docs pass through verbatim") {
