@@ -3188,6 +3188,26 @@ object TrainingData {
        |FROM b JOIN sc USING (big)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Catalog BPE merge budget — 8 rounds keeps the unrolled oracle
+    * CTE chain tractable; production training runs the same per-round
+    * cost thousands of times (each round is one vocabulary-sized
+    * aggregate + one argmax row, independent of corpus size). */
+  private val BpeRounds = 8
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    * 8-round merge table learned from the documents corpus — see
+    * [[graft.ext.Bpe]] for the algorithm and the engine-portable
+    * string-replace merge formulation. */
+  def dBpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.ext.Bpe.mergeTable(docs(s, d), BpeRounds)
+
+  /** Per-document BPE tokenization under the merges learned from the
+    * same corpus: whitespace word count + post-merge token count.
+    * Applying the merges is a literal-replace expression chain — a
+    * map-only corpus pass. */
+  def dBpeTokens(s: SparkSession, d: String): DataFrame =
+    graft.ext.Bpe.tokenStats(docs(s, d), BpeRounds)
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -3400,6 +3420,8 @@ object TrainingData {
     "d_lm_score" -> (dLmScore _),
     "d_lm_bigram" -> (dLmBigram _),
     "d_lm_kn" -> (dLmKneserNey _),
+    "d_bpe_train" -> (dBpeTrain _),
+    "d_bpe_tokens" -> (dBpeTokens _),
     "d_dsir" -> (dDsir _),
     "d_semdedup" -> (dSemdedup _),
     "d_semdedup_auto" -> (dSemdedupAuto _),
@@ -3457,6 +3479,8 @@ object TrainingData {
     "d_lm_score" -> dLmScoreSql,
     "d_lm_bigram" -> dLmBigramSql,
     "d_lm_kn" -> dLmKneserNeySql,
+    "d_bpe_train" -> graft.ext.Bpe.mergeTableSql(BpeRounds),
+    "d_bpe_tokens" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
     "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
     "d_chunk_dedup" -> dChunkDedupSql,

@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** BPE training/application vs an independent collections-only
+  * reference that merges SYMBOL LISTS directly (the true Sennrich
+  * semantics) — proving the engine's string-replace formulation is
+  * the same algorithm, including the greedy-left overlap rule. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: list-based BPE. Greedy left-to-right merge: on a
+    * match, consume both symbols (never re-match into the result). */
+  private def refMergeWord(syms: List[String],
+      pair: (String, String)): List[String] = syms match {
+    case a :: b :: rest if (a, b) == pair =>
+      (a + b) :: refMergeWord(rest, pair)
+    case a :: rest => a :: refMergeWord(rest, pair)
+    case Nil => Nil
+  }
+
+  private def refTrain(wordCnt: Map[String, Long], rounds: Int)
+      : (Seq[(String, String, Long)], Map[List[String], Long]) = {
+    var vocab: Map[List[String], Long] = wordCnt.map { case (w, c) =>
+      (w.toList.map(_.toString) :+ Bpe.EndMark) -> c
+    }
+    var merges = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val pairs = vocab.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(_ -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (pairs.nonEmpty) {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        merges :+= ((l, r, c))
+        vocab = vocab.toSeq.map { case (syms, cnt) =>
+          refMergeWord(syms, (l, r)) -> cnt
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    (merges, vocab)
+  }
+
+  test("trainMerges == list-based reference BPE, merge by merge, " +
+      "including the greedy-left overlap rule (aaa -> [aa, a])") {
+    val docsSeq = Seq(
+      1L -> "low low low lower lower newest newest newest newest",
+      2L -> "wider wider new newest low",
+      3L -> "aaa aaa aaa aaa aaa aaa b",   // overlap: (a,a) merges left
+      4L -> "ab ab ba")                    // junction safety
+    val df = docsSeq.toDF("doc_id", "text")
+    val rounds = 10
+    val got = Bpe.trainMerges(df, rounds)
+      .map(m => (m.left, m.right, m.cnt))
+    val wordCnt = docsSeq.flatMap(_._2.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (want, refVocab) = refTrain(wordCnt, rounds)
+    assert(got == want, s"merges diverged:\n got=$got\nwant=$want")
+
+    // per-word final symbol counts agree too (the full working state,
+    // not just the argmax trace)
+    val merges = Bpe.trainMerges(df, rounds)
+    val perWord = wordCnt.keys.toSeq.sorted.map { w =>
+      val syms = refVocab.keys.find(_.mkString == w + Bpe.EndMark)
+      w -> syms.map(_.length)
+    }
+    import org.apache.spark.sql.functions._
+    val sparkCounts = df
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .select(col("w"), size(split(trim(
+        Bpe.applyMerges(Bpe.symInit(col("w")), merges)), "  "))
+        .as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for ((w, refN) <- perWord)
+      assert(refN.contains(sparkCounts(w)),
+        s"word '$w': spark ${sparkCounts(w)} vs ref $refN")
+  }
+
+  test("tokenStats: n_bpe sums per-word symbol counts; merging can " +
+      "only shrink counts; zero-merge count = chars + words") {
+    val df = Seq(1L -> "low low lower", 2L -> "newest new")
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenStats(df, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2)
+    // upper bound: unmerged = sum(chars) + n_words (</w> each)
+    assert(out(1L)._2 <= "lowlowlower".length + 3)
+    assert(out(2L)._2 <= "newestnew".length + 2)
+    // and with 0 rounds it's exactly that
+    val raw = Bpe.tokenStats(df, 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(1L) == "lowlowlower".length + 3)
+    assert(raw(2L) == "newestnew".length + 2)
+  }
+}
