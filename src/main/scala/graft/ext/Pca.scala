@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.queries.QueryUtil.{avgDec, sqlAvgDec}
+
+/** Distributed PCA over the embedding corpus: top principal
+  * component by deterministic power iteration — the embedding-space
+  * diagnostic (anisotropy / dominant-direction analysis, cf. Mu &
+  * Viswanath 2018 "All-but-the-Top") a curation pipeline runs before
+  * trusting cosine similarity at scale.
+  *
+  * Scale shape: the ONLY corpus-sized pass builds the dim×dim
+  * covariance — each row expands to its dim² centered outer-product
+  * cells, which partial-aggregate map-side down to at most dim²
+  * groups before the shuffle (the shuffle is matrix-sized, never
+  * corpus-sized; no self-join on vec_id — the mean vector broadcasts
+  * and centering is a per-row `zip_with`). Power iteration then runs
+  * entirely on the tiny (i, j, c) covariance frame.
+  *
+  * Engine portability is by EXACT INTEGER arithmetic (the integer-
+  * PageRank trick, not chained decimal quantization — iterating
+  * double→DECIMAL(18,6) casts drifts between engines at 1e-4
+  * magnitudes, measured): covariance entries and iterate components
+  * live in 1e-6 micro-units as BIGINTs, the mat-vec product is an
+  * exact integer sum (order-independent in any engine), squared
+  * norms accumulate exactly in DECIMAL(38,0) (Spark) / HUGEINT
+  * (DuckDB), and each iterate does ONE double step — w·1e6 / ‖w‖,
+  * rounded back to integer micros — on bit-identical inputs. The
+  * init vector is the exactly-representable uniform 0.125, so even
+  * the eigenvector sign is reproducible. */
+object Pca {
+
+  private val Micro = 1000000L
+
+  /** (dim, mean_v, pc1, lambda1, evr) — one row per dimension; the
+    * Rayleigh-quotient eigenvalue and explained-variance ratio
+    * repeat on every row so the result is one flat hashable table. */
+  def topComponent(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 12): DataFrame = {
+    val emb = embeddings
+      .select(Similarity.toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .filter(coalesce(assert_true(size(col("emb")) === dim,
+        lit(s"pca: embedding dim != $dim")), lit(true)))
+    // per-dimension mean, rounded for engine portability, broadcast
+    // back as ONE array row (no corpus self-join)
+    val means = emb
+      .select(posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(avgDec(col("x")).as("m"))
+    val meanArr = means
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("m")))), s => s("m")).as("m_arr"))
+    // covariance in micro-units: the per-cell mean is a FIRST-level
+    // decimal sum over raw double products (the portable sumDec
+    // machinery), then snaps to an exact BIGINT
+    val cells = emb.crossJoin(broadcast(meanArr))
+      .select(zip_with(col("emb"), col("m_arr"),
+        (x, m) => x - m).as("c"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(dim)), i => transform(
+          sequence(lit(1), lit(dim)), j => struct(
+            (i - 1).as("i"), (j - 1).as("j"),
+            (element_at(col("c"), i) * element_at(col("c"), j))
+              .as("p")))))).as("cell"))
+    val cov = cells
+      .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
+      .agg(round(avgDec(col("cell.p")) * Micro)
+        .cast("long").as("ci"))
+      .localCheckpoint()
+    // power iteration, all-integer: w = C·v exact; one double step
+    // (w·1e6/‖w‖) per round, rounded back to integer micros
+    val dec38 = DecimalType(38, 0)
+    var v = cov.select(col("i").as("vi")).distinct()
+      .select(col("vi"), lit(Micro / 8).as("vv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, cov("j") === v("vi"))
+        .groupBy(col("i")).agg(sum(col("ci") * col("vv")).as("wv"))
+      val norm = w.agg(sqrt(sum(col("wv").cast(dec38) *
+        col("wv").cast(dec38)).cast("double")).as("nrm"))
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i").as("vi"),
+          round(col("wv").cast("double") * Micro / col("nrm"))
+            .cast("long").as("vv"))
+        .localCheckpoint()
+    }
+    // Rayleigh quotient λ = vᵀCv / vᵀv and evr = λ / trace(C),
+    // numerators/denominators exact integers before ONE double div
+    val vi = v.select(col("vi").as("ri"), col("vv").as("rvi"))
+    val vj = v.select(col("vi").as("rj"), col("vv").as("rvj"))
+    val lam = cov
+      .join(broadcast(vi), col("i") === col("ri"))
+      .join(broadcast(vj), col("j") === col("rj"))
+      .agg(sum((col("ci") * col("rvi")).cast(dec38) * col("rvj"))
+        .cast("double").as("num"))
+      .crossJoin(broadcast(v.agg(
+        sum(col("vv").cast(dec38) * col("vv").cast(dec38))
+          .cast("double").as("den"))))
+      .select(round(col("num") / col("den") / Micro, 6).as("lambda1"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg((sum(col("ci")).cast("double") / Micro).as("trace"))
+    means
+      .join(v, col("dim") === col("vi"))
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("dim").cast("long").as("dim"), col("m").as("mean_v"),
+        (col("vv").cast("double") / Micro).as("pc1"), col("lambda1"),
+        round(col("lambda1") / col("trace"), 6).as("evr"))
+      .orderBy("dim")
+  }
+
+  /** DuckDB oracle for [[topComponent]] — unrolled power iteration,
+    * same exact-integer arithmetic (HUGEINT where Spark uses
+    * DECIMAL(38,0); both are exact, both cast to the same double). */
+  def topComponentSql(dim: Int = 64, iters: Int = 12): String = {
+    val iterCtes = (1 to iters).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT i, sum(ci * vv) AS wv
+         |  FROM cov JOIN v${r - 1} ON j = vi GROUP BY i),
+         |n$r AS (SELECT sqrt(CAST(sum(CAST(wv AS HUGEINT) *
+         |    CAST(wv AS HUGEINT)) AS DOUBLE)) AS nrm FROM w$r),
+         |v$r AS MATERIALIZED (SELECT i AS vi, CAST(round(
+         |    CAST(wv AS DOUBLE) * $Micro / (SELECT nrm FROM n$r))
+         |    AS BIGINT) AS vv
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |means AS MATERIALIZED (SELECT dim, ${sqlAvgDec("x")} AS m FROM (
+       |    SELECT unnest(emb) AS x,
+       |      unnest(range(0, $dim)) AS dim FROM e)
+       |  GROUP BY dim),
+       |marr AS (SELECT list(m ORDER BY dim) AS m_arr FROM means),
+       |cov AS MATERIALIZED (
+       |  SELECT cell.i AS i, cell.j AS j,
+       |    CAST(round(${sqlAvgDec("cell.p")} * $Micro) AS BIGINT) AS ci
+       |  FROM (SELECT unnest(flatten(list_transform(range(1, $dim + 1),
+       |      i -> list_transform(range(1, $dim + 1),
+       |        j -> {'i': i - 1, 'j': j - 1, 'p': c[i] * c[j]}))))
+       |      AS cell
+       |    FROM (SELECT list_transform(range(1, $dim + 1),
+       |        i -> emb[i] - m_arr[i]) AS c
+       |      FROM e, marr))
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i AS vi,
+       |    CAST(${Micro / 8} AS BIGINT) AS vv FROM cov),
+       |$iterCtes,
+       |lam AS (SELECT round(
+       |    CAST(sum(CAST(ci * a.vv AS HUGEINT) * b.vv) AS DOUBLE) /
+       |    (SELECT CAST(sum(CAST(vv AS HUGEINT) * vv) AS DOUBLE)
+       |      FROM v$iters) / $Micro, 6) AS lambda1
+       |  FROM cov JOIN v$iters a ON i = a.vi JOIN v$iters b ON j = b.vi),
+       |tr AS (SELECT CAST(sum(ci) AS DOUBLE) / $Micro AS trace
+       |  FROM cov WHERE i = j)
+       |SELECT CAST(dim AS BIGINT) AS dim, m AS mean_v,
+       |  CAST(vv AS DOUBLE) / $Micro AS pc1,
+       |  (SELECT lambda1 FROM lam) AS lambda1,
+       |  round((SELECT lambda1 FROM lam) / (SELECT trace FROM tr), 6)
+       |    AS evr
+       |FROM means JOIN v$iters ON dim = vi
+       |ORDER BY dim""".stripMargin
+  }
+}

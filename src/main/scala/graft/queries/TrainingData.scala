@@ -3208,6 +3208,12 @@ object TrainingData {
   def dBpeTokens(s: SparkSession, d: String): DataFrame =
     graft.ext.Bpe.tokenStats(docs(s, d), BpeRounds)
 
+  /** Top principal component of the embedding corpus by distributed
+    * power iteration — the anisotropy diagnostic; see
+    * [[graft.ext.Pca]] for the matrix-sized-shuffle scale shape. */
+  def dEmbedPca(s: SparkSession, d: String): DataFrame =
+    graft.ext.Pca.topComponent(embs(s, d))
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -3422,6 +3428,7 @@ object TrainingData {
     "d_lm_kn" -> (dLmKneserNey _),
     "d_bpe_train" -> (dBpeTrain _),
     "d_bpe_tokens" -> (dBpeTokens _),
+    "d_embed_pca" -> (dEmbedPca _),
     "d_dsir" -> (dDsir _),
     "d_semdedup" -> (dSemdedup _),
     "d_semdedup_auto" -> (dSemdedupAuto _),
@@ -3481,6 +3488,7 @@ object TrainingData {
     "d_lm_kn" -> dLmKneserNeySql,
     "d_bpe_train" -> graft.ext.Bpe.mergeTableSql(BpeRounds),
     "d_bpe_tokens" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
+    "d_embed_pca" -> graft.ext.Pca.topComponentSql(),
     "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
     "d_chunk_dedup" -> dChunkDedupSql,

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Power-iteration PCA: eigen-properties on the real corpus and a
+  * constructed corpus with a planted dominant direction. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted dominant direction is recovered; pc1 is unit; evr " +
+      "dominates the planted fraction") {
+    // 200 vectors in R^8: strong variance along e0+e1 (normalized),
+    // small deterministic noise elsewhere
+    val dim = 8
+    val rows = (0 until 200).map { k =>
+      val t = (k % 21).toDouble - 10.0      // strong axis, var ~ 36
+      val base = Array.fill(dim)(0.0)
+      base(0) = t * math.sqrt(0.5)
+      base(1) = t * math.sqrt(0.5)
+      for (j <- 2 until dim)
+        base(j) = ((k * (j + 3)) % 7 - 3).toDouble * 0.05   // tiny
+      (k.toLong, base.map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pca.topComponent(df, dim = dim, iters = 12)
+      .orderBy("dim").collect()
+    assert(out.length == dim)
+    val pc = out.map(_.getDouble(2))
+    val lambda = out.head.getDouble(3)
+    val evr = out.head.getDouble(4)
+    // unit norm (up to micro rounding)
+    val nrm = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-3, s"‖pc1‖ = $nrm")
+    // direction: |cos(pc1, u)| ≈ 1 for u = (√.5, √.5, 0, …)
+    val cos = (pc(0) + pc(1)) * math.sqrt(0.5)
+    assert(math.abs(math.abs(cos) - 1.0) < 1e-2, s"cos = $cos")
+    // the planted axis carries almost all variance
+    assert(evr > 0.95 && evr <= 1.0, s"evr = $evr")
+    assert(lambda > 0.0)
+  }
+
+  test("real corpus: Rayleigh residual is small (C·v ≈ λ·v) and evr " +
+      "is a valid share") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val out = Pca.topComponent(e).orderBy("dim").collect()
+    assert(out.length == 64)
+    val pc = out.map(_.getDouble(2))
+    val lambda = out.head.getDouble(3)
+    val evr = out.head.getDouble(4)
+    assert(evr > 0.0 && evr <= 1.0, s"evr = $evr")
+    // rebuild C in plain Scala (double precision) and check the
+    // eigen-residual of the returned vector
+    val X = e.filter(col("embedding").isNotNull)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = X.length
+    val m = Array.tabulate(64)(j => X.map(_(j)).sum / n)
+    val c = Array.tabulate(64, 64)((i, j) =>
+      X.map(x => (x(i) - m(i)) * (x(j) - m(j))).sum / n)
+    val cv = Array.tabulate(64)(i =>
+      (0 until 64).map(j => c(i)(j) * pc(j)).sum)
+    val resid = math.sqrt(
+      cv.zip(pc).map { case (a, b) => val d = a - lambda * b; d * d }
+        .sum)
+    assert(resid < 0.05 * math.abs(lambda) + 1e-4,
+      s"residual $resid vs lambda $lambda")
+  }
+}
