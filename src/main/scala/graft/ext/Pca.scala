@@ -111,6 +111,91 @@ object Pca {
       .orderBy("dim")
   }
 
+  /** All-but-the-Top embedding correction (Mu & Viswanath 2018):
+    * remove the mean and the projection onto the dominant component
+    * from every vector — the post-processing that makes cosine
+    * similarity usable on anisotropic embedding spaces. Per vector:
+    * the pc1 coefficient, the original norm, and the corrected norm
+    * (what survives after the common direction is gone; a vector
+    * that loses most of its norm carried little content signal).
+    *
+    * Scale shape: [[topComponent]]'s covariance pass plus ONE more
+    * corpus scan — the correction itself is a per-row expression
+    * against the broadcast (mean, pc1) pair; no shuffle beyond the
+    * final order. Portability: same exact-integer recipe — centered
+    * components quantize to BIGINT micros per element, the dot
+    * product is an exact 64-term integer sum, and each corrected
+    * component does one deterministic double step before snapping
+    * back to micros. */
+  def allButTop(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 12): DataFrame = {
+    val pc = topComponent(embeddings, dim, iters)
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("mean_v"), col("pc1")))), s => s("mean_v")).as("m_arr"),
+        transform(array_sort(collect_list(struct(col("dim"),
+          col("pc1")))), s => round(s("pc1") * Micro).cast("long"))
+          .as("p_arr"))
+    val emb = embeddings
+      .select(col("vec_id"), Similarity.toDouble(col("embedding"))
+        .as("emb"))
+      .filter(col("emb").isNotNull)
+    val withC = emb.crossJoin(broadcast(pc))
+      .select(col("vec_id"), col("p_arr"),
+        zip_with(col("emb"), col("m_arr"),
+          (x, m) => round((x - m) * Micro).cast("long")).as("c"))
+    val num = aggregate(zip_with(col("c"), col("p_arr"),
+      (ci, pi) => ci * pi), lit(0L), (acc, x) => acc + x)
+    val corr = zip_with(col("c"), col("p_arr"), (ci, pi) =>
+      round(ci.cast("double") -
+        col("num").cast("double") * pi.cast("double") / lit(1e12))
+        .cast("long"))
+    val sumSq = (a: Column) => aggregate(transform(a, x => x * x),
+      lit(0L), (acc, x) => acc + x)
+    withC.withColumn("num", num)
+      .withColumn("corr", corr)
+      .select(col("vec_id"),
+        round(col("num").cast("double") / lit(1e12), 6).as("pc1_coef"),
+        round(sqrt(sumSq(col("c")).cast("double")) / Micro, 6)
+          .as("orig_norm"),
+        round(sqrt(sumSq(col("corr")).cast("double")) / Micro, 6)
+          .as("corr_norm"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[allButTop]]. */
+  def allButTopSql(dim: Int = 64, iters: Int = 12): String = {
+    val top = topComponentSql(dim, iters)
+    s"""WITH pcx AS MATERIALIZED ($top),
+       |pc AS (SELECT list(mean_v ORDER BY dim) AS m_arr,
+       |    list(CAST(round(pc1 * $Micro) AS BIGINT) ORDER BY dim)
+       |      AS p_arr
+       |  FROM pcx),
+       |base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cc AS (SELECT vec_id, p_arr,
+       |    list_transform(range(1, $dim + 1), i -> CAST(
+       |      round((emb[i] - m_arr[i]) * $Micro) AS BIGINT)) AS c
+       |  FROM base, pc),
+       |dd AS (SELECT vec_id, c, p_arr,
+       |    list_sum(list_transform(range(1, $dim + 1),
+       |      i -> c[i] * p_arr[i])) AS num
+       |  FROM cc),
+       |ee AS (SELECT vec_id, num, c,
+       |    list_transform(range(1, $dim + 1), i -> CAST(round(
+       |      CAST(c[i] AS DOUBLE) -
+       |      CAST(num AS DOUBLE) * CAST(p_arr[i] AS DOUBLE) / 1e12)
+       |      AS BIGINT)) AS corr
+       |  FROM dd)
+       |SELECT vec_id,
+       |  round(CAST(num AS DOUBLE) / 1e12, 6) AS pc1_coef,
+       |  round(sqrt(CAST(list_sum(list_transform(c, x -> x * x))
+       |    AS DOUBLE)) / $Micro, 6) AS orig_norm,
+       |  round(sqrt(CAST(list_sum(list_transform(corr, x -> x * x))
+       |    AS DOUBLE)) / $Micro, 6) AS corr_norm
+       |FROM ee ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[topComponent]] — unrolled power iteration,
     * same exact-integer arithmetic (HUGEINT where Spark uses
     * DECIMAL(38,0); both are exact, both cast to the same double). */

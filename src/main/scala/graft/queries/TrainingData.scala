@@ -3214,6 +3214,11 @@ object TrainingData {
   def dEmbedPca(s: SparkSession, d: String): DataFrame =
     graft.ext.Pca.topComponent(embs(s, d))
 
+  /** All-but-the-Top correction: per-vector pc1 coefficient and
+    * norm before/after removing mean + dominant direction. */
+  def dEmbedAbtt(s: SparkSession, d: String): DataFrame =
+    graft.ext.Pca.allButTop(embs(s, d))
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -3429,6 +3434,7 @@ object TrainingData {
     "d_bpe_train" -> (dBpeTrain _),
     "d_bpe_tokens" -> (dBpeTokens _),
     "d_embed_pca" -> (dEmbedPca _),
+    "d_embed_abtt" -> (dEmbedAbtt _),
     "d_dsir" -> (dDsir _),
     "d_semdedup" -> (dSemdedup _),
     "d_semdedup_auto" -> (dSemdedupAuto _),
@@ -3489,6 +3495,7 @@ object TrainingData {
     "d_bpe_train" -> graft.ext.Bpe.mergeTableSql(BpeRounds),
     "d_bpe_tokens" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
     "d_embed_pca" -> graft.ext.Pca.topComponentSql(),
+    "d_embed_abtt" -> graft.ext.Pca.allButTopSql(),
     "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
     "d_chunk_dedup" -> dChunkDedupSql,

@@ -40,6 +40,23 @@ class PcaSpec extends SparkSpec {
     assert(lambda > 0.0)
   }
 
+  test("all-but-the-top: Pythagoras holds (orig² ≈ coef² + corr²) " +
+      "and the correction can only shrink the centered norm") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val out = Pca.allButTop(e).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val coef = r.getDouble(1)
+      val orig = r.getDouble(2)
+      val corr = r.getDouble(3)
+      assert(corr <= orig + 1e-4, s"vec ${r.getLong(0)}: $corr > $orig")
+      val lhs = orig * orig
+      val rhs = coef * coef + corr * corr
+      assert(math.abs(lhs - rhs) < 1e-2 * math.max(lhs, 1.0),
+        s"vec ${r.getLong(0)}: orig²=$lhs vs coef²+corr²=$rhs")
+    }
+  }
+
   test("real corpus: Rayleigh residual is small (C·v ≈ λ·v) and evr " +
       "is a valid share") {
     val e = graft.Tables.embeddings(spark, sf0001)
