@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) multi-dimensional layout and its data-skipping
+  * payoff — the OTHER physical-layout lever next to bucketing
+  * (`q_bucketed_join`): bucketing co-locates JOIN keys; z-ordering
+  * co-locates RANGE boxes over several columns at once, so file-level
+  * min/max statistics prune multi-predicate scans (the Delta/Iceberg
+  * `OPTIMIZE ZORDER BY` idea, rooted in Morton 1966 and the UB-tree
+  * line of work).
+  *
+  * The z-value is the bit-interleave of the two key columns —
+  * expressed as a SUM of disjoint shifted bits (pure built-in
+  * shift/mask arithmetic, whole-stage-codegen'd, engine-portable; no
+  * UDF). At production scale the layout step is
+  * `df.repartitionByRange(col("z"))` + write (sampled boundaries,
+  * fully distributed, no global sort on one node); for the catalog
+  * entry the bucket id is the FIXED-WIDTH value range `z >> shift` —
+  * deterministic for the DuckDB oracle and identical in skipping
+  * behavior (only balance differs, which the report measures rather
+  * than assumes).
+  *
+  * The report: for each layout (z-order, custkey-sorted,
+  * date-sorted) × each query box (customer-selective,
+  * date-selective, both-selective), how many buckets exist, how many
+  * a min/max-pruned scan must touch, and — the real cost — how many
+  * ROWS live in the touched buckets vs how many actually match.
+  * One aggregate pass per layout (bucket stats + per-box touch
+  * flags), everything partial-combined; nothing corpus-sized
+  * shuffles except the three bucket aggregations. */
+object ZOrder {
+
+  /** Bit-interleave: x in even positions, y in odd. Disjoint bits →
+    * `+` is bitwise-or, and a plain sum keeps the expression portable
+    * and codegen-friendly. */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** SQL mirror of [[zValue]]. */
+  def zValueSql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+
+  /** The three query boxes: (name, custkey lo/hi, day lo/hi) —
+    * half-open ranges; Long.MaxValue-free explicit bounds keep the
+    * SQL mirror simple. */
+  val Boxes: Seq[(String, Long, Long, Long, Long)] = Seq(
+    ("cust_selective", 640L, 1280L, 0L, 1L << 20),
+    ("date_selective", 0L, 1L << 20, 320L, 640L),
+    ("both_selective", 640L, 2560L, 320L, 960L))
+
+  // bucket widths are powers of two so both engines bucket with a
+  // plain shift (no float division anywhere)
+  private val ZShift = 16
+  private val CustShift = 6   // width 64
+  private val DayShift = 4    // width 16
+
+  /** 9-row skipping report over orders(o_custkey, o_orderdate). */
+  def skippingReport(orders: DataFrame): DataFrame = {
+    val keyed = orders.select(
+      col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+        .cast("long").as("dy"))
+    val layouts: Seq[(String, Column)] = Seq(
+      ("zorder", shiftright(zValue(col("ck"), col("dy")), ZShift)),
+      ("cust_sort", shiftright(col("ck"), CustShift)),
+      ("date_sort", shiftright(col("dy"), DayShift)))
+    layouts.map { case (name, bucket) =>
+      val matchCols = Boxes.map { case (bn, cl, ch, dl, dh) =>
+        (col("ck") >= cl && col("ck") < ch &&
+          col("dy") >= dl && col("dy") < dh).cast("long").as(s"m_$bn")
+      }
+      val perBucket = keyed
+        .select(bucket.cast("long").as("bkt") +: matchCols: _*)
+        .groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n"),
+          Boxes.map { case (bn, _, _, _, _) =>
+            max(col(s"m_$bn")).as(s"t_$bn") }: _*)
+      // one tiny frame per box, unioned: layout, box, bucket totals,
+      // touched buckets, rows a pruned scan reads, rows matching
+      Boxes.map { case (bn, cl, ch, dl, dh) =>
+        val matched = keyed.filter(
+          col("ck") >= cl && col("ck") < ch &&
+            col("dy") >= dl && col("dy") < dh)
+          .agg(count(lit(1)).as("rows_matching"))
+        perBucket.agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col(s"t_$bn")).as("n_touched"),
+          sum(when(col(s"t_$bn") === 1, col("n")).otherwise(0L))
+            .as("rows_scanned"))
+          .crossJoin(matched)
+          .select(lit(name).as("layout"), lit(bn).as("box"),
+            col("n_buckets"), col("n_touched"), col("rows_scanned"),
+            col("rows_matching"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+      .orderBy("layout", "box")
+  }
+
+  /** DuckDB oracle for [[skippingReport]]. */
+  def skippingReportSql: String = {
+    val z = zValueSql("ck", "dy")
+    val layouts = Seq(
+      "zorder" -> s"(($z) >> $ZShift)",
+      "cust_sort" -> s"(ck >> $CustShift)",
+      "date_sort" -> s"(dy >> $DayShift)")
+    val legs = layouts.flatMap { case (name, bucket) =>
+      Boxes.map { case (bn, cl, ch, dl, dh) =>
+        val m = s"(ck >= $cl AND ck < $ch AND dy >= $dl AND dy < $dh)"
+        s"""SELECT '$name' AS layout, '$bn' AS box,
+           |  count(*) AS n_buckets,
+           |  CAST(sum(t) AS BIGINT) AS n_touched,
+           |  CAST(sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS BIGINT)
+           |    AS rows_scanned,
+           |  (SELECT count(*) FROM keyed WHERE $m) AS rows_matching
+           |FROM (SELECT $bucket AS bkt, count(*) AS n,
+           |    max(CASE WHEN $m THEN 1 ELSE 0 END) AS t
+           |  FROM keyed GROUP BY 1)""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH keyed AS MATERIALIZED (SELECT
+       |    CAST(o_custkey AS BIGINT) AS ck,
+       |    CAST(datediff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dy
+       |  FROM orders)
+       |SELECT * FROM (
+       |$legs)
+       |ORDER BY layout, box""".stripMargin
+  }
+}

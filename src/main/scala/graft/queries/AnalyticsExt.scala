@@ -736,7 +736,13 @@ object AnalyticsExt {
        |ORDER BY c_mktsegment""".stripMargin
   }
 
+  /** Z-order layout skipping report over orders — see
+    * [[graft.ext.ZOrder]]. */
+  def qZorderSkipping(s: SparkSession, d: String): DataFrame =
+    graft.ext.ZOrder.skippingReport(Tables.orders(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q_zorder_skipping" -> (qZorderSkipping _),
     "q_json_extract" -> (qJsonExtract _),
     "q_bloom_join" -> (qBloomJoin _),
     // Both percentile catalog entries are the scale-safe histogram
@@ -764,6 +770,7 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_skipping" -> graft.ext.ZOrder.skippingReportSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_hll_portable" -> qHllPortableSql,
