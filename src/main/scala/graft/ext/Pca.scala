@@ -55,7 +55,12 @@ object Pca {
         col("m")))), s => s("m")).as("m_arr"))
     // covariance in micro-units: the per-cell mean is a FIRST-level
     // decimal sum over raw double products (the portable sumDec
-    // machinery), then snaps to an exact BIGINT
+    // machinery), then snaps to an exact BIGINT. Deliberately the
+    // FULL dim² cell matrix, not the symmetric triangle: an A/B at
+    // sf0.1 measured the triangle variant (inner sequence(i, dim))
+    // ~15% SLOWER — the constant-bound sequence constant-folds once
+    // while a variable lower bound re-allocates per outer element,
+    // costing more than the halved multiply count saves
     val cells = emb.crossJoin(broadcast(meanArr))
       .select(zip_with(col("emb"), col("m_arr"),
         (x, m) => x - m).as("c"))
