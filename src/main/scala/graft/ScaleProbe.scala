@@ -145,6 +145,8 @@ object ScaleProbe {
         probeMedia(spark, scale, reps); spark.stop(); return
       case Some("jdbc") =>
         probeJdbc(spark, scale); spark.stop(); return
+      case Some("tpch") =>
+        probeTpch(spark, scale, reps); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -268,6 +270,68 @@ object ScaleProbe {
       println(f"[probe] $q%-16s min ${times.min}%7.2fs  " +
         f"(runs ${times.map(t => f"$t%.2f").mkString("/")})  " +
         f"heapAfterGc ${usedMb}MB")
+    }
+  }
+
+  /** TPC-H fact-replication probe (`ScaleProbe <reps> <scale> tpch`):
+    * the analytics family on a star schema whose FACTS grow
+    * scale/10 × past sf0.1 while the part/supplier dims stay fixed —
+    * the realistic shape (dims grow far slower than facts; the
+    * broadcast claims must survive exactly this asymmetry).
+    * lineitem/orders/customer replicate under shifted key strides
+    * derived from the source's own max keys (same collision rule as
+    * [[buildCorpus]]); dates are kept, so per-replica structure is
+    * identical and the scaling question is purely volumetric. */
+  def probeTpch(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val rep = math.max(scale, 1)
+    val dir = s"/tmp/tpch${rep}x"
+    val src = "/root/testdata/sf0.1"
+    if (!new java.io.File(s"$dir/_built").exists()) {
+      println(s"[probe] building ${rep}x tpch star at $dir")
+      val t0 = System.nanoTime()
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val custOff = cust.agg(max("c_custkey")).head().getLong(0) + 1
+      val ordOff = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+      (0 until rep).map(i => cust.select(
+          (col("c_custkey") + lit(i * custOff)).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment")))
+        .reduce(_ unionByName _).coalesce(4)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      (0 until rep).map(i => ord.select(
+          (col("o_orderkey") + lit(i * ordOff)).as("o_orderkey"),
+          (col("o_custkey") + lit(i * custOff)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority")))
+        .reduce(_ unionByName _).repartition(math.min(32 * rep, 128))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      (0 until rep).map(i => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i * ordOff)))
+        .reduce(_ unionByName _).repartition(math.min(64 * rep, 256))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      for (t <- Seq("part", "supplier", "nation", "region"))
+        spark.read.parquet(s"$src/$t.parquet").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      new java.io.File(s"$dir/_built").createNewFile()
+      println(f"[probe] star built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } else println(s"[probe] reusing ${rep}x tpch star at $dir")
+    val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier", "q8_market_share", "q10_returned_items",
+        "q14_promo_effect", "q17_small_qty", "q18_large_orders",
+        "q19_disjunctive", "q_zorder_skipping"))
+    for (q <- queries) {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $q%-20s min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
     }
   }
 
