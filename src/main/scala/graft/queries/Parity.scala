@@ -468,6 +468,69 @@ object Parity {
       .orderBy("uid", "valid_from", "is_current")
   }
 
+  /** SCD2 POINT-IN-TIME lookup (the query-side complement of
+    * [[pScd2Merge]]'s history-keeping write): each order resolves
+    * the dimension version that was valid AT its order date —
+    * `valid_from <= o_orderdate < coalesce(valid_to, +inf)`. The
+    * dimension is a deterministic 3-version-per-key SCD2 table built
+    * from customer (validity breaks at 1996-07-01 / 1998-01-01,
+    * spanning the order-date range). Scale shape: an EQUI-join on
+    * the surrogate key with the interval containment as a residual
+    * filter — versions per key are few and bounded, so this is a
+    * plain broadcast/shuffled hash join, never a range-only
+    * nested-loop; the dimension broadcasts while dims stay
+    * dim-sized. Exactly one version matches per order by
+    * construction (proved in PipelinesSpec). */
+  def pScd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Dim(s, d)
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("uid"),
+        col("o_orderdate"))
+    ord.join(broadcast(dim), Seq("uid"))
+      .filter(col("valid_from") <= col("o_orderdate") &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("uid"), col("o_orderdate"),
+        col("bal"), col("version_no"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic 3-version SCD2 dimension over customer, validity
+    * spanning the order-date range. */
+  private[queries] def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("uid"), col("c_acctbal").as("bal0"))
+    val v1 = c.select(col("uid"), col("bal0").as("bal"),
+      lit("1990-01-01").cast("timestamp").as("valid_from"),
+      lit("1996-07-01").cast("timestamp").as("valid_to"),
+      lit(1L).as("version_no"))
+    val v2 = c.select(col("uid"), (col("bal0") + 100.0).as("bal"),
+      lit("1996-07-01").cast("timestamp").as("valid_from"),
+      lit("1998-01-01").cast("timestamp").as("valid_to"),
+      lit(2L).as("version_no"))
+    val v3 = c.select(col("uid"), (col("bal0") + 250.0).as("bal"),
+      lit("1998-01-01").cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(3L).as("version_no"))
+    v1.unionByName(v2).unionByName(v3)
+  }
+
+  private val pScd2LookupSql =
+    """WITH c AS (SELECT c_custkey AS uid, c_acctbal AS bal0
+      |  FROM customer),
+      |dim AS (
+      |  SELECT uid, bal0 AS bal, TIMESTAMP '1990-01-01' AS valid_from,
+      |    TIMESTAMP '1996-07-01' AS valid_to, CAST(1 AS BIGINT)
+      |    AS version_no FROM c
+      |  UNION ALL SELECT uid, bal0 + 100.0, TIMESTAMP '1996-07-01',
+      |    TIMESTAMP '1998-01-01', 2 FROM c
+      |  UNION ALL SELECT uid, bal0 + 250.0, TIMESTAMP '1998-01-01',
+      |    NULL, 3 FROM c)
+      |SELECT o_orderkey, o_custkey AS uid, o_orderdate, bal, version_no
+      |FROM orders JOIN dim ON o_custkey = dim.uid
+      |WHERE valid_from <= o_orderdate
+      |  AND (valid_to IS NULL OR o_orderdate < valid_to)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val pScd2MergeSql =
     """WITH c AS (SELECT c_custkey AS uid, c_acctbal AS bal FROM customer),
       |open AS (SELECT uid, bal, TIMESTAMP '2020-01-01' AS valid_from,
@@ -983,6 +1046,7 @@ object Parity {
     "p_staffing_pipeline" -> (pStaffingPipeline _),
     "p_projects_pipeline" -> (pProjectsPipeline _),
     "p_scd2_merge" -> (pScd2Merge _),
+    "p_scd2_lookup" -> (pScd2Lookup _),
     "p_validation_split" -> (pValidationSplit _),
     "p_parse_boolean" -> (pParseBoolean _),
     "p_blank_to_null" -> (pBlankToNull _),
@@ -1002,6 +1066,7 @@ object Parity {
     "p_staffing_pipeline" -> pStaffingPipelineSql,
     "p_projects_pipeline" -> pProjectsPipelineSql,
     "p_scd2_merge" -> pScd2MergeSql,
+    "p_scd2_lookup" -> pScd2LookupSql,
     "p_validation_split" -> pValidationSplitSql,
     "p_parse_boolean" -> pParseBooleanSql,
     "p_blank_to_null" -> pBlankToNullSql,

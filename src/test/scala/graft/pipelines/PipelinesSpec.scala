@@ -112,4 +112,33 @@ class PipelinesSpec extends SparkSpec {
       ("Deferred", None)))
     assert(r.affected.as[Long].collect().head == 3L)
   }
+
+  test("SCD2 point-in-time lookup: every order resolves EXACTLY one " +
+      "version; boundaries are half-open; the resolved balance is " +
+      "the version formula for the order's date bucket") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Parity.pScd2Lookup(spark, sf0001).cache()
+    val orders = graft.Tables.orders(spark, sf0001)
+    // exactly one version per order: row count equals orders, and
+    // o_orderkey is unique in the output
+    assert(out.count() == orders.count())
+    assert(out.groupBy("o_orderkey").count()
+      .filter(col("count") > 1).isEmpty)
+    // half-open boundary: an order dated exactly at a break belongs
+    // to the LATER version (valid_from inclusive, valid_to exclusive)
+    val v2start = lit("1996-07-01").cast("timestamp")
+    val atBreak = out.filter(col("o_orderdate") === v2start)
+    assert(atBreak.filter(col("version_no") =!= 2L).isEmpty)
+    // balance formula per date bucket (+0 / +100 / +250 vs c_acctbal)
+    val bal0 = graft.Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("uid"), col("c_acctbal").as("bal0"))
+    val joined = out.join(bal0, Seq("uid"))
+    assert(joined.filter(col("version_no") === 1L &&
+      col("bal") =!= col("bal0")).isEmpty)
+    assert(joined.filter(col("version_no") === 2L &&
+      col("bal") =!= col("bal0") + 100.0).isEmpty)
+    assert(joined.filter(col("version_no") === 3L &&
+      col("bal") =!= col("bal0") + 250.0).isEmpty)
+    out.unpersist()
+  }
 }
