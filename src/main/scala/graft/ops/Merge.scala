@@ -64,6 +64,50 @@ object Merge {
     joined.select(outCols :+ action.as(ActionCol): _*)
   }
 
+  /** CDC apply: advance a snapshot by a change feed of
+    * (op ∈ {I, U, D}, key, payload) rows — the lakehouse pattern for
+    * consuming a database change stream (Debezium-style) into an
+    * analytical table. Where [[merge]] diffs two full states, this
+    * applies an EVENT LOG: per key only the latest change (by
+    * `seqCol`, ties broken by the op's own ordering D < I < U so a
+    * same-sequence delete loses to a concurrent upsert
+    * deterministically) is applied — insert/update upserts the
+    * payload, delete removes the key.
+    *
+    * Scale shape: the feed reduces FIRST (per-key max-struct partial
+    * aggregate — latest change per key, no window over the feed), so
+    * the join against the snapshot is one hash join keyed on the
+    * business key with the reduced feed, which is bounded by the
+    * number of DISTINCT keys touched, not the feed length. */
+  def cdcApply(snapshot: DataFrame, feed: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String = "op"): DataFrame = {
+    val payload = feed.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == seqCol || c == opCol)
+    // latest change per key: one partial-combined max-struct aggregate
+    val latest = feed
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        (col(seqCol) +: col(opCol) +: payload.map(col)): _*))
+        .as("_last"))
+      .select(keys.map(col) ++
+        Seq(col(s"_last.$opCol").as(opCol)) ++
+        payload.map(c => col(s"_last.$c").as(c)): _*)
+    val sn = snapshot.alias("sn")
+    val ch = latest.alias("ch")
+    val cond = keys.map(k => col(s"sn.$k") === col(s"ch.$k"))
+      .reduce(_ && _)
+    val chExists = col(s"ch.${keys.head}").isNotNull
+    val joined = sn.join(ch, cond, "full_outer")
+    joined
+      // a surviving row is: untouched snapshot, or a non-delete change
+      .filter(!chExists || col(s"ch.$opCol") =!= "D")
+      .select(keys.map(k =>
+        coalesce(col(s"ch.$k"), col(s"sn.$k")).as(k)) ++
+        payload.map(c =>
+          when(chExists, col(s"ch.$c")).otherwise(col(s"sn.$c"))
+            .as(c)): _*)
+  }
+
   /** SCD-Type-2 (history-keeping) merge: where [[merge]] overwrites,
     * this versions. `current` rows carry
     * (valid_from, valid_to, is_current); a changed staged row closes

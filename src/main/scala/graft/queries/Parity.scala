@@ -531,6 +531,68 @@ object Parity {
       |  AND (valid_to IS NULL OR o_orderdate < valid_to)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** CDC apply (the change-feed complement of the state-diff
+    * [[pUsersMerge]]): a deterministic I/U/D event log derived from
+    * customer advances a snapshot — latest change per key wins (by
+    * sequence, then the documented D<I<U op order), deletes remove.
+    * Feed construction covers every interaction: plain update
+    * (uid%5), plain delete (uid%7), delete-then-late-update and
+    * update-then-late-delete (uid%35 splits by uid%2), stacked
+    * updates where only the latest applies (uid%10), and inserts of
+    * brand-new keys (uid%50 → uid+200000). */
+  def pCdcApply(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("uid"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val snapshot = c
+    val u5 = c.filter(col("uid") % 5 === 0)
+      .select(col("uid"), lit("U").as("op"), lit(2L).as("seq"),
+        (col("bal") + 10.0).as("bal"), col("seg"))
+    val d7 = c.filter(col("uid") % 7 === 0)
+      .select(col("uid"), lit("D").as("op"), lit(3L).as("seq"),
+        lit(null).cast("double").as("bal"),
+        lit(null).cast("string").as("seg"))
+    val lateU = c.filter(col("uid") % 35 === 0 && col("uid") % 2 === 0)
+      .select(col("uid"), lit("U").as("op"), lit(9L).as("seq"),
+        (col("bal") + 77.0).as("bal"), col("seg"))
+    val u10 = c.filter(col("uid") % 10 === 0)
+      .select(col("uid"), lit("U").as("op"), lit(4L).as("seq"),
+        (col("bal") + 20.0).as("bal"), col("seg"))
+    val ins = c.filter(col("uid") % 50 === 0)
+      .select((col("uid") + 200000L).as("uid"), lit("I").as("op"),
+        lit(1L).as("seq"), (col("bal") + 1000.0).as("bal"),
+        lit("NEW").as("seg"))
+    val feed = u5.unionByName(d7).unionByName(lateU)
+      .unionByName(u10).unionByName(ins)
+    Merge.cdcApply(snapshot, feed, Seq("uid"), "seq")
+      .orderBy("uid")
+  }
+
+  private val pCdcApplySql =
+    """WITH c AS (SELECT c_custkey AS uid, c_acctbal AS bal,
+      |    c_mktsegment AS seg FROM customer),
+      |feed AS (
+      |  SELECT uid, 'U' AS op, 2 AS seq, bal + 10.0 AS bal, seg
+      |    FROM c WHERE uid % 5 = 0
+      |  UNION ALL SELECT uid, 'D', 3, NULL, NULL FROM c
+      |    WHERE uid % 7 = 0
+      |  UNION ALL SELECT uid, 'U', 9, bal + 77.0, seg FROM c
+      |    WHERE uid % 35 = 0 AND uid % 2 = 0
+      |  UNION ALL SELECT uid, 'U', 4, bal + 20.0, seg FROM c
+      |    WHERE uid % 10 = 0
+      |  UNION ALL SELECT uid + 200000, 'I', 1, bal + 1000.0, 'NEW'
+      |    FROM c WHERE uid % 50 = 0),
+      |latest AS (SELECT uid, op, bal, seg FROM (
+      |  SELECT uid, op, bal, seg, row_number() OVER (
+      |      PARTITION BY uid ORDER BY seq DESC, op DESC) AS rn
+      |  FROM feed) WHERE rn = 1)
+      |SELECT coalesce(l.uid, s.uid) AS uid,
+      |  CASE WHEN l.uid IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
+      |  CASE WHEN l.uid IS NOT NULL THEN l.seg ELSE s.seg END AS seg
+      |FROM c s FULL OUTER JOIN latest l ON s.uid = l.uid
+      |WHERE l.uid IS NULL OR l.op <> 'D'
+      |ORDER BY uid""".stripMargin
+
   private val pScd2MergeSql =
     """WITH c AS (SELECT c_custkey AS uid, c_acctbal AS bal FROM customer),
       |open AS (SELECT uid, bal, TIMESTAMP '2020-01-01' AS valid_from,
@@ -1047,6 +1109,7 @@ object Parity {
     "p_projects_pipeline" -> (pProjectsPipeline _),
     "p_scd2_merge" -> (pScd2Merge _),
     "p_scd2_lookup" -> (pScd2Lookup _),
+    "p_cdc_apply" -> (pCdcApply _),
     "p_validation_split" -> (pValidationSplit _),
     "p_parse_boolean" -> (pParseBoolean _),
     "p_blank_to_null" -> (pBlankToNull _),
@@ -1067,6 +1130,7 @@ object Parity {
     "p_projects_pipeline" -> pProjectsPipelineSql,
     "p_scd2_merge" -> pScd2MergeSql,
     "p_scd2_lookup" -> pScd2LookupSql,
+    "p_cdc_apply" -> pCdcApplySql,
     "p_validation_split" -> pValidationSplitSql,
     "p_parse_boolean" -> pParseBooleanSql,
     "p_blank_to_null" -> pBlankToNullSql,

@@ -113,6 +113,33 @@ class PipelinesSpec extends SparkSpec {
     assert(r.affected.as[Long].collect().head == 3L)
   }
 
+  test("CDC apply: latest change per key wins, deletes remove, a " +
+      "same-sequence delete loses to the concurrent upsert (D<I<U), " +
+      "untouched snapshot rows pass through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Merge
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val feed = Seq(
+      (1L, "U", 1L, "a1", 11.0),   // stacked updates: only seq 2
+      (1L, "U", 2L, "a2", 12.0),   // applies
+      (2L, "D", 5L, null, 0.0),    // delete k=2
+      (3L, "D", 7L, null, 0.0),    // delete THEN same-seq upsert:
+      (3L, "U", 7L, "c9", 99.0),   // U > D at equal seq → survives
+      (9L, "I", 1L, "new", 90.0))  // insert brand-new key
+      .toDF("k", "op", "seq", "name", "v")
+    val out = Merge.cdcApply(snap, feed, Seq("k"), "seq")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a2", 12.0),   // latest update
+      (3L, "c9", 99.0),   // tie: upsert beat delete
+      (4L, "d", 40.0),    // untouched
+      (9L, "new", 90.0)), // inserted; k=2 deleted
+      out.toSeq.toString)
+  }
+
   test("SCD2 point-in-time lookup: every order resolves EXACTLY one " +
       "version; boundaries are half-open; the resolved balance is " +
       "the version formula for the order's date bucket") {
