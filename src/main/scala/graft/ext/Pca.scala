@@ -75,44 +75,50 @@ object Pca {
       .agg(round(avgDec(col("cell.p")) * Micro)
         .cast("long").as("ci"))
       .localCheckpoint()
-    // power iteration, all-integer: w = C·v exact; one double step
-    // (w·1e6/‖w‖) per round, rounded back to integer micros
-    val dec38 = DecimalType(38, 0)
-    var v = cov.select(col("i").as("vi")).distinct()
-      .select(col("vi"), lit(Micro / 8).as("vv"))
-      .localCheckpoint()
+    // LOCAL eigensolve on the collected dim² matrix — the MLlib
+    // pattern (RowMatrix.computePrincipalComponents: distributed
+    // Gramian, local eig). The matrix is scalar-sized; a first
+    // implementation iterated it as 64-row DataFrames and paid a
+    // job + localCheckpoint per round (~2s of pure scheduling at
+    // sf0.1). Arithmetic replicates the engine semantics EXACTLY —
+    // integer mat-vec in Long, BigInt squared norms (→ double by
+    // round-to-nearest, same as the DECIMAL/HUGEINT casts), and
+    // java BigDecimal HALF_UP for the one rounding step per
+    // iterate, which is what Spark's round() does on doubles — so
+    // the unchanged unrolled-CTE DuckDB oracle stays hash-green.
+    def halfUpLong(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val C = Array.ofDim[Long](dim, dim)
+    cov.collect().foreach(r =>
+      C(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.fill(dim)(Micro / 8)
     for (_ <- 1 to iters) {
-      val w = cov.join(v, cov("j") === v("vi"))
-        .groupBy(col("i")).agg(sum(col("ci") * col("vv")).as("wv"))
-      val norm = w.agg(sqrt(sum(col("wv").cast(dec38) *
-        col("wv").cast(dec38)).cast("double")).as("nrm"))
-      v = w.crossJoin(broadcast(norm))
-        .select(col("i").as("vi"),
-          round(col("wv").cast("double") * Micro / col("nrm"))
-            .cast("long").as("vv"))
-        .localCheckpoint()
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => C(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(
+        w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      v = w.map(wi => halfUpLong(wi.toDouble * Micro / nrm))
     }
-    // Rayleigh quotient λ = vᵀCv / vᵀv and evr = λ / trace(C),
-    // numerators/denominators exact integers before ONE double div
-    val vi = v.select(col("vi").as("ri"), col("vv").as("rvi"))
-    val vj = v.select(col("vi").as("rj"), col("vv").as("rvj"))
-    val lam = cov
-      .join(broadcast(vi), col("i") === col("ri"))
-      .join(broadcast(vj), col("j") === col("rj"))
-      .agg(sum((col("ci") * col("rvi")).cast(dec38) * col("rvj"))
-        .cast("double").as("num"))
-      .crossJoin(broadcast(v.agg(
-        sum(col("vv").cast(dec38) * col("vv").cast(dec38))
-          .cast("double").as("den"))))
-      .select(round(col("num") / col("den") / Micro, 6).as("lambda1"))
-    val tr = cov.filter(col("i") === col("j"))
-      .agg((sum(col("ci")).cast("double") / Micro).as("trace"))
+    // Rayleigh quotient λ = vᵀCv / vᵀv and evr = λ / trace(C) —
+    // numerators/denominators exact (the inner C·vᵢ product stays in
+    // Long exactly as the engine formulation computed it)
+    val num = (for (i <- 0 until dim; j <- 0 until dim)
+      yield BigInt(C(i)(j) * v(i)) * v(j)).sum
+    val den = v.map(x => BigInt(x) * BigInt(x)).sum
+    val lambda1 = round6(num.toDouble / den.toDouble / Micro)
+    val traceD = (0 until dim).map(i => C(i)(i)).sum.toDouble / Micro
+    val evr = round6(lambda1 / traceD)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pcDf = v.toSeq.zipWithIndex
+      .map { case (vv, i) => (i.toLong, vv.toDouble / Micro) }
+      .toDF("pdim", "pc1")
     means
-      .join(v, col("dim") === col("vi"))
-      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .join(pcDf, col("dim").cast("long") === col("pdim"))
       .select(col("dim").cast("long").as("dim"), col("m").as("mean_v"),
-        (col("vv").cast("double") / Micro).as("pc1"), col("lambda1"),
-        round(col("lambda1") / col("trace"), 6).as("evr"))
+        col("pc1"), lit(lambda1).as("lambda1"), lit(evr).as("evr"))
       .orderBy("dim")
   }
 
