@@ -35,11 +35,44 @@ object Pca {
 
   private val Micro = 1000000L
 
-  /** (dim, mean_v, pc1, lambda1, evr) — one row per dimension; the
-    * Rayleigh-quotient eigenvalue and explained-variance ratio
-    * repeat on every row so the result is one flat hashable table. */
-  def topComponent(embeddings: DataFrame, dim: Int = 64,
-      iters: Int = 12): DataFrame = {
+  private def halfUpLong(x: Double): Long = java.math.BigDecimal
+    .valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private def round6(x: Double): Double = java.math.BigDecimal
+    .valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Local power iteration on an integer-micro covariance matrix:
+    * exact Long mat-vec, BigInt squared norm, one HALF_UP double
+    * step per round. Returns the unit iterate (integer micros) and
+    * its rounded Rayleigh eigenvalue. */
+  private def localTopEig(c: Array[Array[Long]], dim: Int,
+      iters: Int): (Array[Long], Double) = {
+    var v = Array.fill(dim)(Micro / 8)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(
+        w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      v = w.map(wi => halfUpLong(wi.toDouble * Micro / nrm))
+    }
+    val num = (for (i <- 0 until dim; j <- 0 until dim)
+      yield BigInt(c(i)(j) * v(i)) * v(j)).sum
+    val den = v.map(x => BigInt(x) * BigInt(x)).sum
+    (v, round6(num.toDouble / den.toDouble / Micro))
+  }
+
+  /** Hotelling deflation in integer micros: C′ = C − λ·v·vᵀ, each
+    * cell snapped with the same HALF_UP step both engines share. */
+  private def deflate(c: Array[Array[Long]], v: Array[Long],
+      lambda: Double, dim: Int): Array[Array[Long]] =
+    Array.tabulate(dim, dim)((i, j) =>
+      c(i)(j) - halfUpLong(lambda * v(i) * v(j) / Micro))
+
+  /** The one corpus-sized pass: per-dimension means (a distributed
+    * frame) and the dim² covariance in integer micros (collected —
+    * it is scalar-sized). */
+  private def covMeans(embeddings: DataFrame, dim: Int)
+      : (DataFrame, Array[Array[Long]]) = {
     val emb = embeddings
       .select(Similarity.toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
@@ -86,29 +119,20 @@ object Pca {
     // java BigDecimal HALF_UP for the one rounding step per
     // iterate, which is what Spark's round() does on doubles — so
     // the unchanged unrolled-CTE DuckDB oracle stays hash-green.
-    def halfUpLong(x: Double): Long = java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     val C = Array.ofDim[Long](dim, dim)
     cov.collect().foreach(r =>
       C(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    var v = Array.fill(dim)(Micro / 8)
-    for (_ <- 1 to iters) {
-      val w = Array.tabulate(dim)(i =>
-        (0 until dim).map(j => C(i)(j) * v(j)).sum)
-      val nrm = math.sqrt(
-        w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
-      v = w.map(wi => halfUpLong(wi.toDouble * Micro / nrm))
-    }
-    // Rayleigh quotient λ = vᵀCv / vᵀv and evr = λ / trace(C) —
-    // numerators/denominators exact (the inner C·vᵢ product stays in
-    // Long exactly as the engine formulation computed it)
-    val num = (for (i <- 0 until dim; j <- 0 until dim)
-      yield BigInt(C(i)(j) * v(i)) * v(j)).sum
-    val den = v.map(x => BigInt(x) * BigInt(x)).sum
-    val lambda1 = round6(num.toDouble / den.toDouble / Micro)
-    val traceD = (0 until dim).map(i => C(i)(i)).sum.toDouble / Micro
+    (means, C)
+  }
+
+  /** (dim, mean_v, pc1, lambda1, evr) — one row per dimension; the
+    * Rayleigh-quotient eigenvalue and explained-variance ratio
+    * repeat on every row so the result is one flat hashable table. */
+  def topComponent(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 12): DataFrame = {
+    val (means, c) = covMeans(embeddings, dim)
+    val (v, lambda1) = localTopEig(c, dim, iters)
+    val traceD = (0 until dim).map(i => c(i)(i)).sum.toDouble / Micro
     val evr = round6(lambda1 / traceD)
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -120,6 +144,36 @@ object Pca {
       .select(col("dim").cast("long").as("dim"), col("m").as("mean_v"),
         col("pc1"), lit(lambda1).as("lambda1"), lit(evr).as("evr"))
       .orderBy("dim")
+  }
+
+  /** Top TWO principal components by Hotelling deflation: after the
+    * first eigenpair, C′ = C − λ₁·v₁·v₁ᵀ (snapped back to integer
+    * micros with the shared HALF_UP step) and the same local
+    * iteration yields the second. One row per (comp, dim) with the
+    * per-component eigenvalue, evr, and the CUMULATIVE subspace evr
+    * — the anisotropy diagnostic proper measures the top-k subspace,
+    * not one direction. Same scale shape as [[topComponent]]: the
+    * corpus pays one covariance pass; both eigensolves are local. */
+  def topComponents2(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 12): DataFrame = {
+    val (_, c) = covMeans(embeddings, dim)
+    val traceD = (0 until dim).map(i => c(i)(i)).sum.toDouble / Micro
+    val (v1, l1) = localTopEig(c, dim, iters)
+    val c2 = deflate(c, v1, l1, dim)
+    val (v2, l2) = localTopEig(c2, dim, iters)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows =
+      v1.toSeq.zipWithIndex.map { case (vv, i) =>
+        (1L, i.toLong, vv.toDouble / Micro, l1, round6(l1 / traceD),
+          round6(l1 / traceD))
+      } ++
+      v2.toSeq.zipWithIndex.map { case (vv, i) =>
+        (2L, i.toLong, vv.toDouble / Micro, l2, round6(l2 / traceD),
+          round6((l1 + l2) / traceD))
+      }
+    rows.toDF("comp", "dim", "pc", "lambda", "evr", "cum_evr")
+      .orderBy("comp", "dim")
   }
 
   /** All-but-the-Top embedding correction (Mu & Viswanath 2018):
@@ -207,9 +261,33 @@ object Pca {
        |FROM ee ORDER BY vec_id""".stripMargin
   }
 
+  /** One unrolled power-iteration CTE chain over covariance CTE
+    * `covName`, iterate CTEs named `$p0..$p$iters`. */
+  private def iterChainSql(covName: String, p: String,
+      iters: Int): String = (1 to iters).map { r =>
+    s"""${p}w$r AS MATERIALIZED (SELECT i, sum(ci * vv) AS wv
+       |  FROM $covName JOIN $p${r - 1} ON j = vi GROUP BY i),
+       |${p}n$r AS (SELECT sqrt(CAST(sum(CAST(wv AS HUGEINT) *
+       |    CAST(wv AS HUGEINT)) AS DOUBLE)) AS nrm FROM ${p}w$r),
+       |$p$r AS MATERIALIZED (SELECT i AS vi, CAST(round(
+       |    CAST(wv AS DOUBLE) * $Micro / (SELECT nrm FROM ${p}n$r))
+       |    AS BIGINT) AS vv
+       |  FROM ${p}w$r)""".stripMargin
+  }.mkString(",\n")
+
+  /** Rayleigh-quotient CTE over `covName` × iterate `vName`. */
+  private def lamSql(name: String, covName: String,
+      vName: String): String =
+    s"""$name AS (SELECT round(
+       |    CAST(sum(CAST(ci * a.vv AS HUGEINT) * b.vv) AS DOUBLE) /
+       |    (SELECT CAST(sum(CAST(vv AS HUGEINT) * vv) AS DOUBLE)
+       |      FROM $vName) / $Micro, 6) AS lam
+       |  FROM $covName JOIN $vName a ON i = a.vi
+       |  JOIN $vName b ON j = b.vi)""".stripMargin
+
   /** DuckDB oracle for [[topComponent]] — unrolled power iteration,
     * same exact-integer arithmetic (HUGEINT where Spark uses
-    * DECIMAL(38,0); both are exact, both cast to the same double). */
+    * BigInt; both are exact, both cast to the same double). */
   def topComponentSql(dim: Int = 64, iters: Int = 12): String = {
     val iterCtes = (1 to iters).map { r =>
       s"""w$r AS MATERIALIZED (SELECT i, sum(ci * vv) AS wv
@@ -221,25 +299,7 @@ object Pca {
          |    AS BIGINT) AS vv
          |  FROM w$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (SELECT
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |means AS MATERIALIZED (SELECT dim, ${sqlAvgDec("x")} AS m FROM (
-       |    SELECT unnest(emb) AS x,
-       |      unnest(range(0, $dim)) AS dim FROM e)
-       |  GROUP BY dim),
-       |marr AS (SELECT list(m ORDER BY dim) AS m_arr FROM means),
-       |cov AS MATERIALIZED (
-       |  SELECT cell.i AS i, cell.j AS j,
-       |    CAST(round(${sqlAvgDec("cell.p")} * $Micro) AS BIGINT) AS ci
-       |  FROM (SELECT unnest(flatten(list_transform(range(1, $dim + 1),
-       |      i -> list_transform(range(1, $dim + 1),
-       |        j -> {'i': i - 1, 'j': j - 1, 'p': c[i] * c[j]}))))
-       |      AS cell
-       |    FROM (SELECT list_transform(range(1, $dim + 1),
-       |        i -> emb[i] - m_arr[i]) AS c
-       |      FROM e, marr))
-       |  GROUP BY 1, 2),
+    s"""WITH ${covPreambleSql(dim)},
        |v0 AS (SELECT DISTINCT i AS vi,
        |    CAST(${Micro / 8} AS BIGINT) AS vv FROM cov),
        |$iterCtes,
@@ -258,4 +318,64 @@ object Pca {
        |FROM means JOIN v$iters ON dim = vi
        |ORDER BY dim""".stripMargin
   }
+
+  /** Shared oracle preamble: embeddings → means → centered
+    * outer-product cells → integer-micro covariance. */
+  private def covPreambleSql(dim: Int): String =
+    s"""e AS MATERIALIZED (SELECT
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |means AS MATERIALIZED (SELECT dim, ${sqlAvgDec("x")} AS m FROM (
+       |    SELECT unnest(emb) AS x,
+       |      unnest(range(0, $dim)) AS dim FROM e)
+       |  GROUP BY dim),
+       |marr AS (SELECT list(m ORDER BY dim) AS m_arr FROM means),
+       |cov AS MATERIALIZED (
+       |  SELECT cell.i AS i, cell.j AS j,
+       |    CAST(round(${sqlAvgDec("cell.p")} * $Micro) AS BIGINT) AS ci
+       |  FROM (SELECT unnest(flatten(list_transform(range(1, $dim + 1),
+       |      i -> list_transform(range(1, $dim + 1),
+       |        j -> {'i': i - 1, 'j': j - 1, 'p': c[i] * c[j]}))))
+       |      AS cell
+       |    FROM (SELECT list_transform(range(1, $dim + 1),
+       |        i -> emb[i] - m_arr[i]) AS c
+       |      FROM e, marr))
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB oracle for [[topComponents2]]: the [[topComponentSql]]
+    * chain, then the deflated covariance (the same HALF_UP snap as
+    * [[deflate]]) and a second chain over it. */
+  def topComponents2Sql(dim: Int = 64, iters: Int = 12): String =
+    s"""WITH ${covPreambleSql(dim)},
+       |v0 AS (SELECT DISTINCT i AS vi,
+       |    CAST(${Micro / 8} AS BIGINT) AS vv FROM cov),
+       |${iterChainSql("cov", "v", iters)},
+       |${lamSql("l1", "cov", s"v$iters")},
+       |cov2 AS MATERIALIZED (SELECT cov.i AS i, cov.j AS j,
+       |    cov.ci - CAST(round((SELECT lam FROM l1) * a.vv * b.vv
+       |      / $Micro) AS BIGINT) AS ci
+       |  FROM cov JOIN v$iters a ON cov.i = a.vi
+       |  JOIN v$iters b ON cov.j = b.vi),
+       |u0 AS (SELECT DISTINCT i AS vi,
+       |    CAST(${Micro / 8} AS BIGINT) AS vv FROM cov2),
+       |${iterChainSql("cov2", "u", iters)},
+       |${lamSql("l2", "cov2", s"u$iters")},
+       |tr AS (SELECT CAST(sum(ci) AS DOUBLE) / $Micro AS trace
+       |  FROM cov WHERE i = j)
+       |SELECT * FROM (
+       |SELECT CAST(1 AS BIGINT) AS comp, CAST(vi AS BIGINT) AS dim,
+       |  CAST(vv AS DOUBLE) / $Micro AS pc,
+       |  (SELECT lam FROM l1) AS lambda,
+       |  round((SELECT lam FROM l1) / (SELECT trace FROM tr), 6) AS evr,
+       |  round((SELECT lam FROM l1) / (SELECT trace FROM tr), 6)
+       |    AS cum_evr
+       |FROM v$iters
+       |UNION ALL
+       |SELECT 2, CAST(vi AS BIGINT), CAST(vv AS DOUBLE) / $Micro,
+       |  (SELECT lam FROM l2),
+       |  round((SELECT lam FROM l2) / (SELECT trace FROM tr), 6),
+       |  round(((SELECT lam FROM l1) + (SELECT lam FROM l2)) /
+       |    (SELECT trace FROM tr), 6)
+       |FROM u$iters)
+       |ORDER BY comp, dim""".stripMargin
 }

@@ -3219,6 +3219,11 @@ object TrainingData {
   def dEmbedAbtt(s: SparkSession, d: String): DataFrame =
     graft.ext.Pca.allButTop(embs(s, d))
 
+  /** Top-2 principal components by Hotelling deflation, with the
+    * cumulative subspace explained-variance ratio. */
+  def dEmbedPca2(s: SparkSession, d: String): DataFrame =
+    graft.ext.Pca.topComponents2(embs(s, d))
+
   /** Greedy (next-fit) sample packing: per source, documents in
     * doc_id order are placed whole into 128-token bins — a document
     * that would overflow the current bin starts a new one (an
@@ -3435,6 +3440,7 @@ object TrainingData {
     "d_bpe_tokens" -> (dBpeTokens _),
     "d_embed_pca" -> (dEmbedPca _),
     "d_embed_abtt" -> (dEmbedAbtt _),
+    "d_embed_pca2" -> (dEmbedPca2 _),
     "d_dsir" -> (dDsir _),
     "d_semdedup" -> (dSemdedup _),
     "d_semdedup_auto" -> (dSemdedupAuto _),
@@ -3496,6 +3502,7 @@ object TrainingData {
     "d_bpe_tokens" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
     "d_embed_pca" -> graft.ext.Pca.topComponentSql(),
     "d_embed_abtt" -> graft.ext.Pca.allButTopSql(),
+    "d_embed_pca2" -> graft.ext.Pca.topComponents2Sql(),
     "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
     "d_chunk_dedup" -> dChunkDedupSql,

@@ -40,6 +40,45 @@ class PcaSpec extends SparkSpec {
     assert(lambda > 0.0)
   }
 
+  test("two components by deflation: ordered eigenvalues, near-" +
+      "orthogonal directions, both planted axes recovered, " +
+      "cumulative evr dominates") {
+    // two planted directions of different strength: e0 (var ~36)
+    // and e3 (var ~9), tiny deterministic noise elsewhere
+    val dim = 8
+    val rows = (0 until 200).map { k =>
+      val t = (k % 21).toDouble - 10.0
+      val s = ((k / 3) % 11).toDouble - 5.0
+      val base = Array.fill(dim)(0.0)
+      base(0) = t
+      base(3) = s
+      for (j <- Seq(1, 2, 4, 5, 6, 7))
+        base(j) = ((k * (j + 3)) % 7 - 3).toDouble * 0.03
+      (k.toLong, base.map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pca.topComponents2(df, dim = dim, iters = 16)
+      .orderBy("comp", "dim").collect()
+    assert(out.length == 2 * dim)
+    val c1 = out.take(dim)
+    val c2 = out.drop(dim)
+    val p1 = c1.map(_.getDouble(2))
+    val p2 = c2.map(_.getDouble(2))
+    val (l1, l2) = (c1.head.getDouble(3), c2.head.getDouble(3))
+    assert(l1 >= l2 && l2 > 0, s"l1=$l1 l2=$l2")
+    // near-orthogonal (deflation + micro rounding)
+    val dot = p1.zip(p2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 5e-3, s"dot=$dot")
+    // axes recovered: comp1 ≈ ±e0, comp2 ≈ ±e3
+    assert(math.abs(math.abs(p1(0)) - 1.0) < 2e-2, p1.toSeq.toString)
+    assert(math.abs(math.abs(p2(3)) - 1.0) < 2e-2, p2.toSeq.toString)
+    // cumulative subspace share dominates and is consistent
+    val evr1 = c1.head.getDouble(4)
+    val cum2 = c2.head.getDouble(5)
+    assert(cum2 >= evr1 && cum2 > 0.95 && cum2 <= 1.0 + 1e-6,
+      s"evr1=$evr1 cum2=$cum2")
+  }
+
   test("all-but-the-top: Pythagoras holds (orig² ≈ coef² + corr²) " +
       "and the correction can only shrink the centered norm") {
     val e = graft.Tables.embeddings(spark, sf0001)
