@@ -75,6 +75,49 @@ class BpeSpec extends SparkSpec {
         s"word '$w': spark ${sparkCounts(w)} vs ref $refN")
   }
 
+  test("property: applyMerges (string replace) ≡ list-semantics " +
+      "merge for 300 pseudo-random words over an alphabet with " +
+      "regex-special characters, under a stacked merge list") {
+    // deterministic pseudo-random corpus; alphabet deliberately
+    // includes regex/replacement metacharacters — the literal
+    // `replace` formulation must be immune to them
+    val alpha = "ab.$\\c*"
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(10)
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }.distinct
+    // a stacked merge list, including merges of merged symbols
+    val merges = Seq(
+      Bpe.Merge(1, "a", "b", 0), Bpe.Merge(2, "ab", "ab", 0),
+      Bpe.Merge(3, ".", "$", 0), Bpe.Merge(4, "\\", "c", 0),
+      Bpe.Merge(5, ".$", "\\c", 0), Bpe.Merge(6, "*", "*", 0),
+      Bpe.Merge(7, "a", Bpe.EndMark, 0))
+    def refApply(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList :+ Bpe.EndMark) {
+        (syms, m) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == m.left &&
+                syms(i + 1) == m.right) {
+              out += m.left + m.right; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toList
+      }
+    import org.apache.spark.sql.functions._
+    val got = words.toDF("w")
+      .select(col("w"), split(trim(
+        Bpe.applyMerges(Bpe.symInit(col("w")), merges)), "  ")
+        .as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    for (w <- words)
+      assert(got(w) == refApply(w),
+        s"word '$w': spark ${got(w)} vs ref ${refApply(w)}")
+  }
+
   test("tokenStats: n_bpe sums per-word symbol counts; merging can " +
       "only shrink counts; zero-merge count = chars + words") {
     val df = Seq(1L -> "low low lower", 2L -> "newest new")
