@@ -202,4 +202,51 @@ class EventsStreamSpec extends SparkSpec {
       .sortBy(_._2)
     assert(got.toSeq == Seq((7L, 1L), (7L, 2L)))
   }
+
+  test("STREAMING session windows: watermarked append emits merged " +
+      "sessions once closed, equal to the batch form") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // (event_id, ts, user) — two sessions for user 7 split across
+    // micro-batches (the second event EXTENDS the open session
+    // across a batch boundary: the merging-session state path), one
+    // for user 8; a far-future sentinel advances the watermark so
+    // every real session closes and appends
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val src = mem.toDF().toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withWatermark("ts", "1 minute")
+    val q = EventsStream.sessionAgg(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData((1L, "2024-01-01 00:00:00", 7L),
+        (10L, "2024-01-01 00:01:00", 8L))
+      q.processAllAvailable()
+      mem.addData((2L, "2024-01-01 00:05:00", 7L),   // extends open
+        (3L, "2024-01-01 00:30:00", 7L))             // new session
+      q.processAllAvailable()
+      mem.addData((99L, "2024-01-02 00:00:00", 99L)) // sentinel
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      // batch reference on the same rows
+      val batch = EventsStream.sessionAgg(Seq(
+          (1L, "2024-01-01 00:00:00", 7L),
+          (2L, "2024-01-01 00:05:00", 7L),
+          (3L, "2024-01-01 00:30:00", 7L),
+          (10L, "2024-01-01 00:01:00", 8L))
+        .toDF("event_id", "ts_s", "user_id")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the cross-batch extension really merged: user 7 has a
+      // 2-event session, not two 1-event sessions
+      assert(got.exists(r => r._1 == 7L && r._4 == 2L))
+    } finally q.stop()
+  }
 }
