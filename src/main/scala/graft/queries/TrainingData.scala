@@ -2183,6 +2183,68 @@ object TrainingData {
        |FROM t WHERE dh % 100 < 10 + (sh % 3) * 15
        |ORDER BY doc_id""".stripMargin
 
+  /** Weighted priority sampling (Duffield–Lund–Thorup 2007): a
+    * weight-proportional sample of k=100 documents with the
+    * unbiased-estimator threshold. Each doc gets priority
+    * q = w / u where w = n_chars + 1 and u ∈ (0,1] is the portable
+    * doc-id poly-hash scaled by 2⁻³¹ — an exact dyadic rational, so
+    * q is ONE double division on bit-identical inputs in both
+    * engines (this is why priority sampling and not A-ES reservoir:
+    * the u^(1/w) key needs pow/exp, which are only ulp-accurate and
+    * can flip a rank at the boundary; w/u is exactly rounded). The
+    * top-(k+1) priorities come via TakeOrderedAndProject (no global
+    * sort); τ = the (k+1)-th, and every sampled doc carries the DLT
+    * weight estimator max(w, τ) — Σ estimates over the sample is an
+    * unbiased estimate of Σw over the corpus, the property that
+    * makes a 100-TB weighted subsample auditable. */
+  def dPrioritySample(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    val h = graft.functions.RollingHash.rolling_hash(
+      col("doc_id").cast("string"))
+    // two MINSTD multiplicative steps (the sampleQueryIds mixing
+    // precedent): a short doc-id string poly-hashes to a SMALL
+    // value, so raw h/2^31 concentrates u near 0 and priorities
+    // explode; g spreads h across the full modulus range
+    val m = lit(2147483647L)
+    val g = pmod(pmod(h * lit(48271L), m) * lit(48271L), m)
+    val sc = docs(s, d).select(col("doc_id"), col("source"),
+        (col("n_chars") + 1L).as("w"),
+        ((g + lit(1L)).cast("double") / lit(2147483648.0)).as("u"))
+      .select(col("doc_id"), col("source"), col("w"),
+        (col("w").cast("double") / col("u")).as("q"))
+    val top = sc.orderBy(desc("q"), asc("doc_id")).limit(k + 1)
+      .localCheckpoint()
+    val tau = top.agg(min(col("q")).as("tau"))
+    top.orderBy(desc("q"), asc("doc_id")).limit(k)
+      .crossJoin(broadcast(tau))
+      // priority/est_w ship UNROUNDED: q ≈ 1e9 at 6 decimals is 15
+      // significant digits — the engines' round() implementations
+      // disagree at that precision edge (measured), while the raw
+      // division is exactly rounded and bit-identical (the same
+      // lesson as the k-means centroid means)
+      .select(col("doc_id"), col("source"), col("w"),
+        col("q").as("priority"),
+        greatest(col("w").cast("double"), col("tau")).as("est_w"))
+      .orderBy("doc_id")
+  }
+
+  private val dPrioritySampleSql =
+    s"""WITH sc AS (SELECT doc_id, source, n_chars + 1 AS w,
+       |    (n_chars + 1) / ((((${sqlPolyHash("CAST(doc_id AS VARCHAR)")}
+       |      * 48271) % 2147483647 * 48271) % 2147483647
+       |      + 1) / 2147483648.0) AS q
+       |  FROM documents),
+       |top AS MATERIALIZED (SELECT * FROM sc
+       |  ORDER BY q DESC, doc_id LIMIT 101),
+       |tau AS (SELECT min(q) AS tau FROM top)
+       |SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+       |  q AS priority,
+       |  CASE WHEN CAST(w AS DOUBLE) > (SELECT tau FROM tau)
+       |    THEN CAST(w AS DOUBLE) ELSE (SELECT tau FROM tau) END
+       |    AS est_w
+       |FROM (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 100)
+       |ORDER BY doc_id""".stripMargin
+
   /** Token-budget subsampling — the "give me N tokens per source"
     * mixture op (how pretraining mixes are actually specified: token
     * budgets per source, not document rates — cf. the per-source
@@ -3425,6 +3487,7 @@ object TrainingData {
     "d_quality_lr" -> (dQualityLr _),
     "d_repetition_break" -> (dRepetitionBreak _),
     "d_stratified_sample" -> (dStratifiedSample _),
+    "d_priority_sample" -> (dPrioritySample _),
     "d_token_budget" -> (dTokenBudget _),
     "d_chunking" -> (dChunking _),
     "d_pack" -> (dPack _),
@@ -3487,6 +3550,7 @@ object TrainingData {
     "d_quality_lr" -> dQualityLrSql,
     "d_repetition_break" -> dRepetitionBreakSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
+    "d_priority_sample" -> dPrioritySampleSql,
     "d_token_budget" -> dTokenBudgetSql,
     "d_chunking" -> dChunkingSql,
     "d_pack" -> dPackSql,

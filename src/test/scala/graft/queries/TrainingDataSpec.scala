@@ -567,6 +567,46 @@ class TrainingDataSpec extends SparkSpec {
       s"n_fp ${r(3L)._1} != brute winnow $brute")
   }
 
+  test("priority sample: k weight-biased rows, estimator covers the " +
+      "corpus weight, deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = TrainingData.dPrioritySample(spark, sf0001).cache()
+    assert(out.count() == 100)
+    assert(out.select("doc_id").distinct().count() == 100)
+    // the sample IS the top-k by priority: recompute w/u locally
+    // from (doc_id, n_chars, hash) and compare the selected id set
+    // and the τ-clamped estimator row by row
+    val hcol = graft.functions.RollingHash.rolling_hash(
+      col("doc_id").cast("string"))
+    val local = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), (col("n_chars") + 1L).as("w"), hcol.as("h"))
+      .collect().map { r =>
+        val m = 2147483647L
+        val g = (r.getLong(2) * 48271L % m) * 48271L % m
+        val u = (g + 1L).toDouble / 2147483648.0
+        (r.getLong(0), r.getLong(1), r.getLong(1).toDouble / u)
+      }.sortBy(t => (-t._3, t._1))
+    val refTop = local.take(100)
+    val tau = local(100)._3
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      refTop.map(_._1).toSet)
+    val gotEst = out.collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    for ((id, w, _) <- refTop)
+      assert(gotEst(id) == math.max(w.toDouble, tau),
+        s"doc $id est ${gotEst(id)} != max($w, $tau)")
+    // DLT estimator: Σ max(w, τ) over the sample estimates Σw over
+    // the corpus (unbiased; concentrated at k=100) — allow 2×
+    val est = out.agg(sum(col("est_w"))).head().getDouble(0)
+    val tot = graft.Tables.documents(spark, sf0001)
+      .agg(sum(col("n_chars") + 1)).head().getLong(0).toDouble
+    assert(est > 0.5 * tot && est < 2.0 * tot, s"est $est vs tot $tot")
+    // deterministic: a second evaluation is identical
+    val again = TrainingData.dPrioritySample(spark, sf0001)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
+
   test("Kneser-Ney bigram NLL matches an independent plain-Scala " +
       "reference, and shares d_lm_bigram's bigram stream") {
     val docsSeq = Seq(
