@@ -68,16 +68,17 @@ object Pca {
     Array.tabulate(dim, dim)((i, j) =>
       c(i)(j) - halfUpLong(lambda * v(i) * v(j) / Micro))
 
-  /** The one corpus-sized pass: per-dimension means (a distributed
-    * frame) and the dim² covariance in integer micros (collected —
-    * it is scalar-sized). */
-  private def covMeans(embeddings: DataFrame, dim: Int)
-      : (DataFrame, Array[Array[Long]]) = {
-    val emb = embeddings
+  /** Embedding column as validated array<double>. */
+  private def embDouble(embeddings: DataFrame, dim: Int): DataFrame =
+    embeddings
       .select(Similarity.toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .filter(coalesce(assert_true(size(col("emb")) === dim,
         lit(s"pca: embedding dim != $dim")), lit(true)))
+
+  /** Per-dimension means (distributed frame) and the broadcastable
+    * one-row array form. */
+  private def meansOf(emb: DataFrame): (DataFrame, DataFrame) = {
     // per-dimension mean, rounded for engine portability, broadcast
     // back as ONE array row (no corpus self-join)
     val means = emb
@@ -86,43 +87,72 @@ object Pca {
     val meanArr = means
       .agg(transform(array_sort(collect_list(struct(col("dim"),
         col("m")))), s => s("m")).as("m_arr"))
-    // covariance in micro-units: the per-cell mean is a FIRST-level
-    // decimal sum over raw double products (the portable sumDec
-    // machinery), then snaps to an exact BIGINT. Deliberately the
-    // FULL dim² cell matrix, not the symmetric triangle: an A/B at
-    // sf0.1 measured the triangle variant (inner sequence(i, dim))
-    // ~15% SLOWER — the constant-bound sequence constant-folds once
-    // while a variable lower bound re-allocates per outer element,
-    // costing more than the halved multiply count saves
-    val cells = emb.crossJoin(broadcast(meanArr))
+    (means, meanArr)
+  }
+
+  private def centered(emb: DataFrame, meanArr: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(meanArr))
       .select(zip_with(col("emb"), col("m_arr"),
         (x, m) => x - m).as("c"))
+
+  /** The one corpus-sized pass: per-dimension means (a distributed
+    * frame) and the dim² covariance in integer micros (collected —
+    * it is scalar-sized).
+    *
+    * The covariance is ONE fused [[graft.functions.CovOps.cov_micro_sums]]
+    * aggregate over the centered vectors: each partition accumulates
+    * the dim×dim micro-unit sum matrix in a compiled loop, partitions
+    * merge matrix buffers, and the per-cell
+    * `round(round(sumDec/count, 6)·1e6)` snap replays locally on the
+    * exact integer sums ([[graft.functions.CovMicroSums.snapCell]]).
+    * This replaced a dim²-struct `explode(flatten(transform(...)))` +
+    * groupBy pipeline that materialized 4096 rows per vector before
+    * the map-side combine — pure row-materialization CPU; the probe
+    * record has the before/after. The explode formulation survives as
+    * [[covExplode]] solely as the PcaSpec equivalence oracle (kernel ≡
+    * explode, cell-for-cell), and the arithmetic is bit-identical by
+    * construction, so the unrolled-CTE DuckDB oracle is unchanged.
+    * The eigensolve then runs LOCALLY on the collected dim² matrix —
+    * the MLlib pattern (RowMatrix.computePrincipalComponents:
+    * distributed Gramian, local eig): integer mat-vec in Long, BigInt
+    * squared norms, java BigDecimal HALF_UP for the one rounding step
+    * per iterate, matching the oracle's HUGEINT/round chain. */
+  private[graft] def covMeans(embeddings: DataFrame, dim: Int)
+      : (DataFrame, Array[Array[Long]]) = {
+    val emb = embDouble(embeddings, dim)
+    val (means, meanArr) = meansOf(emb)
+    val sums = centered(emb, meanArr)
+      .agg(graft.functions.CovOps.cov_micro_sums(col("c"), dim).as("s"))
+      .head().getSeq[Long](0)
+    val n = sums(dim * dim)
+    val C =
+      if (n == 0L) Array.ofDim[Long](dim, dim)
+      else Array.tabulate(dim, dim)((i, j) =>
+        graft.functions.CovMicroSums.snapCell(sums(i * dim + j), n))
+    (means, C)
+  }
+
+  /** The superseded explode-path covariance (i, j, ci) frame — kept
+    * ONLY as the spec's equivalence oracle for the fused kernel.
+    * Deliberately the FULL dim² cell matrix, not the symmetric
+    * triangle: an A/B at sf0.1 measured the triangle variant (inner
+    * sequence(i, dim)) ~15% SLOWER — the constant-bound sequence
+    * constant-folds once while a variable lower bound re-allocates
+    * per outer element. */
+  private[graft] def covExplode(embeddings: DataFrame, dim: Int)
+      : DataFrame = {
+    val emb = embDouble(embeddings, dim)
+    val (_, meanArr) = meansOf(emb)
+    centered(emb, meanArr)
       .select(explode(flatten(transform(
         sequence(lit(1), lit(dim)), i => transform(
           sequence(lit(1), lit(dim)), j => struct(
             (i - 1).as("i"), (j - 1).as("j"),
             (element_at(col("c"), i) * element_at(col("c"), j))
               .as("p")))))).as("cell"))
-    val cov = cells
       .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
       .agg(round(avgDec(col("cell.p")) * Micro)
         .cast("long").as("ci"))
-      .localCheckpoint()
-    // LOCAL eigensolve on the collected dim² matrix — the MLlib
-    // pattern (RowMatrix.computePrincipalComponents: distributed
-    // Gramian, local eig). The matrix is scalar-sized; a first
-    // implementation iterated it as 64-row DataFrames and paid a
-    // job + localCheckpoint per round (~2s of pure scheduling at
-    // sf0.1). Arithmetic replicates the engine semantics EXACTLY —
-    // integer mat-vec in Long, BigInt squared norms (→ double by
-    // round-to-nearest, same as the DECIMAL/HUGEINT casts), and
-    // java BigDecimal HALF_UP for the one rounding step per
-    // iterate, which is what Spark's round() does on doubles — so
-    // the unchanged unrolled-CTE DuckDB oracle stays hash-green.
-    val C = Array.ofDim[Long](dim, dim)
-    cov.collect().foreach(r =>
-      C(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    (means, C)
   }
 
   /** (dim, mean_v, pc1, lambda1, evr) — one row per dimension; the

@@ -81,17 +81,7 @@ object Merge {
     * number of DISTINCT keys touched, not the feed length. */
   def cdcApply(snapshot: DataFrame, feed: DataFrame, keys: Seq[String],
       seqCol: String, opCol: String = "op"): DataFrame = {
-    val payload = feed.columns.toSeq
-      .filterNot(c => keys.contains(c) || c == seqCol || c == opCol)
-    // latest change per key: one partial-combined max-struct aggregate
-    val latest = feed
-      .groupBy(keys.map(col): _*)
-      .agg(max(struct(
-        (col(seqCol) +: col(opCol) +: payload.map(col)): _*))
-        .as("_last"))
-      .select(keys.map(col) ++
-        Seq(col(s"_last.$opCol").as(opCol)) ++
-        payload.map(c => col(s"_last.$c").as(c)): _*)
+    val (latest, payload) = latestChange(feed, keys, seqCol, opCol)
     val sn = snapshot.alias("sn")
     val ch = latest.alias("ch")
     val cond = keys.map(k => col(s"sn.$k") === col(s"ch.$k"))
@@ -106,6 +96,92 @@ object Merge {
         payload.map(c =>
           when(chExists, col(s"ch.$c")).otherwise(col(s"sn.$c"))
             .as(c)): _*)
+  }
+
+  /** Latest change per key: ONE partial-combined max-struct aggregate
+    * over the feed (no window — the reduction is map-side combinable
+    * and bounded by distinct touched keys). Ordering is the struct's
+    * lexicographic field order: `seqCol` first, then the op (so the
+    * documented D < I < U rule breaks sequence ties), then —
+    * DOCUMENTED tertiary tie-break — the payload columns in feed
+    * order, nulls lowest. Two changes identical in (key, seq, op) but
+    * differing in payload therefore resolve to the payload-wise
+    * largest, deterministically; the paired oracles mirror this with
+    * `ORDER BY seq DESC, op DESC, <payload...> DESC` (DESC puts nulls
+    * last in both engines = nulls lose, matching struct max). A feed
+    * that guarantees (key, seq, op) uniqueness never reaches the
+    * tertiary rule. */
+  private def latestChange(feed: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String): (DataFrame, Seq[String]) = {
+    val payload = feed.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == seqCol || c == opCol)
+    val latest = feed
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        (col(seqCol) +: col(opCol) +: payload.map(col)): _*))
+        .as("_last"))
+      .select(keys.map(col) ++
+        Seq(col(s"_last.$opCol").as(opCol)) ++
+        payload.map(c => col(s"_last.$c").as(c)): _*)
+    (latest, payload)
+  }
+
+  /** CDC feed applied as SCD2 HISTORY — the production lakehouse
+    * dimension pattern composing [[cdcApply]]'s latest-change
+    * reduction with [[scd2Merge]]'s one-join two-row emit: per key
+    * the latest change (same seq → D < I < U → payload ordering as
+    * [[cdcApply]]) is applied to the OPEN version set —
+    *   - I/U with no open version, or with a changed payload: closes
+    *     the open version (valid_to := batchTs) and appends a fresh
+    *     open one;
+    *   - I/U payload-identical to the open version: no-op (the open
+    *     row passes through untouched);
+    *   - D: closes the open version WITHOUT a successor (the key's
+    *     history ends at batchTs); D on an absent key is a no-op.
+    * Closed history always passes through untouched — append-mostly,
+    * no rewrite of cold partitions.
+    *
+    * Scale shape: the feed reduces first (bounded by touched keys),
+    * then ONE full-outer hash join against the open subset; each
+    * joined row emits ≤2 version rows via array+explode. History
+    * data columns must be keys ∪ feed payload. */
+  def cdcScd2(history: DataFrame, feed: DataFrame, keys: Seq[String],
+      seqCol: String, batchTs: Column, opCol: String = "op")
+      : DataFrame = {
+    val (latest, payload) = latestChange(feed, keys, seqCol, opCol)
+    val closed = history.filter(!col("is_current"))
+    val open = history.filter(col("is_current"))
+    val dataCols = open.columns.toSeq
+      .filterNot(Seq("valid_from", "valid_to", "is_current").contains)
+    require(dataCols.forall(c => keys.contains(c) || payload.contains(c)),
+      s"cdcScd2: history columns ${dataCols.mkString(",")} must all " +
+        s"come from the feed's keys/payload")
+    val cu = open.alias("cu")
+    val ch = latest.alias("ch")
+    val cond = keys.map(k => col(s"ch.$k") === col(s"cu.$k"))
+      .reduce(_ && _)
+    val chExists = col(s"ch.${keys.head}").isNotNull
+    val cuExists = col(s"cu.${keys.head}").isNotNull
+    val isDelete = chExists && col(s"ch.$opCol") === "D"
+    val unchanged = payload.filter(dataCols.contains)
+      .map(c => col(s"ch.$c") <=> col(s"cu.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val isFresh = chExists && !isDelete && (!cuExists || !unchanged)
+    val closesOld = cuExists && (isFresh || isDelete)
+    def version(side: String, from: Column, to: Column,
+        cur: Column): Column =
+      struct(dataCols.map(c => col(s"$side.$c").as(c)) ++
+        Seq(from.as("valid_from"), to.as("valid_to"),
+          cur.as("is_current")): _*)
+    val oldRow = when(cuExists, version("cu", col("cu.valid_from"),
+      when(closesOld, batchTs).otherwise(col("cu.valid_to")),
+      !closesOld))
+    val newRow = when(isFresh, version("ch", batchTs,
+      lit(null).cast("timestamp"), lit(true)))
+    closed.unionByName(ch.join(cu, cond, "full_outer")
+      .select(explode(filter(array(oldRow, newRow),
+        r => r.isNotNull)).as("_v"))
+      .select(col("_v.*")))
   }
 
   /** SCD-Type-2 (history-keeping) merge: where [[merge]] overwrites,

@@ -584,7 +584,8 @@ object Parity {
       |    FROM c WHERE uid % 50 = 0),
       |latest AS (SELECT uid, op, bal, seg FROM (
       |  SELECT uid, op, bal, seg, row_number() OVER (
-      |      PARTITION BY uid ORDER BY seq DESC, op DESC) AS rn
+      |      PARTITION BY uid
+      |      ORDER BY seq DESC, op DESC, bal DESC, seg DESC) AS rn
       |  FROM feed) WHERE rn = 1)
       |SELECT coalesce(l.uid, s.uid) AS uid,
       |  CASE WHEN l.uid IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
@@ -592,6 +593,104 @@ object Parity {
       |FROM c s FULL OUTER JOIN latest l ON s.uid = l.uid
       |WHERE l.uid IS NULL OR l.op <> 'D'
       |ORDER BY uid""".stripMargin
+
+  /** CDC feed applied as SCD2 HISTORY ([[Merge.cdcScd2]] — the
+    * composition of [[pCdcApply]]'s feed reduction with
+    * [[pScd2Merge]]'s versioning): same interaction-covering feed
+    * construction as [[pCdcApply]] (stacked updates, deletes,
+    * late-sequence reversals, brand-new inserts) plus an
+    * identical-payload update leg (uid%13==1, seq 5) that must leave
+    * the open version untouched; deletes close the open version with
+    * NO successor. History = one closed version (uid%10) + one open
+    * version per customer. */
+  def pCdcScd2(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("uid"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val closedHist = c.filter(col("uid") % 10 === 0)
+      .select(col("uid"), (col("bal") - 50.0).as("bal"), col("seg"),
+        lit("2019-01-01").cast("timestamp").as("valid_from"),
+        lit("2020-01-01").cast("timestamp").as("valid_to"),
+        lit(false).as("is_current"))
+    val open = c.select(col("uid"), col("bal"), col("seg"),
+      lit("2020-01-01").cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(true).as("is_current"))
+    val history = closedHist.unionByName(open)
+    val u5 = c.filter(col("uid") % 5 === 0)
+      .select(col("uid"), lit("U").as("op"), lit(2L).as("seq"),
+        (col("bal") + 10.0).as("bal"), col("seg"))
+    val d7 = c.filter(col("uid") % 7 === 0)
+      .select(col("uid"), lit("D").as("op"), lit(3L).as("seq"),
+        lit(null).cast("double").as("bal"),
+        lit(null).cast("string").as("seg"))
+    val lateU = c.filter(col("uid") % 35 === 0 && col("uid") % 2 === 0)
+      .select(col("uid"), lit("U").as("op"), lit(9L).as("seq"),
+        (col("bal") + 77.0).as("bal"), col("seg"))
+    val u10 = c.filter(col("uid") % 10 === 0)
+      .select(col("uid"), lit("U").as("op"), lit(4L).as("seq"),
+        (col("bal") + 20.0).as("bal"), col("seg"))
+    val noop13 = c.filter(col("uid") % 13 === 1)
+      .select(col("uid"), lit("U").as("op"), lit(5L).as("seq"),
+        col("bal"), col("seg"))
+    val ins = c.filter(col("uid") % 50 === 0)
+      .select((col("uid") + 200000L).as("uid"), lit("I").as("op"),
+        lit(1L).as("seq"), (col("bal") + 1000.0).as("bal"),
+        lit("NEW").as("seg"))
+    val feed = u5.unionByName(d7).unionByName(lateU)
+      .unionByName(u10).unionByName(noop13).unionByName(ins)
+    Merge.cdcScd2(history, feed, Seq("uid"), "seq",
+      lit("2024-06-01").cast("timestamp"))
+      .orderBy("uid", "valid_from", "is_current")
+  }
+
+  private val pCdcScd2Sql =
+    """WITH c AS (SELECT c_custkey AS uid, c_acctbal AS bal,
+      |    c_mktsegment AS seg FROM customer),
+      |closedh AS (SELECT uid, bal - 50.0 AS bal, seg,
+      |    TIMESTAMP '2019-01-01' AS valid_from,
+      |    TIMESTAMP '2020-01-01' AS valid_to, false AS is_current
+      |  FROM c WHERE uid % 10 = 0),
+      |open AS (SELECT uid, bal, seg FROM c),
+      |feed AS (
+      |  SELECT uid, 'U' AS op, 2 AS seq, bal + 10.0 AS bal, seg
+      |    FROM c WHERE uid % 5 = 0
+      |  UNION ALL SELECT uid, 'D', 3, NULL, NULL FROM c
+      |    WHERE uid % 7 = 0
+      |  UNION ALL SELECT uid, 'U', 9, bal + 77.0, seg FROM c
+      |    WHERE uid % 35 = 0 AND uid % 2 = 0
+      |  UNION ALL SELECT uid, 'U', 4, bal + 20.0, seg FROM c
+      |    WHERE uid % 10 = 0
+      |  UNION ALL SELECT uid, 'U', 5, bal, seg FROM c
+      |    WHERE uid % 13 = 1
+      |  UNION ALL SELECT uid + 200000, 'I', 1, bal + 1000.0, 'NEW'
+      |    FROM c WHERE uid % 50 = 0),
+      |latest AS (SELECT uid, op, bal, seg FROM (
+      |  SELECT uid, op, bal, seg, row_number() OVER (
+      |      PARTITION BY uid
+      |      ORDER BY seq DESC, op DESC, bal DESC, seg DESC) AS rn
+      |  FROM feed) WHERE rn = 1),
+      |j AS (SELECT o.uid AS ouid, o.bal AS obal, o.seg AS oseg,
+      |    l.uid AS luid, l.op, l.bal AS lbal, l.seg AS lseg,
+      |    l.uid IS NOT NULL AND (l.op = 'D'
+      |      OR o.bal IS DISTINCT FROM l.bal
+      |      OR o.seg IS DISTINCT FROM l.seg) AS closes
+      |  FROM open o FULL OUTER JOIN latest l ON o.uid = l.uid),
+      |emitted AS (
+      |  SELECT ouid AS uid, obal AS bal, oseg AS seg,
+      |    TIMESTAMP '2020-01-01' AS valid_from,
+      |    CASE WHEN closes THEN TIMESTAMP '2024-06-01'
+      |      ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+      |    NOT closes AS is_current
+      |  FROM j WHERE ouid IS NOT NULL
+      |  UNION ALL
+      |  SELECT luid, lbal, lseg, TIMESTAMP '2024-06-01',
+      |    CAST(NULL AS TIMESTAMP), true
+      |  FROM j WHERE luid IS NOT NULL AND op <> 'D'
+      |    AND (ouid IS NULL OR obal IS DISTINCT FROM lbal
+      |      OR oseg IS DISTINCT FROM lseg))
+      |SELECT * FROM closedh UNION ALL SELECT * FROM emitted
+      |ORDER BY uid, valid_from, is_current""".stripMargin
 
   private val pScd2MergeSql =
     """WITH c AS (SELECT c_custkey AS uid, c_acctbal AS bal FROM customer),
@@ -1110,6 +1209,7 @@ object Parity {
     "p_scd2_merge" -> (pScd2Merge _),
     "p_scd2_lookup" -> (pScd2Lookup _),
     "p_cdc_apply" -> (pCdcApply _),
+    "p_cdc_scd2" -> (pCdcScd2 _),
     "p_validation_split" -> (pValidationSplit _),
     "p_parse_boolean" -> (pParseBoolean _),
     "p_blank_to_null" -> (pBlankToNull _),
@@ -1131,6 +1231,7 @@ object Parity {
     "p_scd2_merge" -> pScd2MergeSql,
     "p_scd2_lookup" -> pScd2LookupSql,
     "p_cdc_apply" -> pCdcApplySql,
+    "p_cdc_scd2" -> pCdcScd2Sql,
     "p_validation_split" -> pValidationSplitSql,
     "p_parse_boolean" -> pParseBooleanSql,
     "p_blank_to_null" -> pBlankToNullSql,

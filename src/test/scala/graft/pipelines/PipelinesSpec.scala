@@ -140,6 +140,58 @@ class PipelinesSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("CDC→SCD2: updates close the open version and append, deletes " +
+      "close with NO successor, identical-payload updates are no-ops, " +
+      "stacked changes apply only the latest, same-seq D loses to U, " +
+      "closed history passes through untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Merge
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val history = Seq(
+      // k=1: one closed + one open version
+      (1L, "a", 10.0, ts("2019-01-01"), Option(ts("2020-01-01")), false),
+      (1L, "a", 11.0, ts("2020-01-01"), None, true),
+      (2L, "b", 20.0, ts("2020-01-01"), None, true),
+      (3L, "c", 30.0, ts("2020-01-01"), None, true),
+      (4L, "d", 40.0, ts("2020-01-01"), None, true),
+      (5L, "e", 50.0, ts("2020-01-01"), None, true))
+      .toDF("k", "name", "v", "valid_from", "valid_to", "is_current")
+    val feed = Seq(
+      (1L, "U", 1L, "a1", 11.5),    // stacked: only seq 2 applies
+      (1L, "U", 2L, "a2", 12.0),
+      (2L, "D", 5L, null, 0.0),     // delete k=2: close, no successor
+      (3L, "D", 7L, null, 0.0),     // same-seq D vs U: U wins
+      (3L, "U", 7L, "c9", 99.0),
+      (4L, "U", 3L, "d", 40.0),     // identical payload → no-op
+      (9L, "I", 1L, "new", 90.0))   // brand-new key
+      .toDF("k", "op", "seq", "name", "v")
+    val batch = lit("2024-06-01").cast("timestamp")
+    val out = Merge.cdcScd2(history, feed, Seq("k"), "seq", batch)
+      .orderBy("k", "valid_from", "is_current").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).toString.take(10),
+        Option(r.getTimestamp(4)).map(_.toString.take(10)),
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      // k=1: closed history untouched; open closed at batch; fresh
+      (1L, "a", 10.0, "2019-01-01", Some("2020-01-01"), false),
+      (1L, "a", 11.0, "2020-01-01", Some("2024-06-01"), false),
+      (1L, "a2", 12.0, "2024-06-01", None, true),
+      // k=2 deleted: closed, NO successor row
+      (2L, "b", 20.0, "2020-01-01", Some("2024-06-01"), false),
+      // k=3: tie resolved to U → versioned
+      (3L, "c", 30.0, "2020-01-01", Some("2024-06-01"), false),
+      (3L, "c9", 99.0, "2024-06-01", None, true),
+      // k=4: identical payload — open row untouched
+      (4L, "d", 40.0, "2020-01-01", None, true),
+      // k=5 untouched
+      (5L, "e", 50.0, "2020-01-01", None, true),
+      // k=9 inserted as a fresh open version
+      (9L, "new", 90.0, "2024-06-01", None, true)),
+      out.toSeq.mkString("\n"))
+  }
+
   test("SCD2 point-in-time lookup: every order resolves EXACTLY one " +
       "version; boundaries are half-open; the resolved balance is " +
       "the version formula for the order's date bucket") {
