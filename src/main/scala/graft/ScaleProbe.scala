@@ -145,6 +145,14 @@ object ScaleProbe {
         probeMedia(spark, scale, reps); spark.stop(); return
       case Some("jdbc") =>
         probeJdbc(spark, scale); spark.stop(); return
+      case Some("bpe") =>
+        probeBpe(spark, scale); spark.stop(); return
+      case Some("containment") =>
+        probeContainment(spark, scale); spark.stop(); return
+      case Some("stream") =>
+        probeStream(spark); spark.stop(); return
+      case Some("realmedia") =>
+        probeMediaReal(spark, scale); spark.stop(); return
       case Some("tpch") =>
         probeTpch(spark, scale, reps); spark.stop(); return
       case _ => ()
@@ -205,6 +213,255 @@ object ScaleProbe {
     * deeper — the corpus is reused if already built. */
   private val DeepQueries =
     Seq("d_minhash_lsh", "d_jaccard_pairs", "d_dup_clusters")
+
+  /** BPE merge-count probe (`ScaleProbe <reps> <scale> bpe`):
+    * production tokenizers train THOUSANDS of merges, so the question
+    * is per-round cost as rounds grow — the driver-local finish
+    * ([[graft.ext.Bpe.LocalTypeLimit]]) makes rounds after the one
+    * corpus scan + one vocabulary collect pure local CPU. Trains at
+    * 8 / 64 / 256 / 1024 rounds on the sf0.1 corpus (and the
+    * verbatim `scale`× corpus when scale > 1 — verbatim so the
+    * vocabulary stays 1×-sized while counts grow, the real corpus-
+    * growth regime) and prints total + per-round time; flat
+    * per-round cost past the fixed setup is the pass criterion. */
+  private def probeBpe(spark: SparkSession, scale: Int): Unit = {
+    val dirs = Seq("1x" -> "/root/testdata/sf0.1") ++
+      (if (scale > 1)
+        Seq(s"${scale}x" -> verbatimDocsCorpus(spark, scale))
+      else Nil)
+    for ((tag, dir) <- dirs; rounds <- Seq(8, 64, 256, 1024)) {
+      val docs = Tables.documents(spark, dir)
+      val t0 = System.nanoTime()
+      val merges = graft.ext.Bpe.trainMerges(docs, rounds)
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] bpe_train $tag rounds=$rounds%-5d " +
+        f"learned=${merges.size}%-5d total=$total%7.2fs " +
+        f"per-round=${total / math.max(merges.size, 1) * 1000}%8.2fms")
+    }
+  }
+
+  private def lcg(x: Long): Long =
+    x * 6364136223846793005L + 1442695040888963407L
+
+  /** Deterministic MB-scale media blob for doc `id`: id%3 picks
+    * PNG (1024×768 LCG-noise truecolor via the library's own
+    * [[graft.ext.Multimodal.pngEncode]] — noise is incompressible,
+    * so ~2.3 MB), JPEG (same raster through the JDK ImageIO
+    * encoder), or WAV (10 s stereo 16-bit PCM LCG samples under a
+    * hand-rolled RIFF header, ~1.76 MB). */
+  private def genBlob(id: Long): Array[Byte] = (id % 3) match {
+    case 0 =>
+      val (w, h) = (1024, 768)
+      val rgb = new Array[Byte](w * h * 3)
+      var x = id * 2654435761L | 1L
+      var i = 0
+      while (i < rgb.length) { x = lcg(x); rgb(i) = (x >>> 56).toByte; i += 1 }
+      graft.ext.Multimodal.pngEncode(
+        graft.ext.Multimodal.PngPixels(w, h, rgb))
+    case 1 =>
+      val (w, h) = (1024, 768)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val arr = new Array[Int](w * h)
+      var x = id * 2654435761L | 1L
+      var i = 0
+      while (i < arr.length) { x = lcg(x); arr(i) = (x >>> 40).toInt & 0xffffff; i += 1 }
+      img.setRGB(0, 0, w, h, arr, 0, w)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    case _ =>
+      val sr = 44100; val ch = 2; val seconds = 10
+      val dataLen = sr * seconds * ch * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes(ascii)); bb.put("fmt ".getBytes(ascii))
+      bb.putInt(16); bb.putShort(1); bb.putShort(ch.toShort)
+      bb.putInt(sr); bb.putInt(sr * ch * 2)
+      bb.putShort((ch * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+      var x = id * 2654435761L | 1L
+      var i = 0
+      while (i < sr * seconds * ch) { x = lcg(x); bb.putShort((x >>> 48).toShort); i += 1 }
+      bb.array()
+  }
+
+  /** REAL-media probe (`ScaleProbe <reps> <scale> realmedia`): the
+    * catalog's media probes ran on KB-scale ASCII stand-ins, so
+    * decode cost was never exercised distributed. This leg generates
+    * `scale`×60 deterministic MB-scale blobs ([[genBlob]] — ⅓ PNG,
+    * ⅓ JPEG, ⅓ WAV; ~100 MB per 60), then drives the REAL typed
+    * pipelines: `decodeMeta` (header parse — cost ∝ headers, not
+    * payload), `extractFeatures` (FULL pixel/sample decode — the
+    * byte-proportional pass), and the decode→resizeDims chain.
+    * Printed per shape: wall, MB/s over the true byte volume, and
+    * post-GC heap — flat heap across scales is the streamed-batch
+    * claim (mapPartitions holds one `batchSize` group at a time,
+    * never the partition). */
+  private def probeMediaReal(spark: SparkSession, scale: Int): Unit = {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val dir = s"/tmp/mediareal${scale}x"
+    if (!new java.io.File(s"$dir/_built").exists()) {
+      println(s"[probe] generating ${scale}x real media at $dir")
+      val t0 = System.nanoTime()
+      spark.range(60L * scale).select(col("id")).as[Long]
+        .repartition(32)
+        .map(id => (id, genBlob(id)))
+        .toDF("doc_id", "media")
+        .write.mode("overwrite").parquet(s"$dir/media.parquet")
+      new java.io.File(s"$dir/_built").createNewFile()
+      println(f"[probe] media built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } else println(s"[probe] reusing ${scale}x real media at $dir")
+    val records = spark.read.parquet(s"$dir/media.parquet")
+      .as[Multimodal.MediaRecord]
+    val tot = spark.read.parquet(s"$dir/media.parquet")
+      .agg(count(lit(1)), sum(length(col("media")))).head()
+    val (nBlobs, nBytes) = (tot.getLong(0), tot.getLong(1))
+    println(f"[probe] corpus: $nBlobs blobs, ${nBytes / 1048576.0}%.0f MB")
+    def measure(name: String)(df: => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rt = Runtime.getRuntime
+      System.gc()
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+      println(f"[probe] $name%-14s min ${times.min}%7.2fs " +
+        f"(${nBytes / 1048576.0 / times.min}%6.1f MB/s)  " +
+        f"heapAfterGc ${usedMb}MB")
+    }
+    measure("decode_meta") { Multimodal.decodeMeta(records).toDF() }
+    measure("features") { Multimodal.extractFeatures(records).toDF() }
+    measure("resize") {
+      val meta = Multimodal.decodeMeta(records).toDF()
+      val (w2, h2) = Multimodal.resizeDims(
+        col("width"), col("height"), 320, 240)
+      meta.select(col("doc_id"), w2.as("out_w"), h2.as("out_h"))
+    }
+  }
+
+  /** Streaming-family throughput probe (`ScaleProbe <reps> <n> stream`):
+    * the `st_*` entries have batch/stream parity specs; this is their
+    * SCALE evidence — the 10× corpus's ~1M events staged as 50
+    * time-range-ordered parquet files and streamed 5 files/trigger
+    * (≈10 micro-batches arriving in event-time order, the production
+    * regime where watermarks advance steadily and state evicts as it
+    * goes). Per query: total rows, wall, events/s, per-batch trigger
+    * latency (median/max), and the state store's `numRowsTotal` per
+    * batch — the boundedness trace. Shapes: tumbling watermark agg
+    * (update), session flatMapGroupsWithState (append; NoTimeout here
+    * — the processing-time flush never quiesces under
+    * processAllAvailable, the StatefulOpsSpec note; state is one
+    * triple per user by construction), the stream-stream interval
+    * join (append), and the TTL funnel in its production
+    * configuration (EventTimeTimeout + 24h idle). */
+  private def probeStream(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.streaming.{EventsStream, StatefulOps}
+    if (!new java.io.File(s"$ProbeDir/events.parquet").exists())
+      buildCorpus(spark, "/root/testdata/sf0.1")
+    val staged = "/tmp/streamprobe_events"
+    if (!new java.io.File(staged).exists())
+      Tables.events(spark, ProbeDir)
+        .repartitionByRange(50, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staged)
+    val n = spark.read.parquet(staged).count()
+    println(s"[probe] stream corpus: $n events, 50 ts-ordered files, " +
+      "5 files/trigger")
+    def src() = spark.readStream.schema(EventsStream.schema)
+      .option("maxFilesPerTrigger", 5).parquet(staged)
+    def srcRows() = src()
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StatefulOps.EventRow]
+    def measure(name: String, df: org.apache.spark.sql.DataFrame,
+        mode: String): Unit = {
+      val t0 = System.nanoTime()
+      val q = df.writeStream.outputMode(mode).format("noop").start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val rows = progs.map(_.numInputRows).sum
+      val lat = progs
+        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      val states = progs.map(p =>
+        if (p.stateOperators.nonEmpty)
+          p.stateOperators.map(_.numRowsTotal).sum
+        else 0L)
+      q.stop()
+      println(f"[probe] $name%-16s rows=$rows wall=$wall%6.1fs " +
+        f"ev/s=${rows / wall}%,10.0f batches=${progs.length} " +
+        f"batchMs med=${lat(lat.length / 2)} max=${lat.max} " +
+        s"state numRowsTotal/batch=${states.mkString("→")}")
+    }
+    measure("st_tumbling",
+      EventsStream.tumblingAgg(src().withWatermark("ts", "30 minutes")),
+      "update")
+    measure("st_session",
+      StatefulOps.sessionizeStream(srcRows(),
+        10 * 60 * 1000000L,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .toDF(), "append")
+    measure("st_stream_join", {
+      val s = src()
+      EventsStream.clickPurchaseJoin(
+        s.filter(col("event_type") === "click")
+          .withWatermark("ts", "1 hour"),
+        s.filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour"))
+    }, "append")
+    measure("st_funnel",
+      StatefulOps.funnelStream(srcRows()).toDF(), "update")
+  }
+
+  /** Containment-cap sensitivity probe
+    * (`ScaleProbe <reps> <scale> containment`): the fixed df≤16
+    * hot-gram cap vs the corpus-derived cap
+    * ([[graft.ext.Dedup.containmentPairsAuto]]), each measured as
+    * RECALL against the UNCAPPED ground-truth pair set (cap = N —
+    * exact, every candidate generated). The verbatim corpus is the
+    * adversarial regime: every gram's df scales linearly with the
+    * corpus (sf0.1's max df is 4, so at 10× every cross-doc shared
+    * gram sits at df ≥ 20 — past the fixed cap — while 1×-unique
+    * grams reach df 10), which is exactly how shared boilerplate
+    * behaves under real growth. Prints N, max df, truth/fixed/auto
+    * pair counts, recalls, and times. */
+  private def probeContainment(spark: SparkSession, scale: Int): Unit = {
+    val dirs = Seq(("1x", "/root/testdata/sf0.1")) ++
+      (if (scale > 1)
+        Seq((s"${scale}x", verbatimDocsCorpus(spark, scale)))
+      else Nil)
+    for ((tag, dir) <- dirs) {
+      val dd = Tables.documents(spark, dir)
+      val n = dd.count()
+      def pairs(cap: Int): (Set[(Long, Long)], Double) = {
+        val t0 = System.nanoTime()
+        val p = graft.ext.Dedup.containmentPairs(dd, "doc_id", "text",
+            n = 8, threshold = 0.5, dfCap = cap)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (p, (System.nanoTime() - t0) / 1e9)
+      }
+      val maxDf = graft.ext.Dedup.gramDfStats(dd, "doc_id", "text", 8)
+      val autoCap = math.max(2L, (16L * n + 4999) / 5000).toInt
+      val (truth, tT) = pairs(math.min(n, Int.MaxValue.toLong).toInt)
+      val (fixed, tF) = pairs(16)
+      val (auto, tA) = pairs(autoCap)
+      def rec(s: Set[(Long, Long)]): Double =
+        if (truth.isEmpty) 1.0
+        else s.intersect(truth).size.toDouble / truth.size
+      println(f"[probe] containment $tag N=$n maxDf=$maxDf " +
+        f"truth=${truth.size} ($tT%.1fs) " +
+        f"fixed16=${fixed.size} recall=${rec(fixed)}%.4f ($tF%.1fs) " +
+        f"auto(cap=$autoCap)=${auto.size} recall=${rec(auto)}%.4f " +
+        f"($tA%.1fs)")
+    }
+  }
 
   /** LM/score-family probe (`ScaleProbe <reps> <scale> lm`). The
     * [[buildCorpus]] replication suffixes every token per replica so
@@ -332,6 +589,27 @@ object ScaleProbe {
       }
       println(f"[probe] $q%-20s min ${times.min}%7.2fs  " +
         f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+      // q18 is the family's one data-sized exchange: capture the
+      // AQE-FINAL executed plan (post-execution, so runtime join
+      // re-planning — broadcast conversion / skew split — is visible,
+      // not just the static strategy)
+      if (q == "q18_large_orders") {
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+            : org.apache.spark.sql.execution.SparkPlan = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+          case o => o
+        }
+        val lines = finalPlan(df.queryExecution.executedPlan)
+          .toString.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange") ||
+            l.contains("Skew") || l.contains("AQE") ||
+            l.contains("QueryStage") || l.contains("Filter (sum_qty"))
+        println(s"[probe] $q AQE-final plan (joins/exchanges):")
+        lines.foreach(l => println(s"[plan] ${l.trim.take(160)}"))
+      }
     }
   }
 

@@ -77,13 +77,45 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("pc"))
 
-  /** Learn up to `rounds` merges. Per round: one vocabulary-sized
-    * pair aggregate, one argmax row to the driver, one literal
-    * replace over the persisted working table. Stops early if the
-    * vocabulary is fully merged. */
-  def trainMerges(documents: DataFrame, rounds: Int): Seq[Merge] = {
-    var w = wordTypes(documents)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Word-type count below which the merge loop finishes ON THE
+    * DRIVER: the corpus pays its one scan (the word-count aggregate),
+    * the vocabulary-sized (cnt, syms) table collects once, and all
+    * `rounds` argmax+merge steps run locally — the Pca covariance
+    * precedent (collect the scalar-sized state, never loop jobs over
+    * tiny frames). Production tokenizers train THOUSANDS of merges;
+    * at ~1 µs-scale local rounds vs ~100 ms-scale distributed rounds
+    * (per-round count()+persist churn), the local finish is what
+    * makes that count reachable. ~2M types ≈ a few hundred MB of
+    * driver heap — comfortably under the driver budget; a corpus
+    * with more types takes the distributed loop unchanged. */
+  val LocalTypeLimit: Long = 1L << 21
+
+  /** Learn up to `rounds` merges; stops early if the vocabulary is
+    * fully merged. Vocabularies within `localTypeLimit` collect once
+    * and finish locally (see [[LocalTypeLimit]]); larger ones run
+    * the distributed loop (one vocabulary-sized pair aggregate + one
+    * argmax row to the driver + one literal replace per round). The
+    * two paths are merge-for-merge identical (BpeSpec proves
+    * distributed ≡ local on the same corpus; ties break on UTF-8
+    * byte order in both — see [[utf8Compare]]). */
+  def trainMerges(documents: DataFrame, rounds: Int,
+      localTypeLimit: Long = LocalTypeLimit): Seq[Merge] = {
+    val w0 = wordTypes(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    if (w0.count() <= localTypeLimit) {
+      val types = w0
+        .select(col("cnt"), split(trim(col("sym")), "  ").as("syms"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      w0.unpersist()
+      trainLocal(types, rounds)
+    } else trainDistributed(w0, rounds)
+  }
+
+  /** The distributed merge loop (vocabularies past the driver
+    * budget). Takes ownership of the persisted `w0`. */
+  private def trainDistributed(w0: DataFrame, rounds: Int)
+      : Seq[Merge] = {
+    var w = w0
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var done = false
@@ -108,6 +140,89 @@ object Bpe {
       }
     }
     w.unpersist()
+    merges.result()
+  }
+
+  /** Spark/DuckDB string ordering — unsigned UTF-8 byte comparison
+    * (UTF8String binary order / DuckDB default collation). Java's
+    * `String.compareTo` orders UTF-16 code units instead, which
+    * disagrees for supplementary-plane characters; the local loop
+    * must break argmax ties exactly as the distributed `orderBy`
+    * does. */
+  private[ext] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Greedy left-to-right non-overlapping pair merge on a symbol
+    * array — the list formulation BpeSpec property-proves ≡ the
+    * engine's literal string replace. */
+  private def mergePairGreedy(s: Array[String], l: String,
+      r: String): Array[String] = {
+    if (s.length < 2) return s
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The driver-local merge loop over the collected (cnt, syms)
+    * word-type table. Order-independent by construction: pair counts
+    * sum over all types, and the argmax comparison (count desc, then
+    * left/right UTF-8-ascending) is total over distinct pairs, so
+    * the nondeterministic partition order of the collect cannot
+    * change the result. */
+  private[ext] def trainLocal(types: Array[(Long, Array[String])],
+      rounds: Int): Seq[Merge] = {
+    var syms = types.map(_._2)
+    val cnts = types.map(_._1)
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pc = new scala.collection.mutable.HashMap[(String, String), Long]
+      var k = 0
+      while (k < syms.length) {
+        val s = syms(k); val c = cnts(k)
+        var i = 0
+        while (i < s.length - 1) {
+          val key = (s(i), s(i + 1))
+          pc.update(key, pc.getOrElse(key, 0L) + c)
+          i += 1
+        }
+        k += 1
+      }
+      if (pc.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- pc) {
+          if (best == null) best = e
+          else {
+            val dc = java.lang.Long.compare(e._2, best._2)
+            if (dc > 0 || (dc == 0 && {
+              val dl = utf8Compare(e._1._1, best._1._1)
+              dl < 0 || (dl == 0 && utf8Compare(e._1._2, best._1._2) < 0)
+            })) best = e
+          }
+        }
+        val ((l, rt), c) = best
+        merges += Merge(r, l, rt, c)
+        syms = syms.map(s => mergePairGreedy(s, l, rt))
+        r += 1
+      }
+    }
     merges.result()
   }
 
@@ -174,10 +289,19 @@ object Bpe {
        |b$r AS MATERIALIZED (SELECT l, r, pc FROM pc$r
        |  ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
        |w$r AS MATERIALIZED (SELECT cnt, replace(sym,
-       |    ' ' || (SELECT l FROM b$r) || '  ' || (SELECT r FROM b$r) || ' ',
-       |    ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' ') AS sym
+       |    ' ' || coalesce((SELECT l FROM b$r), chr(1)) || '  ' ||
+       |      coalesce((SELECT r FROM b$r), chr(1)) || ' ',
+       |    ' ' || coalesce((SELECT l FROM b$r), chr(1)) ||
+       |      coalesce((SELECT r FROM b$r), chr(1)) || ' ') AS sym
        |  FROM $prev)""".stripMargin
   }
+  // ^ the coalesce sentinels make an EXHAUSTED round (empty b$r —
+  // vocabulary fully merged before `rounds`) a no-op replace, matching
+  // the Scala loop's early stop: bare scalar subqueries over an empty
+  // CTE are NULL, so replace() would NULL every sym and silently
+  // collapse downstream counts. chr(1) cannot match: exhaustion means
+  // every sym is single-symbol (no '  ' separator anywhere), so ANY
+  // non-NULL pattern containing '  ' misses.
 
   /** Oracle SQL for [[mergeTable]] at `rounds` merges. */
   def mergeTableSql(rounds: Int): String = {
@@ -194,12 +318,16 @@ object Bpe {
     * nested replaces via scalar subqueries. */
   def tokenStatsSql(rounds: Int): String = {
     val ctes = (w0Sql +: (1 to rounds).map(roundSql)).mkString(",\n")
+    // same coalesce-sentinel treatment as roundSql: an exhausted
+    // round must be a no-op replace on the document side too (NULL
+    // patterns would NULL n_sym and coalesce n_bpe to 0)
     val applied = (1 to rounds).foldLeft("' ' || array_to_string(" +
       s"list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), " +
       s"'  ') || '  $EndMark '") { (acc, r) =>
-      s"replace($acc,\n    ' ' || (SELECT l FROM b$r) || '  ' || " +
-        s"(SELECT r FROM b$r) || ' ',\n    ' ' || (SELECT l FROM b$r)" +
-        s" || (SELECT r FROM b$r) || ' ')"
+      s"replace($acc,\n    ' ' || coalesce((SELECT l FROM b$r), chr(1))" +
+        s" || '  ' || coalesce((SELECT r FROM b$r), chr(1)) || ' ',\n" +
+        s"    ' ' || coalesce((SELECT l FROM b$r), chr(1))" +
+        s" || coalesce((SELECT r FROM b$r), chr(1)) || ' ')"
     }
     s"""WITH $ctes,
        |dw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w

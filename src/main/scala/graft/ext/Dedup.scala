@@ -221,6 +221,41 @@ object Dedup {
     out
   }
 
+  /** [[containmentPairs]] with the hot-gram cap derived from CORPUS
+    * SIZE instead of held at a constant: under real corpus growth a
+    * boilerplate gram's absolute document frequency grows ~linearly
+    * with N (it reaches a fixed FRACTION of documents), so a fixed
+    * absolute cap prunes an ever-larger share of true pairs as the
+    * corpus grows — the same decay the `d_embed_dups_auto` plane
+    * derivation exists to stop. Cap = max(minCap,
+    * ceil(capNum·N / capDen)) computed in EXACT integer arithmetic
+    * ((capNum·N + capDen−1) div capDen — a double `ceil(ratio·N)`
+    * can land on 17 where 16 is exact), so the DuckDB oracle
+    * reproduces it verbatim. Defaults anchor cap=16 at the 5k-doc
+    * sf0.1 corpus (cap 160 at 10×, and so on). The per-gram fan-out
+    * bound then stays a fixed fraction-of-corpus² instead of
+    * silently tightening; N comes from one `count()` (driver loop
+    * control, the Bpe/Pca precedent). */
+  def containmentPairsAuto(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, capNum: Long = 16L,
+      capDen: Long = 5000L, minCap: Int = 2): DataFrame = {
+    val nDocs = docs.count()
+    val cap = math.max(minCap.toLong,
+      (capNum * nDocs + capDen - 1) / capDen)
+    require(cap <= Int.MaxValue, s"containment cap overflow: $cap")
+    containmentPairs(docs, idCol, textCol, n, threshold, cap.toInt)
+  }
+
+  /** Max gram document frequency over the corpus — the probe's
+    * justification scalar (a cap ≥ max df is provably complete). */
+  def gramDfStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): Long =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ArrayOps.array_poly_hash(
+          shingles(col(textCol), n))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+
   /** MinHash signature over pre-hashed shingles: for permutation j,
     * min over shingle hashes h of (a_j * h + b_j) mod p. Hashing the
     * shingle strings once (`hs`) and permuting the longs keeps this

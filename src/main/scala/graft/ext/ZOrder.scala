@@ -61,17 +61,29 @@ object ZOrder {
   private val CustShift = 6   // width 64
   private val DayShift = 4    // width 16
 
-  /** 9-row skipping report over orders(o_custkey, o_orderdate). */
+  /** 9-row skipping report over orders(o_custkey, o_orderdate).
+    *
+    * Exactly ONE corpus aggregate per layout: the per-bucket pass
+    * carries, for every box at once, the touch flag (max) AND the
+    * per-bucket match count (sum), so bucket totals, touched buckets,
+    * rows-scanned and rows-matching for all three boxes fold into a
+    * single second-level aggregate whose one row fans out to the
+    * three box rows via array+explode (a first version unioned 9
+    * legs, each re-running the bucket aggregate plus a separate
+    * matched count — ~18 scans of orders). `keyed` persists for the
+    * report's build (3 layout scans of one cached projection) and
+    * unpersists after the 9-row result is checkpointed. */
   def skippingReport(orders: DataFrame): DataFrame = {
     val keyed = orders.select(
       col("o_custkey").cast("long").as("ck"),
       datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
         .cast("long").as("dy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val layouts: Seq[(String, Column)] = Seq(
       ("zorder", shiftright(zValue(col("ck"), col("dy")), ZShift)),
       ("cust_sort", shiftright(col("ck"), CustShift)),
       ("date_sort", shiftright(col("dy"), DayShift)))
-    layouts.map { case (name, bucket) =>
+    val out = layouts.map { case (name, bucket) =>
       val matchCols = Boxes.map { case (bn, cl, ch, dl, dh) =>
         (col("ck") >= cl && col("ck") < ch &&
           col("dy") >= dl && col("dy") < dh).cast("long").as(s"m_$bn")
@@ -80,27 +92,28 @@ object ZOrder {
         .select(bucket.cast("long").as("bkt") +: matchCols: _*)
         .groupBy(col("bkt"))
         .agg(count(lit(1)).as("n"),
-          Boxes.map { case (bn, _, _, _, _) =>
-            max(col(s"m_$bn")).as(s"t_$bn") }: _*)
-      // one tiny frame per box, unioned: layout, box, bucket totals,
-      // touched buckets, rows a pruned scan reads, rows matching
-      Boxes.map { case (bn, cl, ch, dl, dh) =>
-        val matched = keyed.filter(
-          col("ck") >= cl && col("ck") < ch &&
-            col("dy") >= dl && col("dy") < dh)
-          .agg(count(lit(1)).as("rows_matching"))
-        perBucket.agg(
-          count(lit(1)).as("n_buckets"),
-          sum(col(s"t_$bn")).as("n_touched"),
+          Boxes.flatMap { case (bn, _, _, _, _) => Seq(
+            max(col(s"m_$bn")).as(s"t_$bn"),
+            sum(col(s"m_$bn")).as(s"mm_$bn")) }: _*)
+      val aggCols = count(lit(1)).as("n_buckets") +:
+        Boxes.flatMap { case (bn, _, _, _, _) => Seq(
+          sum(col(s"t_$bn")).as(s"nt_$bn"),
           sum(when(col(s"t_$bn") === 1, col("n")).otherwise(0L))
-            .as("rows_scanned"))
-          .crossJoin(matched)
-          .select(lit(name).as("layout"), lit(bn).as("box"),
-            col("n_buckets"), col("n_touched"), col("rows_scanned"),
-            col("rows_matching"))
-      }.reduce(_ unionByName _)
+            .as(s"rs_$bn"),
+          sum(col(s"mm_$bn")).as(s"rm_$bn")) }
+      perBucket.agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array(Boxes.map { case (bn, _, _, _, _) =>
+          struct(lit(name).as("layout"), lit(bn).as("box"),
+            col("n_buckets"), col(s"nt_$bn").as("n_touched"),
+            col(s"rs_$bn").as("rows_scanned"),
+            col(s"rm_$bn").as("rows_matching"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
     }.reduce(_ unionByName _)
       .orderBy("layout", "box")
+      .localCheckpoint()
+    keyed.unpersist()
+    out
   }
 
   /** DuckDB oracle for [[skippingReport]]. */

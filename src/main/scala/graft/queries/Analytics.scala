@@ -102,8 +102,14 @@ object Analytics {
   /** TPC-H Q8-style national market share: for ECONOMY parts bought
     * by ASIA-region customers, the yearly revenue share supplied by
     * NATION_2. Two ratio terms aggregate in one pass (conditional
-    * sum over the same joined frame); every dimension broadcasts, so
-    * the only fact shuffle is the final per-year aggregate. */
+    * sum over the same joined frame); the FIXED-size dims (part
+    * slice, nation, region, supplier) broadcast by hint, while
+    * customer — which scales WITH the corpus (TPC-H sizes it at
+    * 150k·SF, and the tpch probe replicates it with the facts) —
+    * carries no hint: AQE picks broadcast at runtime while it fits
+    * and falls back to a shuffled hash join beyond the threshold,
+    * instead of a forced broadcast OOMing the driver at scale (the
+    * q18 treatment). */
   def q8MarketShare(s: SparkSession, d: String): DataFrame = {
     val part = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
       .select("p_partkey")
@@ -121,7 +127,7 @@ object Analytics {
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey",
         "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(custNat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -136,7 +142,9 @@ object Analytics {
 
   /** TPC-H Q10-style returned-item report: top-20 customers by
     * revenue lost to returns in 1996H1. Fact side joins orders with
-    * a pushed date filter; customer + nation broadcast; top-20 is
+    * a pushed date filter; nation (fixed-size) broadcasts by hint,
+    * customer (corpus-scaled — see [[q8MarketShare]]) is left to
+    * AQE's runtime strategy choice; top-20 is
     * TakeOrderedAndProject. */
   def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
@@ -150,7 +158,7 @@ object Analytics {
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("n_name"))
@@ -207,7 +215,9 @@ object Analytics {
     * exceeds 250 (≈ p99), with customer detail. The HAVING aggregate
     * shuffles on the fact key; the surviving frame is data-dependent
     * so it is NOT hint-broadcast — AQE converts the join at runtime
-    * when the filtered side is small. */
+    * when the filtered side is small (executed-plan evidence at 100×
+    * in BASELINE.md's q18 plan-audit section). Customer is likewise
+    * unhinted (corpus-scaled — see [[q8MarketShare]]). */
   def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
     val bigOrders = Tables.lineitem(s, d)
       .select("l_orderkey", "l_quantity")
@@ -217,7 +227,7 @@ object Analytics {
     Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))

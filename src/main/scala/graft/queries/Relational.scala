@@ -185,39 +185,82 @@ object Relational {
     * hash-verifies the join's SEMANTICS against the plain-join
     * oracle (bucketing must never change results). The post-join
     * aggregation exchanges only the tiny priority frame. */
-  def qBucketedJoin(s: SparkSession, d: String): DataFrame =
-    bucketedJoin(s, Tables.orders(s, d), Tables.lineitem(s, d))
-      .orderBy("o_orderpriority")
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val r = bucketedJoinRun(s, Tables.orders(s, d), Tables.lineitem(s, d))
+    // the result is priority-sized — checkpoint it, then reclaim the
+    // bucketed tables + temp dir immediately (repeated catalog runs
+    // must not accumulate bucket copies on disk)
+    val out = r.df.orderBy("o_orderpriority").localCheckpoint()
+    r.cleanup()
+    out
+  }
+
+  /** One bucketed-join run: the live joined frame (plan inspectable —
+    * BucketedJoinSpec asserts the zero-exchange property on it) plus
+    * the action that drops its run-scoped tables and deletes its temp
+    * dir once the frame has been consumed/materialized. */
+  private[queries] final case class BucketRun(df: DataFrame,
+      cleanup: () => Unit)
+
+  // run token: pid (two sessions sharing a metastore/warehouse never
+  // race on table names) + per-JVM counter (repeat invocations never
+  // collide); dirs not reclaimed inline are deleted at JVM exit
+  private val bkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val bkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete(): Unit
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = bkDirs.poll()
+      while (d != null) { deleteRec(new java.io.File(d)); d = bkDirs.poll() }
+    }))
+  }
 
   /** Core of [[qBucketedJoin]], spec-testable: writes both frames as
-    * bucketed external tables under a fresh temp dir (repartitioned
-    * to one file per bucket — the precondition for sorted-scan reads
-    * on engines/flags that honor bucket-file order), reads them back
-    * through the catalog, joins on the bucket key, aggregates
-    * revenue per order priority. */
+    * bucketed external tables under a fresh run-token-suffixed temp
+    * dir (repartitioned to one file per bucket — the precondition for
+    * sorted-scan reads on engines/flags that honor bucket-file
+    * order), reads them back through the catalog, joins on the bucket
+    * key, aggregates revenue per order priority. */
   def bucketedJoin(s: SparkSession, orders: DataFrame,
-      lineitem: DataFrame): DataFrame = {
+      lineitem: DataFrame): DataFrame =
+    bucketedJoinRun(s, orders, lineitem).df
+
+  private[queries] def bucketedJoinRun(s: SparkSession, orders: DataFrame,
+      lineitem: DataFrame): BucketRun = {
+    val token =
+      s"${ProcessHandle.current().pid()}_${bkCounter.incrementAndGet()}"
     val dir = java.nio.file.Files
-      .createTempDirectory("graft_buckets").toString
-    s.sql("DROP TABLE IF EXISTS graft_bk_orders")
-    s.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
+      .createTempDirectory(s"graft_buckets_$token").toString
+    bkDirs.add(dir)
+    val tOrd = s"graft_bk_orders_$token"
+    val tLi = s"graft_bk_lineitem_$token"
     orders.select("o_orderkey", "o_orderpriority")
       .repartition(8, col("o_orderkey"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$dir/orders").mode("overwrite")
-      .saveAsTable("graft_bk_orders")
+      .saveAsTable(tOrd)
     lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
       .repartition(8, col("l_orderkey"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$dir/lineitem").mode("overwrite")
-      .saveAsTable("graft_bk_lineitem")
-    s.table("graft_bk_orders")
-      .join(s.table("graft_bk_lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
+      .saveAsTable(tLi)
+    val df = s.table(tOrd)
+      .join(s.table(tLi), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
+    BucketRun(df, () => {
+      s.sql(s"DROP TABLE IF EXISTS $tOrd")
+      s.sql(s"DROP TABLE IF EXISTS $tLi")
+      bkDirs.remove(dir)
+      deleteRec(new java.io.File(dir))
+    })
   }
 
   private val qBucketedJoinSql =

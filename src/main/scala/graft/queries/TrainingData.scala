@@ -136,7 +136,24 @@ object TrainingData {
       n = 8, threshold = 0.5, dfCap = 16)
       .orderBy("doc_a", "doc_b")
 
-  private val dContainmentSql =
+  /** [[dContainment]] with the hot-gram cap DERIVED from corpus size
+    * ([[Dedup.containmentPairsAuto]]: cap = ⌈16·N/5000⌉, min 2, exact
+    * integer arithmetic) — the production sibling for corpora where a
+    * fixed absolute cap would prune a growing share of true pairs as
+    * boilerplate df scales with N (recall measurements in
+    * BASELINE.md's containment-cap section). */
+  def dContainmentAuto(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairsAuto(docs(s, d), "doc_id", "text",
+      n = 8, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private val dContainmentSql = containmentSqlWith("16")
+
+  private val dContainmentAutoSql = containmentSqlWith(
+    "(SELECT greatest(2, (16 * count(*) + 4999) // 5000) " +
+      "FROM documents)")
+
+  private def containmentSqlWith(capExpr: String): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
        |  FROM documents),
        |g AS (SELECT doc_id, unnest(list_transform(
@@ -146,7 +163,7 @@ object TrainingData {
        |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
        |dfq AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
        |rare AS (SELECT g.doc_id, g.g FROM g JOIN dfq USING (g)
-       |  WHERE dfq.df <= 16),
+       |  WHERE dfq.df <= $capExpr),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM rare a JOIN rare b
        |    ON a.g = b.g AND a.doc_id < b.doc_id),
@@ -3455,6 +3472,7 @@ object TrainingData {
     "d_incremental_minhash" -> (dIncrementalMinhash _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
     "d_containment" -> (dContainment _),
+    "d_containment_auto" -> (dContainmentAuto _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_bm25" -> (dBm25 _),
     "d_dedup_recall" -> (dDedupRecall _),
@@ -3530,6 +3548,7 @@ object TrainingData {
     "d_incremental_minhash" -> dIncrementalMinhashSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
     "d_containment" -> dContainmentSql,
+    "d_containment_auto" -> dContainmentAutoSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_bm25" -> dBm25Sql,
     "d_dedup_recall" -> dDedupRecallSql,

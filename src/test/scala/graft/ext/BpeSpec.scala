@@ -75,6 +75,44 @@ class BpeSpec extends SparkSpec {
         s"word '$w': spark ${sparkCounts(w)} vs ref $refN")
   }
 
+  test("256 rounds (production-scale merge count) == list-based " +
+      "reference, merge by merge, on a 600-type corpus") {
+    // seeded pseudo-random corpus: ~600 distinct words, zipf-ish
+    // counts — enough pair material to sustain 256 merges (total
+    // available merges ≈ Σ(len+1) − types ≈ 4.5k)
+    val rnd = new scala.util.Random(271828)
+    val alpha = "abcdefghij"
+    val vocabWords = (0 until 600).map { _ =>
+      val n = 3 + rnd.nextInt(10)
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }.distinct
+    val wordCnt = vocabWords.zipWithIndex
+      .map { case (w, i) => w -> (1L + (600 - i) / 7) }.toMap
+    val docs = wordCnt.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((w, c), i) =>
+        (i.toLong, Seq.fill(c.toInt)(w).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val rounds = 256
+    val got = Bpe.trainMerges(df, rounds).map(m => (m.left, m.right, m.cnt))
+    assert(got.size == rounds, s"expected $rounds merges, got ${got.size}")
+    val (want, _) = refTrain(wordCnt, rounds)
+    assert(got == want,
+      s"diverged at merge ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("distributed loop ≡ local finish, merge for merge (the " +
+      "localTypeLimit switch must be invisible)") {
+    val df = Seq(
+      1L -> "low low low lower lower newest newest newest newest",
+      2L -> "wider wider new newest low aaa aaa ab ba")
+      .toDF("doc_id", "text")
+    val local = Bpe.trainMerges(df, 12)
+    val dist = Bpe.trainMerges(df, 12, localTypeLimit = 0L)
+    assert(local == dist,
+      s"local=$local\ndist=$dist")
+  }
+
   test("property: applyMerges (string replace) ≡ list-semantics " +
       "merge for 300 pseudo-random words over an alphabet with " +
       "regex-special characters, under a stacked merge list") {
