@@ -238,6 +238,28 @@ object ScaleProbe {
         f"learned=${merges.size}%-5d total=$total%7.2fs " +
         f"per-round=${total / math.max(merges.size, 1) * 1000}%8.2fms")
     }
+    // tokenization under the full learned list: the rounds-deep
+    // replace chain vs the memoized local-apply kernel
+    for ((tag, dir) <- dirs) {
+      val docs = Tables.documents(spark, dir)
+      val merges = graft.ext.Bpe.trainMerges(docs, 1024)
+      import org.apache.spark.sql.functions._
+      val words = filter(split(col("text"), " "), t => length(t) > 0)
+      val nBpe = aggregate(words, lit(0L), (acc, t) => acc +
+        size(split(trim(graft.ext.Bpe.applyMerges(
+          graft.ext.Bpe.symInit(t), merges)), "  ")).cast("long"))
+      val tc = System.nanoTime()
+      docs.select(col("doc_id"),
+          size(words).cast("long").as("n_words"), nBpe.as("n_bpe"))
+        .write.format("noop").mode("overwrite").save()
+      val chainS = (System.nanoTime() - tc) / 1e9
+      val tf = System.nanoTime()
+      graft.ext.Bpe.tokenStatsFast(docs, merges)
+        .write.format("noop").mode("overwrite").save()
+      val fastS = (System.nanoTime() - tf) / 1e9
+      println(f"[probe] bpe_apply $tag merges=${merges.size} " +
+        f"chain=$chainS%7.2fs fast=$fastS%7.2fs")
+    }
   }
 
   private def lcg(x: Long): Long =

@@ -245,12 +245,81 @@ object Bpe {
     merges.foldLeft(sym)((c, m) => call_function("replace",
       c, lit(m.pattern), lit(m.replacement)))
 
+  /** Local apply: one greedy left-to-right pass per merge in rank
+    * order — EXACTLY the literal-replace chain semantics (a single
+    * pass leaves no instance of its own pair: the replacement product
+    * `lr` can equal neither `l` nor `r`, so adjacencies it creates
+    * never re-match the same pair). Deliberately NOT the
+    * rank-priority-queue algorithm production tokenizers use: on
+    * corpora where the same symbol string is derivable by two
+    * different merges (e.g. "aab" via both (a,ab) and (aa,b)),
+    * rank-first merging can re-create and consume a LOWER-ranked pair
+    * that the sequential chain — and both engines' `replace` — leave
+    * unmerged, silently breaking oracle parity. Sequential passes
+    * cost O(merges × |word|) per word TYPE, which
+    * [[tokenStatsFast]]'s memoization pays once per distinct word
+    * per partition. */
+  private[ext] def applyLocal(word: String,
+      merges: Array[(String, String)]): Int = {
+    var syms: Array[String] =
+      word.map(_.toString).toArray[String] :+ EndMark
+    var i = 0
+    while (i < merges.length && syms.length >= 2) {
+      val m = merges(i)
+      syms = mergePairGreedy(syms, m._1, m._2)
+      i += 1
+    }
+    syms.length
+  }
+
+  /** PRODUCTION-merge-count tokenization stats: same output contract
+    * as [[tokenStats]] (per-doc whitespace word count + BPE token
+    * count) but via a per-partition MEMOIZED compiled local apply
+    * instead of a `rounds`-deep Catalyst replace chain — at thousands
+    * of merges the expression chain's analysis/codegen cost and
+    * method size grow with rounds, while this path is one
+    * `mapPartitions` whose per-word cost is paid once per distinct
+    * word per partition (the memo is vocabulary-bounded, the same
+    * budget [[LocalTypeLimit]] already assumes). Map-only, zero
+    * shuffle; hash-verified at 8 rounds through the SAME
+    * [[tokenStatsSql]] oracle as `d_bpe_tokens`, and spec-proven ≡
+    * the replace chain merge-list-for-merge-list. */
+  def tokenStatsFast(documents: DataFrame, merges: Seq[Merge])
+      : DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ms = merges.map(m => (m.left, m.right)).toArray
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (id, text) =>
+          val words = text.split(" ")
+          var nWords = 0L
+          var nBpe = 0L
+          var i = 0
+          while (i < words.length) {
+            val w = words(i)
+            if (w.nonEmpty) {
+              nWords += 1
+              nBpe += memo.getOrElseUpdate(w, applyLocal(w, ms).toLong)
+            }
+            i += 1
+          }
+          (id, nWords, nBpe)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe")
+      .orderBy("doc_id")
+  }
+
   /** Per-document BPE tokenization stats under the merges learned
     * from the SAME corpus: whitespace word count and the BPE token
     * count after `rounds` merges. The merge list is a per-row
     * literal expression chain inside one whole-stage-codegen'd
     * projection — tokenizing is a map-only pass, no shuffle beyond
-    * the per-doc aggregate's none (all HOFs are per-row). */
+    * the per-doc aggregate's none (all HOFs are per-row). For
+    * production merge counts use [[tokenStatsFast]]. */
   def tokenStats(documents: DataFrame, rounds: Int): DataFrame = {
     val merges = trainMerges(documents, rounds)
     val words = filter(split(col("text"), " "),

@@ -116,6 +116,92 @@ object ZOrder {
     out
   }
 
+  /** Scalar z-tile id for the HIGH coordinate pair (ck >> 8,
+    * dy >> 8): because [[zValue]] is a carry-free sum of disjoint
+    * interleaved bits, `zValue(x, y) >> ZShift` (16 = 8+8 low bits)
+    * equals the interleave of the high coordinates — so the bucket a
+    * row lands in is computable from the TILE alone. */
+  def zTileId(xh: Long, yh: Long): Long =
+    (0 until 13).map(b =>
+      (((xh >> b) & 1L) << (2 * b)) | (((yh >> b) & 1L) << (2 * b + 1)))
+      .sum
+
+  /** Z-range decomposition of a query box: the bucket ids whose
+    * 256×256 (ck, dy) tile intersects [cl, ch) × [dl, dh) — computed
+    * from the BOX alone (data-independent), which is what a skipping
+    * reader pushes as a PARTITION filter. Exact: a bucket fixes
+    * (ck >> 8, dy >> 8), so enumerating the high-coordinate ranges
+    * covers precisely the buckets any in-box row can occupy. */
+  def zBucketsForBox(cl: Long, ch: Long, dl: Long, dh: Long)
+      : Seq[Long] =
+    for (xh <- (cl >> 8) to ((ch - 1) >> 8);
+         yh <- (dl >> 8) to ((dh - 1) >> 8))
+      yield zTileId(xh, yh)
+
+  /** Materialize orders under the z-order LAYOUT proper: one
+    * parquet dataset partitioned by the z-bucket directory key, so
+    * box queries are served by ENGINE partition pruning — the real
+    * skipping path, not the simulated report. The write is
+    * `partitionBy` on the derived bucket; at production scale the
+    * same frame would also `repartitionByRange(z)` within partitions
+    * for row-group-level min/max locality. */
+  def writeZOrdered(orders: DataFrame, dir: String): Unit =
+    orders.select(col("o_orderkey"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .cast("long").as("dy"))
+      .withColumn("zbkt",
+        shiftright(zValue(col("ck"), col("dy")), ZShift))
+      .write.mode("overwrite").partitionBy("zbkt").parquet(dir)
+
+  /** Box query over a [[writeZOrdered]] layout: the partition filter
+    * is the data-independent [[zBucketsForBox]] id set (pruned at
+    * PLANNING time — ZOrderScanSpec asserts the scan's numFiles
+    * metric), the box predicate stays as the in-partition residual.
+    * Returns the matching (o_orderkey, ck, dy) rows. */
+  def scanBox(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cl: Long, ch: Long, dl: Long, dh: Long): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("zbkt").isin(zBucketsForBox(cl, ch, dl, dh): _*))
+      .filter(col("ck") >= cl && col("ck") < ch &&
+        col("dy") >= dl && col("dy") < dh)
+      .select(col("o_orderkey"), col("ck"), col("dy"))
+
+  /** Catalog entry: write the z-ordered layout to a run-scoped temp
+    * dir, run the both_selective box through the PRUNED scan, then
+    * reclaim the layout (the [[graft.queries.Relational]] bucketed-
+    * join treatment — repeated runs must not accumulate layouts). */
+  def zorderScan(spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    writeZOrdered(orders, dir)
+    val (_, cl, ch, dl, dh) = Boxes.find(_._1 == "both_selective").get
+    val out = scanBox(spark, dir, cl, ch, dl, dh)
+      .orderBy("o_orderkey")
+      .localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    out
+  }
+
+  /** DuckDB oracle for [[zorderScan]]: the plain box filter — the
+    * layout must never change results. */
+  def zorderScanSql: String = {
+    val (_, cl, ch, dl, dh) = Boxes.find(_._1 == "both_selective").get
+    s"""WITH keyed AS (SELECT o_orderkey,
+       |    CAST(o_custkey AS BIGINT) AS ck,
+       |    CAST(datediff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dy
+       |  FROM orders)
+       |SELECT o_orderkey, ck, dy FROM keyed
+       |WHERE ck >= $cl AND ck < $ch AND dy >= $dl AND dy < $dh
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   /** DuckDB oracle for [[skippingReport]]. */
   def skippingReportSql: String = {
     val z = zValueSql("ck", "dy")

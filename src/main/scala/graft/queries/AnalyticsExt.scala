@@ -741,8 +741,17 @@ object AnalyticsExt {
   def qZorderSkipping(s: SparkSession, d: String): DataFrame =
     graft.ext.ZOrder.skippingReport(Tables.orders(s, d))
 
+  /** The z-order LAYOUT exercised for real: write orders partitioned
+    * by z-bucket, serve the both_selective box via engine partition
+    * pruning (data-independent z-range decomposition as the partition
+    * filter, box predicate as residual) — layout must never change
+    * results, so the oracle is the plain box filter. */
+  def qZorderScan(s: SparkSession, d: String): DataFrame =
+    graft.ext.ZOrder.zorderScan(s, Tables.orders(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_zorder_skipping" -> (qZorderSkipping _),
+    "q_zorder_scan" -> (qZorderScan _),
     "q_json_extract" -> (qJsonExtract _),
     "q_bloom_join" -> (qBloomJoin _),
     // Both percentile catalog entries are the scale-safe histogram
@@ -771,6 +780,7 @@ object AnalyticsExt {
 
   val oracle: Map[String, String] = Map(
     "q_zorder_skipping" -> graft.ext.ZOrder.skippingReportSql,
+    "q_zorder_scan" -> graft.ext.ZOrder.zorderScanSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_hll_portable" -> qHllPortableSql,

@@ -3287,6 +3287,17 @@ object TrainingData {
   def dBpeTokens(s: SparkSession, d: String): DataFrame =
     graft.ext.Bpe.tokenStats(docs(s, d), BpeRounds)
 
+  /** [[dBpeTokens]] through the production-merge-count apply path
+    * ([[graft.ext.Bpe.tokenStatsFast]]: per-partition memoized
+    * compiled local apply instead of a rounds-deep replace chain) —
+    * registered against the SAME unrolled-CTE oracle, so the kernel
+    * is hash-verified, not just spec-verified. */
+  def dBpeTokensFast(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    graft.ext.Bpe.tokenStatsFast(dd,
+      graft.ext.Bpe.trainMerges(dd, BpeRounds))
+  }
+
   /** Top principal component of the embedding corpus by distributed
     * power iteration — the anisotropy diagnostic; see
     * [[graft.ext.Pca]] for the matrix-sized-shuffle scale shape. */
@@ -3519,6 +3530,7 @@ object TrainingData {
     "d_lm_kn" -> (dLmKneserNey _),
     "d_bpe_train" -> (dBpeTrain _),
     "d_bpe_tokens" -> (dBpeTokens _),
+    "d_bpe_tokens_fast" -> (dBpeTokensFast _),
     "d_embed_pca" -> (dEmbedPca _),
     "d_embed_abtt" -> (dEmbedAbtt _),
     "d_embed_pca2" -> (dEmbedPca2 _),
@@ -3583,6 +3595,7 @@ object TrainingData {
     "d_lm_kn" -> dLmKneserNeySql,
     "d_bpe_train" -> graft.ext.Bpe.mergeTableSql(BpeRounds),
     "d_bpe_tokens" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
+    "d_bpe_tokens_fast" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
     "d_embed_pca" -> graft.ext.Pca.topComponentSql(),
     "d_embed_abtt" -> graft.ext.Pca.allButTopSql(),
     "d_embed_pca2" -> graft.ext.Pca.topComponents2Sql(),

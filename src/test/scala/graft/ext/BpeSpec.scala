@@ -156,6 +156,43 @@ class BpeSpec extends SparkSpec {
         s"word '$w': spark ${got(w)} vs ref ${refApply(w)}")
   }
 
+  test("tokenStatsFast (memoized local apply) ≡ tokenStats (replace " +
+      "chain), row for row, on the real sf0.001 corpus at 8 rounds") {
+    val dd = graft.Tables.documents(spark, sf0001)
+    val chain = Bpe.tokenStats(dd, 8).collect().toSeq
+    val fast = Bpe.tokenStatsFast(dd, Bpe.trainMerges(dd, 8))
+      .collect().toSeq
+    assert(fast.nonEmpty && fast == chain,
+      s"fast=${fast.size} chain=${chain.size}")
+  }
+
+  test("tokenStatsFast ≡ the replace-chain apply under a 256-merge " +
+      "production list (per-word, incl. memo correctness across docs)") {
+    val rnd = new scala.util.Random(314159)
+    val alpha = "abcdefghij"
+    val vocabWords = (0 until 600).map { _ =>
+      val n = 3 + rnd.nextInt(10)
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }.distinct
+    val docs = vocabWords.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, (ws ++ ws.take(7)).mkString(" ")) }
+      .toSeq
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, 256)
+    assert(merges.size == 256)
+    val fast = Bpe.tokenStatsFast(df, merges).collect().toSeq
+    // reference: the Spark literal-replace expression chain itself
+    import org.apache.spark.sql.functions._
+    val words = filter(split(col("text"), " "), t => length(t) > 0)
+    val nBpe = aggregate(words, lit(0L), (acc, t) => acc +
+      size(split(trim(Bpe.applyMerges(Bpe.symInit(t), merges)), "  "))
+        .cast("long"))
+    val chain = df.select(col("doc_id"),
+        size(words).cast("long").as("n_words"), nBpe.as("n_bpe"))
+      .orderBy("doc_id").collect().toSeq
+    assert(fast == chain, s"fast=${fast.take(3)} chain=${chain.take(3)}")
+  }
+
   test("tokenStats: n_bpe sums per-word symbol counts; merging can " +
       "only shrink counts; zero-merge count = chars + words") {
     val df = Seq(1L -> "low low lower", 2L -> "newest new")
