@@ -439,6 +439,29 @@ object ScaleProbe {
     }, "append")
     measure("st_funnel",
       StatefulOps.funnelStream(srcRows()).toDF(), "update")
+    // same stateful shapes on the PRODUCTION state backend: RocksDB
+    // keeps state off-heap (native memory + local SST files), the
+    // backend a 1000-executor job runs so state survives executor
+    // heap pressure and supports changelog checkpointing; parity of
+    // results is implied by the state-store API — this leg measures
+    // the throughput tax and that JVM heap stays flat
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    try {
+      measure("st_session[rocksdb]",
+        StatefulOps.sessionizeStream(srcRows(),
+          10 * 60 * 1000000L,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+          .toDF(), "append")
+      measure("st_funnel[rocksdb]",
+        StatefulOps.funnelStream(srcRows()).toDF(), "update")
+      val rt = Runtime.getRuntime
+      System.gc()
+      println(s"[probe] rocksdb legs done, heapAfterGc " +
+        s"${(rt.totalMemory() - rt.freeMemory()) >> 20}MB")
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
   }
 
   /** Containment-cap sensitivity probe

@@ -732,9 +732,19 @@ object Similarity {
     * PQ ranking score; recall vs the exact scan is bounded in
     * SimilaritySpec and measured per-corpus the same way
     * `s_ann_recall` does for LSH. */
+  /** `fitSampleMod` > 1 fits the codebooks on the DETERMINISTIC
+    * sample `vec_id % fitSampleMod == 0` (seeds, assignments and
+    * centroid updates all over the sample) while the FULL corpus is
+    * still encoded and scored — the production fit shape
+    * (FAISS-class systems train quantizers on a bounded sample): fit
+    * cost becomes sample-sized × iters, corpus-independent, and the
+    * corpus pays exactly one encode pass. The modulus predicate is
+    * SQL-mirrorable, so the sampled fit stays hash-verifiable. */
   def pqTopK(embeddings: DataFrame, queryIds: DataFrame, k: Int,
-      m: Int, kSub: Int, iters: Int, dim: Int = 64): DataFrame = {
+      m: Int, kSub: Int, iters: Int, dim: Int = 64,
+      fitSampleMod: Long = 1L): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
+    require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
     val subDim = dim / m
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
@@ -742,7 +752,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val subBase = pqSubExplode(base, m, subDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = pqFitCodebooks(base, subBase, m, subDim, kSub, iters)
+    val (fitBase, fitSub) =
+      if (fitSampleMod > 1L) {
+        val fb = base.filter(col("vec_id") % fitSampleMod === 0)
+        (fb, pqSubExplode(fb, m, subDim))
+      } else (base, subBase)
+    val cents = pqFitCodebooks(fitBase, fitSub, m, subDim, kSub, iters)
     val codes = pqAssign(subBase, cents)
       .select(col("vec_id"), col("sub"), col("cid"))
     val q = base.join(broadcast(queryIds), Seq("vec_id"))

@@ -1274,18 +1274,23 @@ object TrainingData {
   private val PqM = 16; private val PqSubDim = 4; private val PqKSub = 32
   private def pqLo(s: Int) = s * PqSubDim + 1
   private def pqHi(s: Int) = (s + 1) * PqSubDim
-  private def pqFitsSql: String = {
+  private def pqFitsSql: String = pqFitsSqlWith(None)
+  /** `sampleMod = Some(n)` fits every subspace codebook (seeds,
+    * both Lloyd rounds) on the `vec_id % n = 0` sample while the
+    * final code assignment `m$s` still covers the full corpus —
+    * mirrors [[Similarity.pqTopK]]'s `fitSampleMod`. */
+  private def pqFitsSqlWith(sampleMod: Option[Int]): String = {
     // identical float expression tree to Similarity.l2sq
     def l2(a: String, b: String) =
       s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
       s" + list_dot_product($b, $b), 6)"
-    def assignSql(sub: Int, cent: String, out: String) =
+    def assignSql(src: String, cent: String, out: String) =
       s"""$out AS (SELECT vec_id, emb, cid FROM (
          |  SELECT b.vec_id, b.emb, c.cid,
          |    row_number() OVER (PARTITION BY b.vec_id
          |      ORDER BY ${l2("b.emb", "c.centroid")} ASC, c.cid)
          |      AS rn
-         |  FROM b$sub b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+         |  FROM $src b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
     def updateSql(assigned: String, out: String) =
       s"""${out}d AS (SELECT cid, i,
          |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
@@ -1295,16 +1300,20 @@ object TrainingData {
          |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
          |  FROM ${out}d GROUP BY cid)""".stripMargin
     (0 until PqM).map { s =>
+      val fitSrc = if (sampleMod.isDefined) s"fb$s" else s"b$s"
+      val fbCte = sampleMod.map(n =>
+        s"fb$s AS (SELECT vec_id, emb FROM b$s WHERE vec_id % $n = 0),\n")
+        .getOrElse("")
       s"""b$s AS (SELECT vec_id, emb[${pqLo(s)}:${pqHi(s)}] AS emb
          |  FROM base),
-         |i$s AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
+         |${fbCte}i$s AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
          |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
-         |    FROM b$s) WHERE rn <= $PqKSub),
-         |${assignSql(s, s"i$s", s"a${s}1")},
+         |    FROM $fitSrc) WHERE rn <= $PqKSub),
+         |${assignSql(fitSrc, s"i$s", s"a${s}1")},
          |${updateSql(s"a${s}1", s"c${s}1")},
-         |${assignSql(s, s"c${s}1", s"a${s}2")},
+         |${assignSql(fitSrc, s"c${s}1", s"a${s}2")},
          |${updateSql(s"a${s}2", s"c${s}2")},
-         |${assignSql(s, s"c${s}2", s"m$s")}""".stripMargin
+         |${assignSql(s"b$s", s"c${s}2", s"m$s")}""".stripMargin
     }.mkString(",\n")
   }
   private def pqCodesUnionSql: String = (0 until PqM)
@@ -1323,6 +1332,41 @@ object TrainingData {
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |$pqFitsSql,
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |codes AS ($pqCodesUnionSql),
+       |lut AS ($pqLutUnionSql),
+       |scored AS (SELECT query_id, k.vec_id AS neighbor_id,
+       |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY query_id, k.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** PQ with the SAMPLED codebook fit ([[Similarity.pqTopK]] at
+    * `fitSampleMod = 4`): quantizers trained on the deterministic
+    * quarter-sample, full corpus encoded and scored — the production
+    * fit shape (bounded-sample training makes fit cost
+    * corpus-independent; the corpus pays exactly one encode pass).
+    * Hash-verified because the modulus sample is SQL-mirrorable. */
+  def sAnnPqSampled(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.pqTopK(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, m = 16, kSub = 32, iters = 2, fitSampleMod = 4L)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnPqSampledSql =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |${pqFitsSqlWith(Some(4))},
        |$qidsSql,
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
@@ -3503,6 +3547,7 @@ object TrainingData {
     "s_ann_rerank" -> (sAnnRerank _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
     "s_ann_pq" -> (sAnnPq _),
+    "s_ann_pq_sampled" -> (sAnnPqSampled _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_decontaminate" -> (dEmbedDecontaminate _),
@@ -3617,6 +3662,7 @@ object TrainingData {
     "s_ann_rerank" -> sAnnRerankSql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
     "s_ann_pq" -> sAnnPqSql,
+    "s_ann_pq_sampled" -> sAnnPqSampledSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "d_embed_decontaminate" -> dEmbedDecontaminateSql,

@@ -436,6 +436,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall degraded: $recall")
   }
 
+  test("sampled-fit PQ: fitSampleMod=1 is the identity; the quarter-" +
+      "sample fit still encodes the FULL corpus, keeps k rows with " +
+      "contiguous ranks per query, and holds recall on the corpus") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val full = Similarity.pqTopK(emb, q16, 5, m = 16, kSub = 32,
+      iters = 2).orderBy("query_id", "rank").collect().toSeq
+    val mod1 = Similarity.pqTopK(emb, q16, 5, m = 16, kSub = 32,
+      iters = 2, fitSampleMod = 1L)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(mod1 == full)
+    val sampled = Similarity.pqTopK(emb, q16, 5, m = 16, kSub = 32,
+        iters = 2, fitSampleMod = 4L)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = sampled.groupBy(_._1)
+    assert(byQ.size == 16)
+    for ((q, rows) <- byQ) {
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5), s"ranks for $q")
+      // codes cover the FULL corpus: neighbors are not restricted to
+      // the fit sample
+      assert(rows.forall(r => r._2 != q))
+    }
+    assert(sampled.exists(_._2 % 4 != 0),
+      "every neighbor sits in the fit sample — encode pass looks " +
+        "sample-restricted")
+    val truth = Similarity.bruteForceTopK(emb, q16, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recall = sampled.map(r => (r._1, r._2))
+      .count(truth.contains).toDouble / truth.size
+    // the quarter-sample codebooks on the uniform-random worst case
+    assert(recall >= 0.3, s"sampled-fit PQ recall degraded: $recall")
+  }
+
   test("embedDecontaminate flags planted cross-split near-dups, " +
       "ignores eval-eval and corpus-corpus pairs, drops NULLs") {
     def v(axis: Int): Seq[Float] =

@@ -112,6 +112,86 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a stopped funnel query RESUMES from its " +
+      "state store — the restarted query reads ONLY the new files " +
+      "(source offsets recovered) yet converges to the single-run " +
+      "result over all events (state recovered)") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.DataFrame
+    val rows = eventsDs.collect().sortBy(e => toMicros(e.ts)).toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    // users with events in BOTH halves — without them run 2 could
+    // succeed statelessly and the test would prove nothing
+    val straddlers = b1.map(_.user_id).toSet
+      .intersect(b2.map(_.user_id).toSet)
+    assert(straddlers.nonEmpty)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("funnel_recov_src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("funnel_recov_ckpt").toString
+    val outRows = new ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def startQ() = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(
+          EventsStream.schema.filter(_.name != "props")))
+        .parquet(srcDir)
+        .as[EventRow]
+      funnelStream(src,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(outRows.add); ()
+        }
+        .start()
+    }
+    b1.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQ()
+    q1.processAllAvailable()
+    val run1Input = q1.recentProgress.map(_.numInputRows).sum
+    q1.stop()
+    assert(run1Input == b1.size.toLong)
+    b2.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      // offsets recovered: run 2 saw ONLY the second half
+      val run2Input = q2.recentProgress.map(_.numInputRows).sum
+      assert(run2Input == b2.size.toLong,
+        s"restart reprocessed data: read $run2Input of ${b2.size}")
+      // state recovered: max-over-updates across BOTH runs' emitted
+      // rows equals the batch funnel over ALL events — for straddling
+      // users run 2's rows are correct ONLY if b1's funnel state was
+      // restored from the checkpoint
+      import spark.implicits._
+      val emitted = outRows.toArray(Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.toString),
+          Option(r.get(3)).map(_.toString)))
+        .toSeq
+        .toDF("user_id", "t_view", "t_click", "t_purchase")
+        .groupBy("user_id")
+        .agg(max(col("t_view")).as("t_view"),
+          max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+        .orderBy("user_id").collect().toSeq
+      val batch = funnelBatch(eventsDs).toDF()
+        .select(col("user_id"), col("t_view").cast("string"),
+          col("t_click").cast("string"), col("t_purchase").cast("string"))
+        .orderBy("user_id").collect().toSeq
+      assert(emitted.nonEmpty && emitted == batch,
+        s"emitted=${emitted.size} batch=${batch.size}")
+    } finally {
+      q2.stop()
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(srcDir)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming funnel state is BOUNDED by the idle TTL, and a " +
       "completed funnel never regresses on post-purchase activity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
