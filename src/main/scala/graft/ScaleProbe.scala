@@ -39,7 +39,7 @@ object ScaleProbe {
 
   val ProbeDir = "/tmp/sf1probe"
   val Queries = Seq("d_minhash_lsh", "d_jaccard_pairs",
-    "d_dup_clusters", "s_ann_ivf_kmeans",
+    "d_jaccard_prefix", "d_dup_clusters", "s_ann_ivf_kmeans",
     // round-4 additions: d_semdedup is the interesting one (its
     // within-cluster pair join is Σ|cluster|² — at 10× with k fixed
     // at 8 this measures the WORST case, clusters 10× oversized;

@@ -588,6 +588,67 @@ object AnalyticsExt {
       |  ON s.pri = daily.pri AND s.day = daily.day
       |ORDER BY s.pri, strftime(s.day, '%Y-%m-%d')""".stripMargin
 
+  /** Interval-union coverage per user — the sweep-line "merge
+    * overlapping intervals" pattern (activity/uptime/SLA coverage:
+    * each event opens a 5-minute activity window; how long was the
+    * user ACTIVE, counting overlaps once?). The islands technique:
+    * running max of interval end per user (excluding the current
+    * row), an island break wherever the next start exceeds it, a
+    * running sum of breaks as the island id, then one aggregate per
+    * island and one per user. All interval arithmetic in integer
+    * epoch-micros (`unix_micros`), bit-identical cross-engine.
+    *
+    * Scale shape: ONE shuffle on user_id serves every window and both
+    * aggregates (same partitioning key throughout — Exchange reuse);
+    * per-user state is the sort, bounded by per-user event counts.
+    * No self-join: the naive interval-overlap formulation is a range
+    * self-join per user ([[graft.ext.RangeJoin]] territory); coverage
+    * only needs the sorted sweep. */
+  def qIntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val winUs = 300000000L // 5 min
+    val iv = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + lit(winUs)).as("e"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("s"), asc("e"))
+    val isl = iv
+      .withColumn("pmax", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e1"),
+        count(lit(1)).as("n"))
+    isl.groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e1") - col("s0")).as("active_us"))
+      .orderBy("user_id")
+  }
+
+  private val qIntervalCoverageSql =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 300000000 AS e FROM events),
+      |m AS (SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |f AS (SELECT user_id, s, e,
+      |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |g AS (SELECT user_id, s, e,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS UNBOUNDED PRECEDING) AS island FROM f),
+      |i AS (SELECT user_id, island, min(s) AS s0, max(e) AS e1,
+      |    count(*) AS n FROM g GROUP BY user_id, island)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(e1 - s0) AS BIGINT) AS active_us
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Portable count-min sketch (completing the oracle-verifiable
     * sketch family next to [[qHllPortable]]): depth 3 × width 64,
     * row hashes = the polynomial family at mults 31/37/41. The sketch
@@ -767,6 +828,7 @@ object AnalyticsExt {
     "q_cube_segment_year" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_gapfill" -> (qGapfill _),
+    "q_interval_coverage" -> (qIntervalCoverage _),
     "q_cms_portable" -> (qCmsPortable _),
     "q_pivot_priority" -> (qPivotPriority _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -790,6 +852,7 @@ object AnalyticsExt {
     "q_cube_segment_year" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_gapfill" -> qGapfillSql,
+    "q_interval_coverage" -> qIntervalCoverageSql,
     "q_cms_portable" -> qCmsPortableSql,
     "q_pivot_priority" -> qPivotPrioritySql,
     "q_salted_agg" -> qSaltedAggSql,

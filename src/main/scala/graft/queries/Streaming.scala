@@ -141,6 +141,30 @@ object Streaming {
       |WHERE c.event_type = 'click'
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Batch form of the FULL OUTER interval join
+    * ([[EventsStream.clickPurchaseFullJoin]]): clicks with no
+    * purchase AND purchases with no qualifying click both emit,
+    * missing side NULL. The streaming form gates each NULL direction
+    * on the opposite side's watermark (parity-proven in
+    * EventsStreamSpec with both-type sentinels). */
+  def stFullJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    EventsStream.clickPurchaseFullJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id", "user_id")
+  }
+
+  private val stFullJoinSql =
+    """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |  c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id, user_id""".stripMargin
+
   /** Batch form of the stream-static enrichment join
     * ([[EventsStream.enrichWithSegment]]): every event decorated with
     * its user's market segment from the customer dimension. The
@@ -161,6 +185,7 @@ object Streaming {
     "st_tumbling" -> (stTumbling _),
     "st_static_join" -> (stStaticJoin _),
     "st_left_join" -> (stLeftJoin _),
+    "st_full_join" -> (stFullJoin _),
     "st_funnel" -> (stFunnel _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
@@ -172,6 +197,7 @@ object Streaming {
     "st_tumbling" -> stTumblingSql,
     "st_static_join" -> stStaticJoinSql,
     "st_left_join" -> stLeftJoinSql,
+    "st_full_join" -> stFullJoinSql,
     "st_funnel" -> stFunnelSql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,

@@ -123,6 +123,40 @@ object TrainingData {
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact threshold-Jaccard pairs via PREFIX FILTERING
+    * ([[Dedup.jaccardPrefixPairs]], the AllPairs/SSJoin family):
+    * lossless candidate pruning on the global df-rarity token order,
+    * so — unlike [[dJaccardPairs]]' min-shingle blocking — the result
+    * provably equals the all-pairs exact join. The oracle states
+    * exactly that: it compares EVERY pair with no pruning, so the
+    * hash match IS the recall-1.0 proof. τ = 4/5 as a rational (the
+    * prefix length must be exact integer arithmetic): prefix length
+    * is (1−τ)·l+1, so the exact join is a HIGH-threshold tool — at
+    * τ=0.8 each doc indexes ~l/5 tokens; at τ=0.2 it would index
+    * ~4l/5 and candidate volume approaches the all-pairs it exists
+    * to avoid (measured in BASELINE.md's τ-sensitivity row). The
+    * low-τ regime belongs to MinHash/LSH ([[dMinhashLsh]]), which
+    * trades exactly that recall guarantee for τ-independent cost. */
+  def dJaccardPrefix(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPrefixPairs(docs(s, d), "doc_id", "text",
+      n = 3, tNum = 4, tDen = 5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
+  private val dJaccardPrefixSql =
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sh
+      |  FROM documents),
+      |s2 AS (SELECT doc_id, sh, len(sh) AS l FROM sh
+      |  WHERE len(sh) > 0),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh)) AS ni,
+      |    a.l AS la, b.l AS lb
+      |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(ni::DOUBLE / (la + lb - ni), 6) AS jaccard
+      |FROM p WHERE ni::DOUBLE / (la + lb - ni) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Asymmetric containment near-dup pairs
     * ([[Dedup.containmentPairs]]): C(A→B) = |S_A ∩ S_B| / |S_A| over
     * 8-token shingle-hash sets — the doc-in-doc signal (quotation,
@@ -495,6 +529,52 @@ object TrainingData {
        |SELECT node AS doc_id, pr_pico FROM p2
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Per-doc triangle participation over the near-dup pair graph
+    * ([[graft.ext.Triangles]], degree-ordered wedge join): the
+    * cluster-quality diagnostic that separates pairwise-verified
+    * near-dup cliques from hub-chained components — a dup component
+    * with zero triangles is transitive linking through one template
+    * doc, one with many is a genuine mutual-duplicate family. Edges
+    * are [[dJaccardPairs]]' generator; output is (doc_id, n_tri, deg)
+    * for every doc in the pair graph, zeros included. The oracle
+    * enumerates each id-ordered triangle once with NO orientation —
+    * the degree ordering is pure Spark-side candidate pruning, proven
+    * result-neutral by the hash match. */
+  def gTriangles(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs(s, d), "doc_id", "text",
+      n = 3, threshold = 0.2)
+    graft.ext.Triangles.triangleCounts(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("n_tri"), col("deg"))
+      .orderBy("doc_id")
+  }
+
+  private val gTrianglesSql =
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sh
+      |  FROM documents),
+      |blocked AS (SELECT doc_id, sh, sh[1] AS block FROM sh
+      |  WHERE len(sh) > 0),
+      |e AS (SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+      |  FROM blocked a JOIN blocked b
+      |    ON a.block = b.block AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |    >= 0.2),
+      |n AS (SELECT lo AS node FROM e UNION SELECT hi FROM e),
+      |d AS (SELECT node, count(*) AS deg FROM
+      |  (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+      |  GROUP BY node),
+      |t AS (SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+      |  FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+      |c AS (SELECT node, count(*) AS n_tri FROM
+      |  (SELECT u AS node FROM t UNION ALL SELECT v FROM t
+      |   UNION ALL SELECT w FROM t) GROUP BY node)
+      |SELECT n.node AS doc_id,
+      |  CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri, d.deg
+      |FROM n JOIN d ON n.node = d.node
+      |LEFT JOIN c ON n.node = c.node
+      |ORDER BY doc_id""".stripMargin
 
   /** Per-doc 32-bit SimHash fingerprints. Oracle-verified via the
     * portable polynomial token hash (bit 31 is constantly 0 — the
@@ -3526,6 +3606,7 @@ object TrainingData {
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_incremental_minhash" -> (dIncrementalMinhash _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
+    "d_jaccard_prefix" -> (dJaccardPrefix _),
     "d_containment" -> (dContainment _),
     "d_containment_auto" -> (dContainmentAuto _),
     "d_minhash_lsh" -> (dMinhashLsh _),
@@ -3534,6 +3615,7 @@ object TrainingData {
     "d_neardup_pipeline" -> (dNeardupPipeline _),
     "d_corpus_card" -> (dCorpusCard _),
     "g_doc_centrality" -> (gDocCentrality _),
+    "g_triangles" -> (gTriangles _),
     "d_simhash" -> (dSimhash _),
     "d_text_stats" -> (dTextStats _),
     "d_langid" -> (dLangId _),
@@ -3604,6 +3686,7 @@ object TrainingData {
     "d_incremental_dedup" -> dIncrementalDedupSql,
     "d_incremental_minhash" -> dIncrementalMinhashSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
+    "d_jaccard_prefix" -> dJaccardPrefixSql,
     "d_containment" -> dContainmentSql,
     "d_containment_auto" -> dContainmentAutoSql,
     "d_minhash_lsh" -> dMinhashLshSql,
@@ -3612,6 +3695,7 @@ object TrainingData {
     "d_neardup_pipeline" -> dNeardupPipelineSql,
     "d_corpus_card" -> dCorpusCardSql,
     "g_doc_centrality" -> gDocCentralitySql,
+    "g_triangles" -> gTrianglesSql,
     "d_simhash" -> dSimhashSql,
     "d_text_stats" -> dTextStatsSql,
     "d_langid" -> dLangIdSql,

@@ -137,6 +137,45 @@ object EventsStream {
         .withWatermark("ts", "1 hour"))
   }
 
+  /** Attribution with BOTH miss directions kept: the FULL OUTER
+    * interval join — every click emits (matched or with NULL
+    * purchase columns, the abandonment signal), and every purchase
+    * with no qualifying same-user click in the preceding 30 minutes
+    * ALSO emits, click columns NULL — the organic/dark-traffic
+    * purchase signal the left join drops. user_id coalesces across
+    * sides so the key survives either-side NULLs. */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+        col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") < col("c.ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(
+        coalesce(col("c.user_id"), col("p.user_id")).as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+
+  /** Streaming [[clickPurchaseFullJoin]]: watermarks on both sides
+    * bound state AND gate both NULL directions — an unmatched click
+    * emits once the purchase watermark passes the end of its
+    * 30-minute window; an unmatched purchase emits once the CLICK
+    * watermark passes its timestamp (a click at c.ts ≤ p.ts could
+    * otherwise still arrive and claim it). On bounded sources each
+    * side's tail therefore needs the OTHER side's watermark advanced
+    * (the spec appends one far-future sentinel of each type; a
+    * production stream simply keeps running). */
+  def streamingClickPurchaseFullJoin(spark: SparkSession,
+      sourceDir: String): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    clickPurchaseFullJoin(
+      src.filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour"),
+      src.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour"))
+  }
+
   /** Stream-static enrichment join: each event decorated with its
     * user's dimension attributes (market segment from the customer
     * table). Defined over arbitrary frames — batch for the oracle

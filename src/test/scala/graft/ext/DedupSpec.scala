@@ -29,6 +29,68 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 3L)))
   }
 
+  test("prefix-filter join equals the brute-force all-pairs exact " +
+      "join on a varied corpus (losslessness)") {
+    // 40 docs: duplicate families, partial overlaps, disjoint noise,
+    // and repeated hot grams (which min-shingle blocking would have
+    // to cap — prefix filtering excludes them structurally).
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "one two three four five six seven",
+      "one two three four five six eight",
+      "common common common filler words here",
+      "totally unrelated content sits here now")
+    val corpus = (0 until 40).map { i =>
+      val t = base(i % base.size)
+      (i.toLong, if (i < base.size * 2) t else s"$t suffix$i tail$i")
+    }.toDF("doc_id", "text")
+    val got = Dedup
+      .jaccardPrefixPairs(corpus, "doc_id", "text", 3, 1, 5)
+      .select($"doc_a", $"doc_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: cross join, exact jaccard, no pruning
+    val sh = corpus.select($"doc_id",
+      Dedup.shingles($"text", 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(Dedup.jaccard($"a.sh", $"b.sh"), 9).as("j"))
+      .filter($"j" >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("prefix-filter join is a superset of min-shingle blocking " +
+      "(blocking recall <= 1, prefix recall = 1)") {
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, s"shared head words here item$i plus shared tail " +
+        s"words var${i % 7}")
+    }.toDF("doc_id", "text")
+    val pref = Dedup
+      .jaccardPrefixPairs(corpus, "doc_id", "text", 3, 1, 5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.2)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(pref))
+  }
+
+  test("prefix length uses exact rational ceil — the IEEE " +
+      "ceil((1/75)*525)=8 hazard cannot shorten the prefix") {
+    // The double formulation over-ceils when num/den rounds up and
+    // the product lands just above an exact integer: τ=1/75, l=525
+    // gives math.ceil((1.0/75)*525) = 8 while the true ⌈525/75⌉ = 7 —
+    // one token silently cut from the prefix, which breaks the
+    // losslessness lemma. The integer form is exact for all (l, den).
+    assert(math.ceil((1.0 / 75.0) * 525.0).toInt == 8)
+    for (den <- Seq(5, 75, 77, 91); l <- 1 to 1000) {
+      val num = 1L * l + (den - 1)
+      val exact = ((num - num % den) / den).toInt
+      assert(exact == (l + den - 1) / den, s"l=$l den=$den")
+    }
+  }
+
   test("containment: a doc fully quoted inside a longer doc scores " +
       "1.0 in its direction while Jaccard stays low") {
     val short = "a b c d e f g h i j"                       // 10 tokens

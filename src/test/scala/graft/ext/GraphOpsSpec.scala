@@ -96,4 +96,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) == 375833333333L, s"got $got")
     assert(got(2L) == 574166666666L, s"got $got")
   }
+  test("triangle counts: K4-clique + hub star + chain — per-node " +
+      "counts match hand enumeration; hub wedges close nothing") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3); hub 10 joined to
+    // leaves 11..15 (star: many wedges at the hub, zero triangles);
+    // chain 20-21-22 (one open wedge, no triangle). Mixed edge
+    // orientations + a duplicate + a self-loop exercise normalization.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 15L).map(l => (10L, l))
+    val extra = Seq((21L, 20L), (21L, 22L), (2L, 1L), (7L, 7L))
+    val edges = (k4 ++ star ++ extra).toDF("src", "dst")
+    val got = Triangles.triangleCounts(edges, "src", "dst")
+      .select($"node", $"n_tri", $"deg").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    for (n <- 1L to 4L) assert(got(n) == ((3L, 3L)), s"node $n")
+    assert(got(10L) == ((0L, 5L)))
+    for (l <- 11L to 15L) assert(got(l) == ((0L, 1L)))
+    assert(got(21L) == ((0L, 2L)))
+    assert(got(20L) == ((0L, 1L)) && got(22L) == ((0L, 1L)))
+    assert(!got.contains(7L)) // self-loop dropped entirely
+  }
+
+  test("triangle counts equal the naive unoriented enumeration on a " +
+      "random graph (degree orientation is result-neutral)") {
+    val rnd = new scala.util.Random(20260814)
+    val edges = (0 until 260).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val got = Triangles.triangleCounts(edges, "src", "dst")
+      .select($"node", $"n_tri").as[(Long, Long)].collect().toMap
+    // naive: id-ordered distinct edges, enumerate x<y<z triangles
+    val und = edges.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val ns = und.flatMap(e => Seq(e._1, e._2))
+    val naive = (for (x <- ns; y <- ns if x < y; z <- ns if y < z
+        if und((x, y)) && und((x, z)) && und((y, z)))
+      yield (x, y, z)).toSeq
+    val perNode = naive.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+    for (n <- ns)
+      assert(got(n) == perNode.getOrElse(n, 0L), s"node $n")
+  }
 }

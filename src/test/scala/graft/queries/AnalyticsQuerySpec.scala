@@ -133,4 +133,40 @@ class AnalyticsQuerySpec extends SparkSpec {
     val q17 = Analytics.q17SmallQty(spark, sf0001).collect()
     assert(q17.length == 1 && !q17(0).isNullAt(1))
   }
+  test("q_interval_coverage: hand-built fixture — overlap merges, " +
+      "touching merges, gaps split, singletons count full window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val W = 300000000L // 5-min activity window in micros
+    // user 1: events at t=0s and t=100s (overlap -> one island,
+    //   coverage 100s + 300s); t=1000s (gap -> own island, 300s)
+    // user 2: events at t=0s and t=300s (touching -> ONE island, 600s)
+    // user 3: one event (one island, 300s)
+    val rows = Seq(
+      (1L, 0L), (1L, 100000000L), (1L, 1000000000L),
+      (2L, 0L), (2L, 300000000L),
+      (3L, 42L))
+    val ev = rows.zipWithIndex.map { case ((u, us), i) =>
+      (i.toLong, new java.sql.Timestamp(us / 1000L), u, "view", 0.0,
+        "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivspec").toString
+    // micro-parquet dir standing in for a testdata sf dir: the query
+    // only reads events
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    try {
+      val got = AnalyticsExt.qIntervalCoverage(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(
+        (1L, 3L, 2L, (100000000L + W) + W),
+        (2L, 2L, 1L, 2 * W),
+        (3L, 1L, 1L, W)), s"got $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

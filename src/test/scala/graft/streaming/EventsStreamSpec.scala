@@ -87,6 +87,49 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming FULL OUTER interval join equals the batch full join " +
+      "once sentinels of BOTH types advance both watermarks") {
+    import spark.implicits._
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_fulljoin_stream").toString
+    val ev = Tables.events(spark, sf0001)
+    ev.write.mode("overwrite").parquet(staged)
+    // each NULL direction is gated on the OPPOSITE side's watermark:
+    // unmatched clicks need the purchase watermark past their window,
+    // unmatched purchases need the click watermark past their ts —
+    // so the flush needs one far-future sentinel of EACH type
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(
+      maxTs.getTime + 3L * 3600 * 1000)
+    Seq((-999L, sentinelTs, -999L, "click", 0.0, "{}"),
+        (-998L, sentinelTs, -998L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(staged)
+    val q = EventsStream.streamingClickPurchaseFullJoin(spark, staged)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fulljoin_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fulljoin_out")
+        .filter(coalesce($"click_id", lit(0L)) =!= -999L &&
+          coalesce($"purchase_id", lit(0L)) =!= -998L)
+        .orderBy("click_id", "purchase_id", "user_id")
+        .collect().toSeq
+      val batch = EventsStream.clickPurchaseFullJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_id", "user_id")
+        .collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} rows")
+      assert(batch.exists(_.isNullAt(2)),
+        "corpus must contain unmatched clicks")
+      assert(batch.exists(_.isNullAt(1)),
+        "corpus must contain unmatched purchases for the full join " +
+          "to differ from the left join")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join (stateless " +
       "— no watermark required)") {
     val staged = java.nio.file.Files
