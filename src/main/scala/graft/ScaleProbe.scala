@@ -624,7 +624,8 @@ object ScaleProbe {
       .getOrElse(Seq("q1_pricing_summary", "q3_shipping_priority",
         "q5_local_supplier", "q8_market_share", "q10_returned_items",
         "q14_promo_effect", "q17_small_qty", "q18_large_orders",
-        "q19_disjunctive", "q_zorder_skipping"))
+        "q19_disjunctive", "q15_top_supplier", "q13_order_counts",
+        "q_zorder_skipping"))
     for (q <- queries) {
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

@@ -235,6 +235,61 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q15-style top supplier: per-supplier revenue over one
+    * quarter (Q15's `revenue` view), then every supplier achieving
+    * the maximum — the argmax-over-aggregate shape with TIES KEPT
+    * (the spec's correlated max, not a LIMIT 1). Scale: the revenue
+    * aggregate shuffles on the supplier key; the max is a 1-row
+    * aggregate joined back as a broadcast equality filter — no
+    * global sort, no second pass over lineitem (the quarter slice is
+    * persisted through its two consumers). Equality on the revenue
+    * doubles is safe because both sides of the comparison come from
+    * the same exact-decimal sums. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .groupBy(col("l_suppkey"))
+      .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    val out = rev
+      .join(broadcast(mx), col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+      .localCheckpoint()
+    rev.unpersist()
+    out
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly k qualifying orders — the signature
+    * outer-join + double-aggregation shape, where the LEFT join keeps
+    * zero-order customers in the k=0 bucket (an inner join silently
+    * drops them; that wrong-but-plausible variant is exactly what
+    * this query exists to test against). The order-side predicate
+    * stands in for Q13's o_comment NOT LIKE filter (this corpus
+    * carries no comment columns). Scale: first aggregate shuffles on
+    * c_custkey; the distribution aggregate's key space is bounded by
+    * max-orders-per-customer, so the final global sort is over a
+    * constant-sized frame. */
+  def q13OrderCounts(s: SparkSession, d: String): DataFrame = {
+    val ords = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   /** TPC-H Q19-style disjunctive predicate revenue: an OR-of-ANDs
     * over joined part attributes and lineitem quantity — the shape
     * that exercises predicate normalization (the common `p_partkey =
@@ -400,6 +455,8 @@ object Analytics {
     "q17_small_qty" -> (q17SmallQty _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_disjunctive" -> (q19Disjunctive _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q13_order_counts" -> (q13OrderCounts _),
     "q_rollup_year_priority" -> (qRollup _),
     "q_topk_per_customer" -> (qTopkPerCustomer _),
     "q_running_total" -> (qRunningTotal _),
@@ -535,6 +592,28 @@ object Analytics {
          |    AND l_quantity BETWEEN 10.0 AND 30.0)
          |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 35
          |    AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${sqlSumDec("l_extendedprice * (1.0 - l_discount)")}
+         |      AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_rollup_year_priority" ->
       s"""SELECT year(o_orderdate) AS o_year, o_orderpriority,
          |  ${sqlSumDec("o_totalprice")} AS sum_price,

@@ -169,4 +169,29 @@ class AnalyticsQuerySpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+  test("q15: every returned supplier holds exactly the max revenue " +
+      "(ties kept, argmax not LIMIT 1)") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.q15TopSupplier(spark, sf0001).cache()
+    assert(out.count() >= 1)
+    assert(out.select(countDistinct(col("total_revenue")))
+      .head().getLong(0) == 1L)
+  }
+
+  test("q13: custdist sums to the full customer population — the " +
+      "LEFT join keeps zero-order customers in the k=0 bucket") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Analytics.q13OrderCounts(spark, sf0001).cache()
+    val nCust = graft.Tables.customer(spark, sf0001).count()
+    assert(out.agg(sum($"custdist")).head().getLong(0) == nCust)
+    // the inner-join variant would lose exactly the k=0 bucket
+    val zeroBucket = out.filter($"c_count" === 0L)
+      .select($"custdist").as[Long].collect().headOption.getOrElse(0L)
+    val noOrder = graft.Tables.customer(spark, sf0001)
+      .join(graft.Tables.orders(spark, sf0001)
+          .filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(zeroBucket == noOrder)
+  }
 }
