@@ -151,6 +151,8 @@ object ScaleProbe {
         probeContainment(spark, scale); spark.stop(); return
       case Some("stream") =>
         probeStream(spark); spark.stop(); return
+      case Some("ingest") =>
+        probeAnnIngest(spark, scale, reps); spark.stop(); return
       case Some("realmedia") =>
         probeMediaReal(spark, scale); spark.stop(); return
       case Some("tpch") =>
@@ -584,6 +586,39 @@ object ScaleProbe {
     * derived from the source's own max keys (same collision rule as
     * [[buildCorpus]]); dates are kept, so per-replica structure is
     * identical and the scaling question is purely volumetric. */
+  /** Bounded-batch ANN ingest-gate probe. The catalog entry's %10
+    * split makes the batch scale WITH the corpus — the worst case,
+    * measured separately (227.9s at 100×, recorded in BASELINE.md) —
+    * but production ingests BOUNDED batches between index refits.
+    * Here the batch is held at ~2k vectors while the manifest scales:
+    * per-batch cost is |batch| × nprobe × (N / k_partitions), i.e.
+    * linear in N at the label quantizer's FIXED k=8 partitions. The
+    * production remedy for that residual linearity is scaling the
+    * coarse quantizer's k with N (the `s_ann_ivf_kmeans` machinery)
+    * to hold partition size — and so per-batch cost — flat. Reuses
+    * the corpora built by the 10×/100× document probes. */
+  def probeAnnIngest(spark: SparkSession, scale: Int,
+      reps: Int): Unit = {
+    val dir =
+      if (scale > 10) s"/tmp/sf${scale / 10}probe" else ProbeDir
+    val emb = Tables.embeddings(spark, dir)
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    val mod = math.max(1L, (mx + 1) / 2000L)
+    val batch = emb.filter(col("vec_id") % mod === 0)
+    val manifest = emb.filter(col("vec_id") % mod =!= 0)
+    val nB = batch.count(); val nM = manifest.count()
+    val times = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.ext.Similarity.ivfIncremental(manifest, batch,
+          k = 3, nprobe = 3)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[probe] ann_ingest(batch=$nB, manifest=$nM) " +
+      f"min ${times.min}%7.2fs  " +
+      f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+  }
+
   def probeTpch(spark: SparkSession, scale: Int, reps: Int): Unit = {
     val rep = math.max(scale, 1)
     val dir = s"/tmp/tpch${rep}x"

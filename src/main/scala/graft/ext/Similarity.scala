@@ -950,17 +950,58 @@ object Similarity {
     ivfTopKImpl(embeddings, _.join(broadcast(queryIds), Seq("vec_id")),
       k, nprobe)
 
-  private def ivfTopKImpl(embeddings: DataFrame,
-      mkQ: DataFrame => DataFrame, k: Int, nprobe: Int): DataFrame = {
-    // NULL embeddings drop on the Spark side too (the oracle filters
-    // `embedding IS NOT NULL`): a NULL row kept here would enter fine
-    // ranking with a NULL cos_sim and surface whenever a probed label
-    // partition holds fewer than k non-NULL candidates — a one-sided
-    // divergence the other ANN bases (lshBase, int8Base, ivfTopKInt8,
-    // ivfTopKKmeansImpl) already guard against.
-    val base = embeddings.select(col("vec_id"), col("label"),
+  /** Index MAINTENANCE without refit — the ANN ingest gate, the
+    * vector-side sibling of [[Dedup.minhashLshIncremental]]: the
+    * `manifest` frame is the already-ingested corpus whose IVF index
+    * (label-partition centroids) EXISTS; the `incoming` batch probes
+    * that index — each new vector is assigned its `nprobe` nearest
+    * centroids and fine-ranked ONLY against the manifest vectors in
+    * those partitions, emitting its top-`k` attach points
+    * (new_id, match_id, cos_sim, rank) for dedup-or-link decisions
+    * downstream. The centroids are computed from the MANIFEST alone —
+    * appending a batch moves no centroid and re-encodes nothing,
+    * exactly how production IVF indexes absorb inserts between
+    * refits (the FAISS `add` path).
+    *
+    * Scale shape: per-batch work is |batch| × nprobe partitions —
+    * linear in the batch, sub-linear in the corpus; never all-pairs,
+    * never a refit. |Q| here deliberately scales WITH the batch (the
+    * documented ingest-gate exception to the fixed-|Q| rule, same as
+    * the MinHash ingest gate). */
+  def ivfIncremental(manifest: DataFrame, incoming: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val base = ivfBase(manifest)
+    val q = ivfBase(incoming)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfCore(base, q, k, nprobe)
+      .select(col("query_id").as("new_id"),
+        col("neighbor_id").as("match_id"), col("cos_sim"), col("rank"))
+  }
+
+  // NULL embeddings drop on the Spark side too (the oracle filters
+  // `embedding IS NOT NULL`): a NULL row kept here would enter fine
+  // ranking with a NULL cos_sim and surface whenever a probed label
+  // partition holds fewer than k non-NULL candidates — a one-sided
+  // divergence the other ANN bases (lshBase, int8Base, ivfTopKInt8,
+  // ivfTopKKmeansImpl) already guard against.
+  private def ivfBase(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
+
+  private def ivfTopKImpl(embeddings: DataFrame,
+      mkQ: DataFrame => DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val base = ivfBase(embeddings)
+    val q = mkQ(base)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfCore(base, q, k, nprobe)
+  }
+
+  /** Shared IVF probe + fine-rank core: centroids from `base`'s
+    * label partitions, `q` probes its `nprobe` best partitions,
+    * fine ranking only within them. */
+  private def ivfCore(base: DataFrame, q: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     // centroid per label via explode-by-dimension — scales to any
     // partition size (no per-group collect of whole vectors). The
     // component mean uses the exact-decimal sum (QueryUtil strategy):
@@ -976,8 +1017,6 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x("cv")).as("centroid"))
-    val q = mkQ(base)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("label"),
         round(cosine(col("q_emb"), col("centroid")), 6).as("c_sim"))

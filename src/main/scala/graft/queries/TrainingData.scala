@@ -1245,6 +1245,57 @@ object TrainingData {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** ANN index MAINTENANCE ([[Similarity.ivfIncremental]]) — the
+    * vector-side ingest gate, completing the incremental family
+    * (`d_incremental_dedup`, `d_incremental_minhash`): the manifest
+    * (vec_id % 10 ≠ 0) is the already-ingested corpus whose IVF
+    * index exists; the batch (vec_id % 10 = 0) probes that index —
+    * nprobe nearest MANIFEST centroids, fine-rank only inside those
+    * partitions, top-3 attach points per new vector for downstream
+    * dedup-or-link. No refit, no re-encode; per-batch work linear in
+    * the batch (|Q| scales with the batch BY CONTRACT — the
+    * documented ingest-gate exception to the fixed-|Q| rule). */
+  def sAnnIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfIncremental(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0),
+        k = 3, nprobe = 3)
+      .orderBy("new_id", "rank")
+  }
+
+  private val sAnnIncrementalSql =
+    s"""WITH man AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 10 <> 0),
+       |newb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
+       |dims AS (SELECT label, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM man CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM newb),
+       |probes AS (SELECT query_id, q_emb, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN cent),
+       |probed AS (SELECT query_id, q_emb, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${sqlCosine("p.q_emb", "b.emb")} AS cos_sim
+       |  FROM man b JOIN probed p ON b.label = p.label),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id AS new_id, neighbor_id AS match_id, cos_sim,
+       |  rank
+       |FROM ranked WHERE rank <= 3 ORDER BY new_id, rank""".stripMargin
+
   /** IVF with a real deterministic k-means coarse quantizer (8
     * clusters, 2 Lloyd iterations, smallest-vec_id seeds). Every step
     * — seeding, rounded-cosine assignment, decimal-sum centroid
@@ -3625,6 +3676,7 @@ object TrainingData {
     "s_ann_int8" -> (sAnnInt8 _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "s_ann_incremental" -> (sAnnIncremental _),
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
     "s_ann_rerank" -> (sAnnRerank _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
@@ -3742,6 +3794,7 @@ object TrainingData {
     "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_ivf" -> sAnnIvfSql,
+    "s_ann_incremental" -> sAnnIncrementalSql,
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
     "s_ann_rerank" -> sAnnRerankSql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,

@@ -592,4 +592,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSet == brute.toSet,
       "rerank must equal the exact scan when the coarse set is wide")
   }
+  test("ivfIncremental: matches come only from the manifest, an " +
+      "identical ingested vector is the top-1 attach point, and the " +
+      "index is batch-independent (no refit)") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val manifest = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val got = Similarity.ivfIncremental(manifest, batch,
+      k = 3, nprobe = 3).cache()
+    // every match_id is a manifest id; every new_id is a batch id
+    assert(got.filter($"match_id" % 10 === 0).isEmpty)
+    assert(got.filter($"new_id" % 10 =!= 0).isEmpty)
+    // planted exact duplicate: a batch vector equal to a manifest
+    // vector must attach to it at rank 1 with cos_sim 1.0
+    val donor = manifest.filter($"embedding".isNotNull)
+      .orderBy("vec_id").limit(1)
+      .select($"vec_id", $"embedding", $"label").collect().head
+    val planted = Seq(
+        (1000000L, donor.getSeq[Float](1), donor.getInt(2)))
+      .toDF("vec_id", "embedding", "label")
+    val got2 = Similarity.ivfIncremental(manifest,
+      batch.unionByName(planted), k = 3, nprobe = 3)
+    val top = got2.filter($"new_id" === 1000000L && $"rank" === 1)
+      .select($"match_id", $"cos_sim").collect().head
+    assert(top.getLong(0) == donor.getLong(0))
+    assert(top.getDouble(1) == 1.0)
+    // NO REFIT: the planted vector changes nothing for other batch
+    // vectors — their attach points are identical with and without it
+    val a = got.orderBy("new_id", "rank").collect().toSeq
+    val b = got2.filter($"new_id" =!= 1000000L)
+      .orderBy("new_id", "rank").collect().toSeq
+    assert(a == b)
+  }
 }
