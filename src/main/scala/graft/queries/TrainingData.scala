@@ -3473,6 +3473,56 @@ object TrainingData {
       graft.ext.Bpe.trainMerges(dd, BpeRounds))
   }
 
+  /** Greedy longest-match subword tokenization
+    * ([[graft.ext.Wordpiece]]) — the WordPiece-family single-pass
+    * apply, a deliberately DIFFERENT tokenizer family from the BPE
+    * pair (BPE replays ranked merges; this maximizes the current
+    * piece). Vocab = top-512 corpus substrings (len 2..8) by summed
+    * word-type frequency; single-char fallback, no UNK. The oracle
+    * replays the greedy walk as a recursive CTE with a correlated
+    * longest-prefix subquery — per-word piece counts then fold back
+    * per doc through a LEFT join so empty docs keep (0, 0). */
+  def dSubwordGreedy(s: SparkSession, d: String): DataFrame =
+    graft.ext.Wordpiece.tokenStats(docs(s, d))
+
+  private val dSubwordGreedySql =
+    """WITH RECURSIVE wt AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |sub AS (SELECT cnt, unnest(list_distinct(flatten(
+      |    list_transform(range(1, len(w) + 1), i ->
+      |      list_filter(list_transform(range(2, 9), l ->
+      |        CASE WHEN i + l - 1 <= len(w)
+      |          THEN substr(w, i, l) END),
+      |        p -> p IS NOT NULL))))) AS piece
+      |  FROM wt),
+      |voc AS (SELECT piece FROM (
+      |    SELECT piece, sum(cnt) AS total FROM sub GROUP BY piece
+      |    ORDER BY total DESC, piece ASC LIMIT 512)),
+      |g(w, pos, n) AS (
+      |  SELECT w, 1, 0 FROM wt
+      |  UNION ALL
+      |  SELECT g.w,
+      |    g.pos + coalesce((SELECT max(len(v.piece)) FROM voc v
+      |      WHERE len(v.piece) <= len(g.w) - g.pos + 1
+      |        AND v.piece = substr(g.w, g.pos, len(v.piece))), 1),
+      |    g.n + 1
+      |  FROM g WHERE g.pos <= len(g.w)),
+      |pieces AS (SELECT w, max(n) AS n_p FROM g GROUP BY w),
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |per_doc AS (SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(p.n_p) AS BIGINT) AS n_pieces
+      |  FROM (SELECT doc_id, w FROM dw WHERE len(w) > 0) d
+      |  JOIN pieces p ON d.w = p.w
+      |  GROUP BY doc_id)
+      |SELECT doc.doc_id,
+      |  coalesce(x.n_words, 0) AS n_words,
+      |  coalesce(x.n_pieces, 0) AS n_pieces
+      |FROM documents doc LEFT JOIN per_doc x ON doc.doc_id = x.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   /** Top principal component of the embedding corpus by distributed
     * power iteration — the anisotropy diagnostic; see
     * [[graft.ext.Pca]] for the matrix-sized-shuffle scale shape. */
@@ -3710,6 +3760,7 @@ object TrainingData {
     "d_bpe_train" -> (dBpeTrain _),
     "d_bpe_tokens" -> (dBpeTokens _),
     "d_bpe_tokens_fast" -> (dBpeTokensFast _),
+    "d_subword_greedy" -> (dSubwordGreedy _),
     "d_embed_pca" -> (dEmbedPca _),
     "d_embed_abtt" -> (dEmbedAbtt _),
     "d_embed_pca2" -> (dEmbedPca2 _),
@@ -3777,6 +3828,7 @@ object TrainingData {
     "d_bpe_train" -> graft.ext.Bpe.mergeTableSql(BpeRounds),
     "d_bpe_tokens" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
     "d_bpe_tokens_fast" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
+    "d_subword_greedy" -> dSubwordGreedySql,
     "d_embed_pca" -> graft.ext.Pca.topComponentSql(),
     "d_embed_abtt" -> graft.ext.Pca.allButTopSql(),
     "d_embed_pca2" -> graft.ext.Pca.topComponents2Sql(),
