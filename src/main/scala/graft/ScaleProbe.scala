@@ -441,6 +441,14 @@ object ScaleProbe {
     }, "append")
     measure("st_funnel",
       StatefulOps.funnelStream(srcRows()).toDF(), "update")
+    measure("st_full_join", {
+      val s = src()
+      EventsStream.clickPurchaseFullJoin(
+        s.filter(col("event_type") === "click")
+          .withWatermark("ts", "1 hour"),
+        s.filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour"))
+    }, "append")
     // same stateful shapes on the PRODUCTION state backend: RocksDB
     // keeps state off-heap (native memory + local SST files), the
     // backend a 1000-executor job runs so state survives executor

@@ -31,6 +31,30 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Release accounting between two corpus SNAPSHOTS — the dataset-
+    * versioning diff every release pipeline publishes: per document,
+    * whether it was `added`, `removed`, `changed` (normalized content
+    * hash differs), or `unchanged` between the previous and current
+    * snapshot. Content identity is [[contentHash]] — the same
+    * manifest column the incremental-dedup family keys on, so at
+    * production scale BOTH sides of this diff are hash manifests
+    * (one 64-char column per doc), never corpus text: the full-outer
+    * join shuffles ids and hashes only, and the status projection is
+    * a pure per-row expression. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val p = prev.select(col(idCol).cast("long").as("doc_id"),
+      contentHash(col(textCol)).as("h_prev"))
+    val c = cur.select(col(idCol).cast("long").as("doc_id"),
+      contentHash(col(textCol)).as("h_cur"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_prev") =!= col("h_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Word n-gram shingle set (distinct, sorted for determinism) — the
     * codegen'd [[graft.functions.ShingleSet]] kernel; see
     * [[hofShingles]] for the built-in-HOF reference formulation (specs

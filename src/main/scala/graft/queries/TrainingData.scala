@@ -56,6 +56,39 @@ object TrainingData {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  /** Snapshot diff ([[Dedup.snapshotDiff]]) — release accounting
+    * between two corpus versions, both derived deterministically from
+    * the documents table: the previous snapshot lacks doc_id%10==3
+    * (those are `added`), the current snapshot lacks doc_id%10==9
+    * (`removed`) and revises the text of doc_id%10==7 (`changed`);
+    * everything else is `unchanged`. Output one (doc_id, status) row
+    * per doc in either snapshot. */
+  def dSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val prev = dd.filter(col("doc_id") % 10 =!= 3)
+    val cur = dd.filter(col("doc_id") % 10 =!= 9)
+      .withColumn("text", when(col("doc_id") % 10 === 7,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    Dedup.snapshotDiff(prev, cur, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val dSnapshotDiffSql =
+    s"""WITH prev AS (SELECT doc_id, $sqlContentHash AS h
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |cur0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN text || ' rev2'
+      |      ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 9),
+      |cur AS (SELECT doc_id, $sqlContentHash AS h FROM cur0)
+      |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+      |  CASE WHEN p.h IS NULL THEN 'added'
+      |    WHEN c.h IS NULL THEN 'removed'
+      |    WHEN p.h <> c.h THEN 'changed'
+      |    ELSE 'unchanged' END AS status
+      |FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Incremental (cross-snapshot) exact dedup — the daily-ingest
     * shape: a new batch (doc_id % 5 == 0 here) is reduced against the
     * EXISTING corpus. A batch doc is `dup_corpus` if its normalized
@@ -3705,6 +3738,7 @@ object TrainingData {
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> (dDedupExact _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
+    "d_snapshot_diff" -> (dSnapshotDiff _),
     "d_incremental_minhash" -> (dIncrementalMinhash _),
     "d_jaccard_pairs" -> (dJaccardPairs _),
     "d_jaccard_prefix" -> (dJaccardPrefix _),
@@ -3787,6 +3821,7 @@ object TrainingData {
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" -> dDedupExactSql,
     "d_incremental_dedup" -> dIncrementalDedupSql,
+    "d_snapshot_diff" -> dSnapshotDiffSql,
     "d_incremental_minhash" -> dIncrementalMinhashSql,
     "d_jaccard_pairs" -> dJaccardPairsSql,
     "d_jaccard_prefix" -> dJaccardPrefixSql,

@@ -29,6 +29,25 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 3L)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classified by " +
+      "normalized content hash; formatting-only edits are unchanged") {
+    val prev = Seq(
+      (1L, "stable text"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (5L, "Spacing   And Case")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "stable text"),
+      (2L, "has changed"),
+      (4L, "newly added"),
+      (5L, "spacing and case")) // normalizes identically -> unchanged
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(prev, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added", 5L -> "unchanged"))
+  }
+
   test("prefix-filter join equals the brute-force all-pairs exact " +
       "join on a varied corpus (losslessness)") {
     // 40 docs: duplicate families, partial overlaps, disjoint noise,
