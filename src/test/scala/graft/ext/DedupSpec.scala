@@ -81,6 +81,36 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("prefix-filter join equals brute force on seeded RANDOM " +
+      "corpora across thresholds (losslessness property)") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    for ((seed, tNum, tDen) <- Seq((1L, 1, 2), (2L, 4, 5),
+        (3L, 3, 10))) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until 25).map { i =>
+        val n = 6 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Dedup
+        .jaccardPrefixPairs(corpus, "doc_id", "text", 3, tNum, tDen)
+        .select($"doc_a", $"doc_b", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val sh = corpus.select($"doc_id",
+        Dedup.shingles($"text", 3).as("sh"))
+        .filter(size($"sh") > 0)
+      val tau = tNum.toDouble / tDen.toDouble
+      val brute = sh.as("a").join(sh.as("b"),
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          round(Dedup.jaccard($"a.sh", $"b.sh"), 9).as("j"))
+        .filter($"j" >= tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"seed=$seed tau=$tNum/$tDen")
+    }
+  }
+
   test("prefix-filter join is a superset of min-shingle blocking " +
       "(blocking recall <= 1, prefix recall = 1)") {
     val corpus = (0 until 30).map { i =>
