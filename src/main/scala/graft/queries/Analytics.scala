@@ -41,7 +41,13 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-style: 3-way join + per-order revenue + top-10. */
+  /** TPC-H Q3-style: 3-way join + per-order revenue + top-10.
+    * The segment-filtered customer slice carries NO broadcast hint:
+    * customer scales with the corpus (150k·SF), so the hint would
+    * bypass autoBroadcastJoinThreshold with no fallback and OOM the
+    * driver at production scale. AQE broadcasts it at runtime while
+    * it fits and falls back to a shuffled hash join beyond the
+    * threshold (the q8/q18 treatment). */
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val cust = Tables.customer(s, d)
@@ -54,7 +60,7 @@ object Analytics {
       .filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
@@ -64,7 +70,11 @@ object Analytics {
 
   /** TPC-H Q5-style: 6-way join, local-supplier revenue per nation.
     * Customer and supplier must share the nation (the classic
-    * co-location predicate); all dims broadcast. */
+    * co-location predicate). Nation/region (genuinely fixed-size)
+    * broadcast by hint; customer and supplier scale with the corpus
+    * (150k·SF / 10k·SF), so they carry no hint — AQE broadcasts
+    * while they fit and falls back to shuffled hash joins beyond
+    * the threshold (the q8/q18 treatment). */
   def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -77,8 +87,8 @@ object Analytics {
     val nat = Tables.nation(s, d)
     val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -103,13 +113,13 @@ object Analytics {
     * by ASIA-region customers, the yearly revenue share supplied by
     * NATION_2. Two ratio terms aggregate in one pass (conditional
     * sum over the same joined frame); the FIXED-size dims (part
-    * slice, nation, region, supplier) broadcast by hint, while
-    * customer — which scales WITH the corpus (TPC-H sizes it at
-    * 150k·SF, and the tpch probe replicates it with the facts) —
-    * carries no hint: AQE picks broadcast at runtime while it fits
-    * and falls back to a shuffled hash join beyond the threshold,
-    * instead of a forced broadcast OOMing the driver at scale (the
-    * q18 treatment). */
+    * slice, nation, region) broadcast by hint, while customer and
+    * supplier — which scale WITH the corpus (TPC-H sizes them at
+    * 150k·SF / 10k·SF, and the tpch probe replicates them with the
+    * facts) — carry no hint: AQE picks broadcast at runtime while
+    * they fit and falls back to a shuffled hash join beyond the
+    * threshold, instead of a forced broadcast OOMing the driver at
+    * scale (the q18 treatment). */
   def q8MarketShare(s: SparkSession, d: String): DataFrame = {
     val part = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
       .select("p_partkey")
@@ -130,7 +140,7 @@ object Analytics {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(custNat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(

@@ -46,11 +46,13 @@ object AnalyticsExt {
       |  ORDER BY o_orderdate ASC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** CUBE over (segment, order year). */
+  /** CUBE over (segment, order year). Customer scales with the
+    * corpus (150k·SF) so it carries no broadcast hint — AQE decides
+    * (the q8/q18 treatment). */
   def qCube(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select("c_custkey", "c_mktsegment")),
+      .join(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .withColumn("o_year", year(col("o_orderdate")))
       .cube(col("c_mktsegment"), col("o_year"))
@@ -529,8 +531,8 @@ object AnalyticsExt {
     val seg = col("c_mktsegment")
     val pri = col("o_orderpriority")
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select("c_custkey", "c_mktsegment")),
+      .join(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupingSets(Seq(Seq(seg, pri), Seq(seg), Seq(pri)), seg, pri)
       .agg(sumDec(col("o_totalprice")).as("sum_price"),

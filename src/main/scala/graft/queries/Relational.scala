@@ -34,7 +34,11 @@ object Relational {
       |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q7 shape: shipping volume between supplier-nation and
-    * customer-nation pairs per year. */
+    * customer-nation pairs per year. Nation (fixed 25 rows)
+    * broadcasts by hint; supplier and customer scale with the corpus
+    * (10k·SF / 150k·SF) so they carry no hint — AQE broadcasts while
+    * they fit, shuffled hash join beyond the threshold (the q8/q18
+    * treatment; a forced broadcast would OOM the driver at scale). */
   def qVolumeShipping(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey",
       "l_extendedprice", "l_discount", "l_shipdate")
@@ -44,11 +48,11 @@ object Relational {
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     li.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)
-          .select("s_suppkey", "s_nationkey")),
+      .join(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)
-          .select("c_custkey", "c_nationkey")),
+      .join(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))

@@ -1287,46 +1287,49 @@ object TrainingData {
     * partitions, top-3 attach points per new vector for downstream
     * dedup-or-link. No refit, no re-encode; per-batch work linear in
     * the batch (|Q| scales with the batch BY CONTRACT — the
-    * documented ingest-gate exception to the fixed-|Q| rule). */
+    * documented ingest-gate exception to the fixed-|Q| rule).
+    *
+    * r9: the coarse quantizer's k scales with the manifest —
+    * k = ⌈N/64⌉ deterministic k-means partitions instead of r8's
+    * fixed 8 label partitions — so partition size, and with it
+    * per-batch probe cost, stays FLAT as the corpus grows (the r8
+    * shape was linear in N: 1.9 s → 15.4 s for 18k → 198k manifests
+    * at the same 2k batch). The oracle derives the same k via a
+    * scalar subquery over count(*) and unrolls the same 2-iteration
+    * fit, so the k ∝ N index is hash-verified end to end. */
   def sAnnIncremental(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Similarity.ivfIncremental(
         e.filter(col("vec_id") % 10 =!= 0),
         e.filter(col("vec_id") % 10 === 0),
-        k = 3, nprobe = 3)
+        k = 3, nprobe = 3, targetPartitionSize = 64, iters = 2)
       .orderBy("new_id", "rank")
   }
 
   private val sAnnIncrementalSql =
-    s"""WITH man AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+    s"""WITH man AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings
        |  WHERE embedding IS NOT NULL AND vec_id % 10 <> 0),
        |newb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings
        |  WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
-       |dims AS (SELECT label, i,
-       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
-       |      / count(*) AS cv
-       |  FROM man CROSS JOIN range(1, 65) t(i)
-       |  GROUP BY label, i),
-       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
-       |  FROM dims GROUP BY label),
-       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM newb),
-       |probes AS (SELECT query_id, q_emb, label,
-       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
-       |  FROM q CROSS JOIN cent),
-       |probed AS (SELECT query_id, q_emb, label FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |${kmUnrolledCoreSql("man",
+          "SELECT CAST(ceil(count(*) / 64.0) AS INT) FROM man")},
+       |probes AS (SELECT n.vec_id AS new_id, n.emb AS q_emb, c.cid,
+       |    ${sqlCosine("n.emb", "c.centroid")} AS c_sim
+       |  FROM newb n CROSS JOIN c2 c),
+       |probed AS (SELECT new_id, q_emb, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY new_id
+       |      ORDER BY c_sim DESC, cid ASC) AS prn FROM probes)
        |  WHERE prn <= 3),
-       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
-       |    ${sqlCosine("p.q_emb", "b.emb")} AS cos_sim
-       |  FROM man b JOIN probed p ON b.label = p.label),
-       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |scored AS (SELECT p.new_id, m.vec_id AS match_id,
+       |    ${sqlCosine("p.q_emb", "m.emb")} AS cos_sim
+       |  FROM members m JOIN probed p ON m.cid = p.cid
+       |  WHERE m.vec_id <> p.new_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY new_id
+       |    ORDER BY cos_sim DESC, match_id ASC) AS INT) AS rank
        |  FROM scored)
-       |SELECT query_id AS new_id, neighbor_id AS match_id, cos_sim,
-       |  rank
+       |SELECT new_id, match_id, cos_sim, rank
        |FROM ranked WHERE rank <= 3 ORDER BY new_id, rank""".stripMargin
 
   /** IVF with a real deterministic k-means coarse quantizer (8
@@ -1349,14 +1352,18 @@ object TrainingData {
     * as a WITH-clause body ending in CTEs `c2` (fitted centroids) and
     * `members` (vec_id, emb, cid). Used by both the IVF-k-means ANN
     * oracle and the SemDeDup oracle so the two can never drift. */
-  private def kmUnrolledSql(kClusters: Int): String = {
+  /** [[kmUnrolledSql]]'s core over an arbitrary base CTE `b`
+    * (vec_id, emb) with k given as a SQL expression — a literal for
+    * the fixed-k entries, a scalar subquery for the k ∝ N ingest
+    * gate. Emits CTEs init → a1/c1 → a2/c2 → members. */
+  private def kmUnrolledCoreSql(b: String, kExpr: String): String = {
     def assignSql(cent: String, out: String): String =
       s"""$out AS (SELECT vec_id, emb, cid FROM (
          |  SELECT b.vec_id, b.emb, c.cid,
          |    row_number() OVER (PARTITION BY b.vec_id
          |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC, c.cid)
          |      AS rn
-         |  FROM base b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+         |  FROM $b b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
     def updateSql(assigned: String, out: String): String =
       s"""${out}d AS (SELECT cid, i,
          |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
@@ -1365,17 +1372,20 @@ object TrainingData {
          |  GROUP BY cid, i),
          |$out AS (SELECT cid, list(cv ORDER BY i) AS centroid
          |  FROM ${out}d GROUP BY cid)""".stripMargin
-    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |init AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
+    s"""init AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
        |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
-       |    FROM base) WHERE rn <= $kClusters),
+       |    FROM $b) WHERE rn <= ($kExpr)),
        |${assignSql("init", "a1")},
        |${updateSql("a1", "c1")},
        |${assignSql("c1", "a2")},
        |${updateSql("a2", "c2")},
        |${assignSql("c2", "members")}""".stripMargin
   }
+
+  private def kmUnrolledSql(kClusters: Int): String =
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |${kmUnrolledCoreSql("base", kClusters.toString)}""".stripMargin
 
   private val sAnnIvfKmeansSql =
     s"""WITH ${kmUnrolledSql(8)},
@@ -1442,8 +1452,11 @@ object TrainingData {
   /** `sampleMod = Some(n)` fits every subspace codebook (seeds,
     * both Lloyd rounds) on the `vec_id % n = 0` sample while the
     * final code assignment `m$s` still covers the full corpus —
-    * mirrors [[Similarity.pqTopK]]'s `fitSampleMod`. */
-  private def pqFitsSqlWith(sampleMod: Option[Int]): String = {
+    * mirrors [[Similarity.pqTopK]]'s `fitSampleMod`. `src` is the
+    * (vec_id, emb) CTE the subspaces slice — `base` for raw-vector
+    * PQ, `rbase` for the residual variant. */
+  private def pqFitsSqlWith(sampleMod: Option[Int],
+      src: String = "base"): String = {
     // identical float expression tree to Similarity.l2sq
     def l2(a: String, b: String) =
       s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
@@ -1469,7 +1482,7 @@ object TrainingData {
         s"fb$s AS (SELECT vec_id, emb FROM b$s WHERE vec_id % $n = 0),\n")
         .getOrElse("")
       s"""b$s AS (SELECT vec_id, emb[${pqLo(s)}:${pqHi(s)}] AS emb
-         |  FROM base),
+         |  FROM $src),
          |${fbCte}i$s AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
          |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
          |    FROM $fitSrc) WHERE rn <= $PqKSub),
@@ -1596,6 +1609,69 @@ object TrainingData {
        |    AND l.sub = k.sub AND l.cid = k.cid
        |  WHERE k.vec_id <> l.query_id
        |  GROUP BY l.query_id, k.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** RESIDUAL IVF-PQ ([[Similarity.ivfTopKPqResidual]]) — the FAISS
+    * production form: codebooks fitted on `v − c(v)` residuals
+    * against the coarse per-label centroids, ADC score
+    * `⟨q,c(v)⟩ + Σ LUT` with the coarse term computed at probe time.
+    * The oracle derives the residual frame with the same IEEE-exact
+    * element-wise subtraction (`emb[i] − centroid[i]`) and reuses the
+    * shared unrolled-fit fragments over it, so the coupled two-level
+    * fit is hash-verified end to end; SimilaritySpec compares recall
+    * against the non-residual composition at the identical code
+    * budget. */
+  def sAnnIvfPqRes(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKPqResidual(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3, m = 16, kSub = 32, iters = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnIvfPqResSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dims AS (SELECT label, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |rbase AS (SELECT b.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> b.emb[i] - c.centroid[i]) AS emb
+       |  FROM base b JOIN cent c ON b.label = c.label),
+       |${pqFitsSqlWith(None, src = "rbase")},
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |probes AS (SELECT query_id, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim,
+       |    list_dot_product(q_emb, centroid) AS qc_dot
+       |  FROM q CROSS JOIN cent),
+       |probed AS (SELECT query_id, label, qc_dot FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |codes AS ($pqCodesUnionSql),
+       |codesl AS (SELECT c.vec_id, b.label, c.sub, c.cid
+       |  FROM codes c JOIN base b ON c.vec_id = b.vec_id),
+       |lut AS ($pqLutUnionSql),
+       |scored AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+       |    round(p.qc_dot + ${sqlSumDec("pdot")}, 6) AS adc_dot
+       |  FROM codesl k
+       |  JOIN probed p ON k.label = p.label
+       |  JOIN lut l ON l.query_id = p.query_id
+       |    AND l.sub = k.sub AND l.cid = k.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY l.query_id, k.vec_id, p.qc_dot),
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM scored)
@@ -1808,17 +1884,33 @@ object TrainingData {
     * within-cluster quadratic pair work Σ|c|² ≈ n·64 — LINEAR in the
     * corpus. The 10× probe measured fixed-k at ~56× cost for 10× data
     * vs ~linear for scaled-k (BASELINE.md); this entry ships that
-    * production recipe as a first-class catalog shape. Rows-only by
-    * contract (precedent: `q_approx_distinct`): the unrolled-iteration
-    * SQL oracle needs a literal k, which auto-k by definition doesn't
-    * have — the equality `semDedupAuto(n/64) == semDedup(derived k)`
-    * is spec-verified instead (SimilaritySpec), and at sf0.01
-    * (n=500 → k=8) the output coincides with the hash-verified
-    * `d_semdedup`. */
+    * production recipe as a first-class catalog shape.
+    *
+    * Hash-verified since r9: the oracle derives the same
+    * k = max(2, ⌈n/64⌉) via an integer scalar subquery over count(*)
+    * (n counts the RAW frame, pre-null-filter — exactly what
+    * `semDedupAuto`'s `embeddings.count()` counts) and feeds it to
+    * the shared unrolled k-means fragment ([[kmUnrolledCoreSql]]),
+    * the same machinery that hash-verifies the k ∝ N ANN ingest
+    * gate. */
   def dSemdedupAuto(s: SparkSession, d: String): DataFrame =
     Similarity.semDedupAuto(embs(s, d), targetClusterSize = 64L,
       iters = 2, threshold = 0.45)
       .orderBy("vec_id")
+
+  private val dSemdedupAutoSql =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |${kmUnrolledCoreSql("base",
+          "SELECT GREATEST(2, (count(*) + 63) // 64) FROM embeddings")},
+       |p AS (SELECT b.vec_id AS vid
+       |  FROM members a JOIN members b
+       |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCosine("a.emb", "b.emb")} >= 0.45),
+       |d AS (SELECT DISTINCT vid FROM p)
+       |SELECT m.vec_id, m.cid, (d.vid IS NULL) AS kept
+       |FROM members m LEFT JOIN d ON m.vec_id = d.vid
+       |ORDER BY vec_id""".stripMargin
 
   /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
     * multi-table hyperplane LSH blocking + exact cosine verification.
@@ -1834,13 +1926,58 @@ object TrainingData {
     * The fixed-plane catalog shape above is quadratic past ~10×
     * (4 buckets per table regardless of n; the 100× deep probe
     * measured it unrunnable at 200k vectors), so THIS is the shape a
-    * production corpus runs. Rows-only by contract, precedent
-    * `d_semdedup_auto`: auto-p has no literal plane list for the
-    * oracle to inline; SimilaritySpec pins auto ≡ explicit-p. */
+    * production corpus runs.
+    *
+    * Hash-verified since r9: `hyperplanes` draws planes SEQUENTIALLY
+    * from one seeded PRNG, so plane i is the same for every p ≥ i+1
+    * (prefix-stable) — the oracle inlines the first 12 plane literals
+    * per table and masks bit i with `i < p`, deriving
+    * p = clamp(1, 24, bitlength(max(2, ⌈n/64⌉) − 1)) from a scalar
+    * subquery over the non-null count, exactly
+    * [[Similarity.cosineDupPairsAuto]]'s integer arithmetic. p > 12
+    * (a > 262k-vector corpus at target 64) raises a SQL error rather
+    * than silently diverging; SimilaritySpec additionally pins
+    * auto ≡ explicit-p. */
   def dEmbedDupsAuto(s: SparkSession, d: String): DataFrame =
     Similarity.cosineDupPairsAuto(embs(s, d), threshold = 0.45,
       tables = 8, targetBucketSize = 64L, seed = 7L)
       .orderBy("vec_a", "vec_b")
+
+  private val dEmbedDupsAutoSql = {
+    val tables = 8
+    val pMax = 12 // covers corpora to 64·2^12 ≈ 262k vectors; guarded
+    val buckets = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(pMax, 64, 7L + t)
+      val bucket = planes.zipWithIndex.map { case (pl, i) =>
+        val arr = "[" + pl.mkString(", ") + "]"
+        s"CASE WHEN $i < (SELECT p FROM params) AND " +
+        s"list_dot_product(emb, $arr) > 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM base"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH praw AS (SELECT LEAST(24, GREATEST(1,
+       |    length(bin(GREATEST(2, (count(*) + 63) // 64) - 1)))) AS p
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |params AS (SELECT CASE WHEN p > $pMax THEN CAST(error(
+       |    'd_embed_dups_auto oracle: derived p exceeds inlined $pMax '
+       |    || 'planes') AS INT) ELSE p END AS p FROM praw),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(list_dot_product(embedding::DOUBLE[],
+       |      embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |keyed AS ($buckets),
+       |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM keyed a JOIN keyed b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |v AS (SELECT vec_a, vec_b,
+       |    round(list_dot_product(ea.emb, eb.emb) /
+       |      (ea.norm * eb.norm), 6) AS cos_sim
+       |  FROM cand JOIN base ea ON ea.vec_id = cand.vec_a
+       |    JOIN base eb ON eb.vec_id = cand.vec_b)
+       |SELECT DISTINCT vec_a, vec_b, cos_sim FROM v
+       |WHERE cos_sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   private val dEmbedDupsSql = {
     val tables = 8
@@ -3767,6 +3904,7 @@ object TrainingData {
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_sampled" -> (sAnnPqSampled _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
+    "s_ann_ivf_pq_res" -> (sAnnIvfPqRes _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_decontaminate" -> (dEmbedDecontaminate _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
@@ -3869,6 +4007,7 @@ object TrainingData {
     "d_embed_pca2" -> graft.ext.Pca.topComponents2Sql(),
     "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
+    "d_semdedup_auto" -> dSemdedupAutoSql,
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_kl_sources" -> dKlSourcesSql,
     "s_ann_recall" -> sAnnRecallSql,
@@ -3888,7 +4027,9 @@ object TrainingData {
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_sampled" -> sAnnPqSampledSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,
+    "s_ann_ivf_pq_res" -> sAnnIvfPqResSql,
     "d_embed_dups" -> dEmbedDupsSql,
+    "d_embed_dups_auto" -> dEmbedDupsAutoSql,
     "d_embed_decontaminate" -> dEmbedDecontaminateSql,
     "m_binary_meta" -> mBinaryMetaSql,
     "m_media_decode" -> mMediaDecodeSql,

@@ -130,6 +130,50 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer-join tail state DRAINS once sentinels advance the " +
+      "watermarks: numRowsTotal drops to the sentinel rows alone") {
+    // The production-drain story, proven rather than narrated: on a
+    // bounded source the unmatched tail sits in join state waiting
+    // for a watermark that never comes; one far-future event per
+    // side advances both watermarks past every REAL row and the
+    // state store evicts them all. Exact zero is impossible on a
+    // terminating source — the newest rows (here: the sentinels
+    // themselves) always sit above their own watermark — so the
+    // assertion is equality with the sentinel count, which is the
+    // strongest drain statement a bounded run can make (a production
+    // stream keeps running and holds only the most recent interval).
+    import spark.implicits._
+    val staged = java.nio.file.Files
+      .createTempDirectory("events_drain_stream").toString
+    val ev = Tables.events(spark, sf0001)
+    ev.write.mode("overwrite").parquet(staged)
+    val q = EventsStream.streamingClickPurchaseFullJoin(spark, staged)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("drain_out").start()
+    try {
+      q.processAllAvailable()
+      val before = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // the multi-batch file source advances the watermark as it
+      // goes, so mid-corpus state was already evicted incrementally
+      // (bounded state, proven elsewhere); what MUST remain stuck is
+      // the tail — real rows above the final watermark, which no
+      // further input will ever release
+      assert(before > 2, s"no stuck tail to drain (state $before)")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 3L * 3600 * 1000)
+      Seq((-999L, sentinelTs, -999L, "click", 0.0, "{}"),
+          (-998L, sentinelTs, -998L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(staged)
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(after == 2,
+        s"state after sentinel flush is $after rows, expected exactly " +
+          "the 2 sentinels — the real tail did not drain")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join (stateless " +
       "— no watermark required)") {
     val staged = java.nio.file.Files
