@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Scan-level plan audit: column pruning and filter pushdown must
+  * reach the parquet scans — the discipline that decides whether a
+  * 100-TB table read ships 2 columns or 16.
+  *
+  * Complements [[PlanAuditSpec]] (join-strategy hints): these
+  * assertions pin the OTHER two scan-side scale guarantees —
+  * `ReadSchema` (a scan may read only the columns the query needs;
+  * Catalyst's column pruning pushes the projection into the parquet
+  * footer read) and `PushedFilters` (row-group skipping via min/max
+  * statistics needs the predicate INSIDE the scan, not in a Filter
+  * above it). Expectations are exact per query, so a refactor that
+  * silently widens a scan (e.g. a `select("*")` upstream of the agg,
+  * or a filter rewritten into a non-pushable expression) fails here
+  * rather than costing 8× the bytes at scale.
+  */
+class ScanAuditSpec extends SparkSpec {
+
+  /** (table, read columns, pushed-filter string) for every parquet
+    * scan in the query's physical plan (pre-AQE: pruning and pushdown
+    * are planning-time properties, AQE only re-plans exchanges). */
+  private def scans(df: DataFrame): Seq[(String, Set[String], String)] =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        val table = f.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        (table, f.requiredSchema.fieldNames.toSet,
+          f.metadata.getOrElse("PushedFilters", ""))
+    }
+
+  private def scanOf(df: DataFrame, table: String)
+      : (Set[String], String) = {
+    val hits = scans(df).filter(_._1 == table)
+    assert(hits.nonEmpty, s"no parquet scan of $table in the plan")
+    // a table may be scanned more than once (self-join shapes); the
+    // audit bounds the WIDEST read
+    (hits.map(_._2).maxBy(_.size), hits.map(_._3).mkString(" | "))
+  }
+
+  test("q1: the lineitem scan reads only the 7 aggregation columns " +
+      "and pushes the shipdate cutoff") {
+    val (cols, pushed) = scanOf(
+      queries.Analytics.q1PricingSummary(spark, sf0001), "lineitem")
+    assert(cols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate"),
+      s"scan widened to $cols")
+    assert(pushed.contains("l_shipdate"), s"shipdate not pushed: $pushed")
+  }
+
+  test("q6: scan = exactly the 4 predicate/aggregate columns, all " +
+      "three range predicates pushed") {
+    val (cols, pushed) = scanOf(
+      queries.Analytics.q6ForecastRevenue(spark, sf0001), "lineitem")
+    assert(cols == Set("l_shipdate", "l_discount", "l_quantity",
+      "l_extendedprice"), s"scan widened to $cols")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed: $pushed")
+  }
+
+  test("q3: each side of the 3-way join scans only its join/agg/" +
+      "filter columns; segment and date predicates push") {
+    val df = queries.Analytics.q3ShippingPriority(spark, sf0001)
+    val (li, liPushed) = scanOf(df, "lineitem")
+    assert(li == Set("l_orderkey", "l_extendedprice", "l_discount",
+      "l_shipdate"), s"lineitem scan widened to $li")
+    assert(liPushed.contains("l_shipdate"))
+    val (ord, ordPushed) = scanOf(df, "orders")
+    assert(ord == Set("o_orderkey", "o_custkey", "o_orderdate",
+      "o_orderpriority"), s"orders scan widened to $ord")
+    assert(ordPushed.contains("o_orderdate"))
+    val (cust, custPushed) = scanOf(df, "customer")
+    assert(cust == Set("c_custkey", "c_mktsegment"),
+      s"customer scan widened to $cust")
+    assert(custPushed.contains("c_mktsegment"))
+  }
+
+  test("exact dedup: the documents scan ships only (doc_id, text) — " +
+      "lang/source/n_chars never leave the footer") {
+    val (cols, _) = scanOf(
+      queries.TrainingData.dDedupExact(spark, sf0001), "documents")
+    assert(cols == Set("doc_id", "text"), s"scan widened to $cols")
+  }
+
+  test("brute-force ANN: the embeddings scan ships only " +
+      "(vec_id, embedding) — label is pruned") {
+    import org.apache.spark.sql.functions.col
+    val df = ext.Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf0001), col("vec_id") % 40 === 0, 5)
+    val (cols, _) = scanOf(df, "embeddings")
+    assert(cols == Set("vec_id", "embedding"), s"scan widened to $cols")
+  }
+}
