@@ -88,4 +88,47 @@ object Retrieval {
     agg.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    * ranked retrieval legs — the standard hybrid-retrieval combiner
+    * (sparse BM25 + dense ANN being the canonical pair): fused
+    * score(d) = Σ_legs 1/(kRrf + rank_leg(d)), rank-space only, so no
+    * per-leg score calibration is needed.
+    *
+    * Each leg is a (qid, doc_id, rk) frame — any retriever that emits
+    * dense 1-based ranks per query plugs in unchanged ([[bm25TopK]],
+    * any [[Similarity]] top-k with columns renamed), which is the
+    * point: at 100-TB scale the dense leg swaps from brute-force to
+    * IVF-PQ without touching the fusion.
+    *
+    * Scale shape: fusion runs entirely in RANK SPACE — each leg
+    * contributes at most |Q|·k rows, so the union/aggregate here is
+    * bounded by queries × k × legs regardless of corpus size; all
+    * corpus-proportional work stays inside the legs (which carry
+    * their own scale paths). The one exchange keys on (qid, doc_id).
+    *
+    * Cross-engine determinism: per-row contributions are integer
+    * MICRO-UNITS floor(1e9/(kRrf + rk) + 0.5) — one double division
+    * + one explicit half-up rounding per (leg, row), identical IEEE
+    * sequence in DuckDB — then the per-doc sum is exact integer
+    * arithmetic, so partial-aggregation order can never flip the
+    * fused ranking. Final order (rrf DESC, doc_id ASC).
+    *
+    * Output: (qid, doc_id, rrf, n_legs, rk) — n_legs = how many legs
+    * retrieved the doc (the agreement signal hybrid eval wants).
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val contribs = legs.map(_.select(col("qid"), col("doc_id"),
+      floor(lit(1e9) / (lit(kRrf) + col("rk")) + lit(0.5))
+        .cast("long").as("contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf"),
+        count(lit(1)).as("n_legs"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

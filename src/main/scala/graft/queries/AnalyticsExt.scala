@@ -224,6 +224,59 @@ object AnalyticsExt {
       |FROM active JOIN cohorts USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Batch sessionization: a 30-minute inactivity gap starts a new
+    * session (the classic web-analytics rule; the batch sibling of
+    * the streaming `st_session` window). Per (user, session): event
+    * count, start/end, exact microsecond duration.
+    *
+    * Scale shape: ONE shuffle on `user_id` serves the whole query —
+    * the gap flag and running session index are windows over
+    * (user_id | ts, event_id), and the per-session aggregate's
+    * ClusteredDistribution(user_id, session_idx) is already satisfied
+    * by HashPartitioning(user_id) (equal composite keys share a
+    * user_id), so Catalyst inserts no second exchange. Gaps compare
+    * in integer MICROSECONDS (`unix_micros` / DuckDB `epoch_us`) —
+    * exact arithmetic, no seconds truncation, no float epoch. Session
+    * boundaries tie-break on event_id so duplicate timestamps order
+    * deterministically in both engines. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  private val qSessionizeSql =
+    """WITH m AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+
   /** PageRank over the bipartite customer↔supplier purchase graph
     * (edges = distinct (custkey, suppkey) pairs via lineitem×orders,
     * symmetrized; node ids namespaced by parity). Two unrolled
@@ -836,6 +889,7 @@ object AnalyticsExt {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
+    "q_sessionize" -> (qSessionize _),
     "g_pagerank" -> (gPagerank _),
     "q_levenshtein" -> (qLevenshtein _),
     "q_setops" -> (qSetOps _),
@@ -860,6 +914,7 @@ object AnalyticsExt {
     "q_salted_agg" -> qSaltedAggSql,
     "q_funnel" -> qFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
+    "q_sessionize" -> qSessionizeSql,
     "g_pagerank" -> gPagerankSql,
     "q_levenshtein" -> qLevenshteinSql,
     "q_setops" -> qSetOpsSql,

@@ -2856,6 +2856,98 @@ object TrainingData {
       |SELECT qid, doc_id, score, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion
+    * ([[graft.ext.Retrieval.rrfFuse]], Cormack et al. 2009): each
+    * query carries BOTH a term set (the [[dBm25]] literals) and a
+    * query vector (testdata aligns `vec_id` with `doc_id`, so qid i's
+    * vector is embedding 10·(i+1)); the BM25 leg and the brute-force
+    * cosine leg each return top-10, and RRF fuses them in rank space
+    * — integer micro-unit contributions floor(1e9/(60+rk)+0.5), so
+    * the fused ordering is exact cross-engine. The dense leg here is
+    * the fixed-|Q| brute form; at scale it swaps for
+    * [[graft.ext.Similarity.pqTopK]] without touching the fusion
+    * (rank-space legs are interchangeable by construction). */
+  def sHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq(
+      (0L, "sort"), (0L, "merge"), (0L, "join"),
+      (1L, "fast"), (1L, "query"),
+      (2L, "vector"), (2L, "stream"), (2L, "data"))
+      .toDF("qid", "term")
+    val qmap = Seq((0L, 10L), (1L, 20L), (2L, 30L))
+      .toDF("qid", "qvec_id")
+    val sparse = graft.ext.Retrieval.bm25TopK(docs(s, d), terms,
+        k = 10, k1 = 1.5, b = 0.75)
+      .select(col("qid"), col("doc_id"), col("rk"))
+    val dense = Similarity.bruteForceTopK(embs(s, d),
+        qmap.select(col("qvec_id").as("vec_id")), k = 10)
+      .join(broadcast(qmap), col("query_id") === col("qvec_id"))
+      .select(col("qid"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rk"))
+    graft.ext.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+      .orderBy("qid", "rk")
+  }
+
+  private val sHybridRrfSql =
+    """WITH q(qid, term) AS (VALUES
+      |    (CAST(0 AS BIGINT), 'sort'), (0, 'merge'), (0, 'join'),
+      |    (1, 'fast'), (1, 'query'),
+      |    (2, 'vector'), (2, 'stream'), (2, 'data')),
+      |qv(qid, qvec_id) AS (VALUES
+      |    (CAST(0 AS BIGINT), CAST(10 AS BIGINT)), (1, 20), (2, 30)),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) AS sum_dl
+      |  FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT q.qid, tf.doc_id,
+      |    round(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+      |      (tf.tf * 2.5) /
+      |      (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl /
+      |        (n.sum_dl / n.n_docs))), 6) AS t_score
+      |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+      |  JOIN dl USING (doc_id), n),
+      |bagg AS (SELECT qid, doc_id,
+      |    round(CAST(sum(CAST(t_score AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc GROUP BY 1, 2),
+      |sr AS (SELECT qid, doc_id, row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+      |  FROM bagg),
+      |base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      |  FROM embeddings),
+      |qd AS (SELECT qv.qid, qv.qvec_id, b.emb AS q_emb
+      |  FROM base b JOIN qv ON b.vec_id = qv.qvec_id),
+      |dscored AS (SELECT qd.qid, b.vec_id AS doc_id,
+      |    round(list_dot_product(q_emb, emb) /
+      |      (sqrt(list_dot_product(q_emb, q_emb)) *
+      |       sqrt(list_dot_product(emb, emb))), 6) AS cos_sim
+      |  FROM base b CROSS JOIN qd WHERE b.vec_id <> qd.qvec_id),
+      |dr AS (SELECT qid, doc_id, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS rk
+      |  FROM dscored),
+      |legs AS (
+      |  SELECT qid, doc_id,
+      |    CAST(floor(1e9 / (60 + rk) + 0.5) AS BIGINT) AS contrib
+      |  FROM sr WHERE rk <= 10
+      |  UNION ALL
+      |  SELECT qid, doc_id,
+      |    CAST(floor(1e9 / (60 + rk) + 0.5) AS BIGINT) AS contrib
+      |  FROM dr WHERE rk <= 10),
+      |fused AS (SELECT qid, doc_id, sum(contrib) AS rrf,
+      |    count(*) AS n_legs
+      |  FROM legs GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, rrf, n_legs, row_number() OVER (
+      |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
+      |  FROM fused)
+      |SELECT qid, doc_id, rrf, CAST(n_legs AS BIGINT) AS n_legs,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** Benchmark decontamination: find corpus documents sharing any
     * 5-gram with a held-out eval set (doc_id % 10 == 0 stands in for
     * the benchmark), reporting the shared-gram count per (eval,
@@ -3693,6 +3785,179 @@ object TrainingData {
       |FROM documents doc LEFT JOIN per_doc x ON doc.doc_id = x.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  /** Unigram-LM subword tokenizer ([[graft.ext.Unigram]], Kudo 2018 —
+    * the SentencePiece estimator), completing the tokenizer family
+    * alongside BPE (ranked-merge replay) and WordPiece-style greedy
+    * longest-match: substring-seeded piece log-probs, one hard-EM
+    * re-estimation (Viterbi-segment every word type, recount by
+    * usage, add-one re-score), canonical Viterbi under integer
+    * MICRO-UNIT scores — one floating rounding per piece, then every
+    * DP comparison is exact integer arithmetic, so Spark's
+    * right-to-left Viterbi and the oracle's brute-force path
+    * enumeration (ORDER BY score DESC, n ASC, lens DESC — the same
+    * canonical tie-break) provably select identical segmentations.
+    * `d_unigram_train` is the trained tokenizer AS A TABLE (per-type
+    * segmentation + score); `d_unigram_tokens` the per-doc apply. */
+  def dUnigramTrain(s: SparkSession, d: String): DataFrame =
+    graft.ext.Unigram.train(docs(s, d))
+
+  def dUnigramTokens(s: SparkSession, d: String): DataFrame =
+    graft.ext.Unigram.tokenStats(docs(s, d))
+
+  /** Shared oracle body for the unigram tokenizer (catalog
+    * parameterization: vocab 256, piece len ≤ 8, word len ≤ 16, one
+    * EM round). Ends with CTEs `types` and `best1` (per-type
+    * canonical segmentation under the EM-refined scores). Scores
+    * mirror `Unigram.microScores` exactly: floor(ln(c/total)·1e6 +
+    * 0.5) — Java's Math.round, NOT SQL round (they differ on
+    * negative halves). `v1` is DISTINCT-over-UNION-ALL rather than
+    * UNION: DuckDB 1.0.0 fails to dedup unnest(string_split(...))-
+    * derived strings against plain strings across UNION sides
+    * (reproduced minimally; the miscount silently shifted the
+    * add-one total by |usage ∩ chars|). */
+  private def unigramViterbiSql(vposCte: String, scoresCte: String,
+      rCte: String, bestCte: String): String =
+    s"""$vposCte AS (SELECT t.w, CAST(i.range AS INT) AS pos, s.piece,
+       |    CAST(len(s.piece) AS INT) AS l, s.iscore
+       |  FROM types t CROSS JOIN range(0, 16) i
+       |  JOIN $scoresCte s ON i.range < len(t.w)
+       |    AND s.piece = substr(t.w, CAST(i.range AS INT) + 1,
+       |      len(s.piece))),
+       |$rCte AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS n,
+       |    '' AS lens, '' AS toks FROM types
+       |  UNION ALL
+       |  SELECT r.w, r.pos + v.l, r.score + v.iscore, r.n + 1,
+       |    r.lens || chr(CAST(48 + v.l AS INT)),
+       |    CASE WHEN r.n = 0 THEN v.piece
+       |         ELSE r.toks || ' ' || v.piece END
+       |  FROM $rCte r JOIN $vposCte v ON v.w = r.w AND v.pos = r.pos),
+       |$bestCte AS (SELECT w, toks, n, score FROM (
+       |    SELECT r.*, row_number() OVER (PARTITION BY w
+       |      ORDER BY score DESC, n ASC, lens DESC) AS rn
+       |    FROM $rCte r WHERE pos = len(w)) WHERE rn = 1)""".stripMargin
+
+  private val unigramCoreSql =
+    s"""types AS (SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 AND len(w) <= 16 GROUP BY w),
+       |occ AS (SELECT piece, sum(cnt) AS pcnt FROM (
+       |    SELECT cnt, unnest(flatten(
+       |      list_transform(range(1, len(w) + 1), i ->
+       |        list_filter(list_transform(range(1, 9), l ->
+       |          CASE WHEN i + l - 1 <= len(w)
+       |            THEN substr(w, i, l) END),
+       |          p -> p IS NOT NULL)))) AS piece
+       |    FROM types)
+       |  GROUP BY piece),
+       |chars AS (SELECT piece, pcnt FROM occ WHERE len(piece) = 1),
+       |multi AS (SELECT piece, pcnt FROM occ WHERE len(piece) > 1
+       |  ORDER BY pcnt DESC, piece ASC
+       |  LIMIT (256 - (SELECT count(*) FROM chars))),
+       |v0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |s0 AS (SELECT piece, CAST(floor(
+       |    ln(CAST(pcnt AS DOUBLE) /
+       |      (SELECT CAST(sum(pcnt) AS DOUBLE) FROM v0)) * 1e6 + 0.5)
+       |    AS BIGINT) AS iscore FROM v0),
+       |${unigramViterbiSql("vpos0", "s0", "r0", "best0")},
+       |usage AS (SELECT piece, sum(cnt) AS u FROM (
+       |    SELECT t.cnt, unnest(string_split(b.toks, ' ')) AS piece
+       |    FROM best0 b JOIN types t ON t.w = b.w)
+       |  GROUP BY piece),
+       |v1 AS (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM usage
+       |  UNION ALL SELECT piece FROM chars)),
+       |s1 AS (SELECT v1.piece, CAST(floor(
+       |    ln(CAST(coalesce(u.u, 0) + 1 AS DOUBLE) /
+       |      ((SELECT CAST(sum(u) AS DOUBLE) FROM usage) +
+       |       (SELECT count(*) FROM v1))) * 1e6 + 0.5)
+       |    AS BIGINT) AS iscore
+       |  FROM v1 LEFT JOIN usage u ON v1.piece = u.piece),
+       |${unigramViterbiSql("vpos1", "s1", "r1", "best1")}""".stripMargin
+
+  private val dUnigramTrainSql =
+    s"""WITH RECURSIVE $unigramCoreSql
+       |SELECT t.w, t.cnt, b.n AS n_pieces, b.toks AS pieces,
+       |  b.score AS iscore
+       |FROM best1 b JOIN types t ON t.w = b.w ORDER BY t.w""".stripMargin
+
+  private val dUnigramTokensSql =
+    s"""WITH RECURSIVE $unigramCoreSql,
+       |dw AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) WHERE len(w) > 0),
+       |per_doc AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(coalesce(sum(CASE WHEN len(dw.w) <= 16
+       |      THEN b.n ELSE 0 END), 0) AS BIGINT) AS n_pieces,
+       |    CAST(count(*) FILTER (len(dw.w) > 16) AS BIGINT) AS n_long,
+       |    CAST(coalesce(sum(CASE WHEN len(dw.w) <= 16
+       |      THEN b.score ELSE 0 END), 0) AS BIGINT) AS iscore
+       |  FROM dw LEFT JOIN best1 b ON b.w = dw.w
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(x.n_words, 0) AS n_words,
+       |  coalesce(x.n_pieces, 0) AS n_pieces,
+       |  coalesce(x.n_long, 0) AS n_long,
+       |  coalesce(x.iscore, 0) AS iscore
+       |FROM documents d LEFT JOIN per_doc x ON d.doc_id = x.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Cross-tokenizer fertility eval: the three trained tokenizer
+    * families ([[graft.ext.Bpe]] ranked-merge replay,
+    * [[graft.ext.Wordpiece]] greedy longest-match,
+    * [[graft.ext.Unigram]] Viterbi max-likelihood) applied to the SAME
+    * corpus, aggregated per source — fertility (pieces/word) per
+    * (tokenizer, source) is the standard "which tokenizer fits this
+    * corpus mix" table a data-curation pass produces before committing
+    * a vocabulary (per-source because that is the mixing decision's
+    * grain). Each leg reuses its production fit+apply unchanged; the
+    * per-doc join to `source` keys on doc_id and the final aggregate
+    * is bounded by sources × tokenizers. The oracle embeds all three
+    * families' full SQL derivations as derived tables — the combined
+    * entry hash-verifies the CROSS-family comparison, not just each
+    * family alone. */
+  def dTokenizerEval(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val src = dd.select(col("doc_id"), col("source"))
+    def leg(name: String, stats: DataFrame, pieces: Column): DataFrame =
+      stats.join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(pieces).as("n_pieces"))
+        .select(lit(name).as("tokenizer"), col("source"),
+          col("n_docs"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+    leg("bpe", graft.ext.Bpe.tokenStats(dd, BpeRounds), col("n_bpe"))
+      .unionByName(
+        leg("greedy", graft.ext.Wordpiece.tokenStats(dd),
+          col("n_pieces")))
+      .unionByName(
+        leg("unigram", graft.ext.Unigram.tokenStats(dd),
+          col("n_pieces")))
+      .orderBy("tokenizer", "source")
+  }
+
+  private def dTokenizerEvalSql: String = {
+    def leg(name: String, stmt: String, pieces: String): String =
+      s"""SELECT '$name' AS tokenizer, d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(x.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(x.$pieces) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(x.$pieces) AS DOUBLE) / sum(x.n_words), 6)
+         |    AS fertility
+         |FROM ($stmt) x JOIN documents d USING (doc_id)
+         |GROUP BY 2""".stripMargin
+    leg("bpe", graft.ext.Bpe.tokenStatsSql(BpeRounds), "n_bpe") +
+      "\nUNION ALL\n" +
+      leg("greedy", dSubwordGreedySql, "n_pieces") +
+      "\nUNION ALL\n" +
+      leg("unigram", dUnigramTokensSql, "n_pieces") +
+      "\nORDER BY tokenizer, source"
+  }
+
   /** Top principal component of the embedding corpus by distributed
     * power iteration — the anisotropy diagnostic; see
     * [[graft.ext.Pca]] for the matrix-sized-shuffle scale shape. */
@@ -3883,6 +4148,7 @@ object TrainingData {
     "d_containment_auto" -> (dContainmentAuto _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_bm25" -> (dBm25 _),
+    "s_hybrid_rrf" -> (sHybridRrf _),
     "d_dedup_recall" -> (dDedupRecall _),
     "d_neardup_pipeline" -> (dNeardupPipeline _),
     "d_corpus_card" -> (dCorpusCard _),
@@ -3933,6 +4199,9 @@ object TrainingData {
     "d_bpe_tokens" -> (dBpeTokens _),
     "d_bpe_tokens_fast" -> (dBpeTokensFast _),
     "d_subword_greedy" -> (dSubwordGreedy _),
+    "d_unigram_train" -> (dUnigramTrain _),
+    "d_unigram_tokens" -> (dUnigramTokens _),
+    "d_tokenizer_eval" -> (dTokenizerEval _),
     "d_embed_pca" -> (dEmbedPca _),
     "d_embed_abtt" -> (dEmbedAbtt _),
     "d_embed_pca2" -> (dEmbedPca2 _),
@@ -3967,6 +4236,7 @@ object TrainingData {
     "d_containment_auto" -> dContainmentAutoSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_bm25" -> dBm25Sql,
+    "s_hybrid_rrf" -> sHybridRrfSql,
     "d_dedup_recall" -> dDedupRecallSql,
     "d_neardup_pipeline" -> dNeardupPipelineSql,
     "d_corpus_card" -> dCorpusCardSql,
@@ -4002,6 +4272,9 @@ object TrainingData {
     "d_bpe_tokens" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
     "d_bpe_tokens_fast" -> graft.ext.Bpe.tokenStatsSql(BpeRounds),
     "d_subword_greedy" -> dSubwordGreedySql,
+    "d_unigram_train" -> dUnigramTrainSql,
+    "d_unigram_tokens" -> dUnigramTokensSql,
+    "d_tokenizer_eval" -> dTokenizerEvalSql,
     "d_embed_pca" -> graft.ext.Pca.topComponentSql(),
     "d_embed_abtt" -> graft.ext.Pca.allButTopSql(),
     "d_embed_pca2" -> graft.ext.Pca.topComponents2Sql(),

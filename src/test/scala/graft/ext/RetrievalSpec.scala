@@ -50,4 +50,52 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0L) == Seq(1L, 2L))
     assert(got(1L) == Seq(1L, 2L))
   }
+
+  // exact integer micro-unit contribution the operator commits to
+  private def c(rk: Long, kRrf: Long = 60L): Long =
+    math.floor(1e9 / (kRrf + rk) + 0.5).toLong
+
+  test("rrfFuse: cross-leg agreement wins — a doc ranked 2nd in both " +
+      "legs beats each leg's unshared 1st") {
+    val legA = Seq((0L, 10L, 1L), (0L, 99L, 2L), (0L, 11L, 3L))
+      .toDF("qid", "doc_id", "rk")
+    val legB = Seq((0L, 20L, 1L), (0L, 99L, 2L), (0L, 21L, 3L))
+      .toDF("qid", "doc_id", "rk")
+    val got = Retrieval.rrfFuse(Seq(legA, legB), k = 10)
+      .orderBy("rk")
+      .select("doc_id", "rrf", "n_legs", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head._1 == 99L, s"shared doc must fuse to rank 1: $got")
+    assert(got.head._2 == 2 * c(2), "rrf must be the exact integer sum")
+    assert(got.head._3 == 2L)
+    // 2/(62) > 1/61: agreement at rank 2 beats a lone rank 1
+    assert(2 * c(2) > c(1))
+    val byDoc = got.map(g => g._1 -> g).toMap
+    assert(byDoc(10L)._2 == c(1) && byDoc(10L)._3 == 1L)
+  }
+
+  test("rrfFuse: single-leg fusion preserves the leg's order and " +
+      "ties break by doc_id") {
+    val leg = Seq((0L, 5L, 1L), (0L, 3L, 2L), (0L, 9L, 3L))
+      .toDF("qid", "doc_id", "rk")
+    val got = Retrieval.rrfFuse(Seq(leg), k = 10)
+      .orderBy("rk").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(5L, 3L, 9L))
+    // equal-rank docs across two queries stay per-query independent
+    val twoQ = Seq((0L, 7L, 1L), (1L, 8L, 1L)).toDF("qid", "doc_id", "rk")
+    val r = Retrieval.rrfFuse(Seq(twoQ), k = 10)
+      .select("qid", "rk").as[(Long, Long)].collect().toSet
+    assert(r == Set((0L, 1L), (1L, 1L)))
+    // tie: same fused score → lower doc_id first
+    val tie = Seq((0L, 42L, 1L), (0L, 41L, 1L)).toDF("qid", "doc_id", "rk")
+    val tr = Retrieval.rrfFuse(Seq(tie), k = 10)
+      .orderBy("rk").select("doc_id").as[Long].collect().toSeq
+    assert(tr == Seq(41L, 42L))
+  }
+
+  test("rrfFuse bounds output at k per query") {
+    val leg = (1L to 25L).map(i => (0L, 100L + i, i))
+      .toDF("qid", "doc_id", "rk")
+    assert(Retrieval.rrfFuse(Seq(leg), k = 10).count() == 10L)
+  }
 }

@@ -102,6 +102,43 @@ class AnalyticsQuerySpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q_sessionize: hand-built gaps split exactly at 30 minutes, " +
+      "sessions are contiguous, and one user_id shuffle serves the " +
+      "whole query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 1: events at 0s, 10s, 1800s-after-10s (exactly 30min gap →
+    // SAME session), then 1800.000001s after that (→ new session).
+    // user 2: one event.
+    val base = 1700000000000000L // µs
+    val ev = Seq(
+      (1L, base, 1L, "view"),
+      (2L, base + 10L * 1000000, 1L, "view"),
+      (3L, base + 10L * 1000000 + 1800L * 1000000, 1L, "click"),
+      (4L, base + 10L * 1000000 + 1800L * 1000000 + 1800000001L, 1L,
+        "view"),
+      (5L, base, 2L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsExt.queries("q_sessionize")(spark, dir)
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 1810L * 1000000), // 30-min gap does NOT split
+      (1L, 2L, 1L, 0L),              // 30min+1µs does
+      (2L, 1L, 1L, 0L)), s"got $got")
+    // plan: exactly one exchange — HashPartitioning(user_id) must
+    // satisfy the (user_id, session_idx) aggregate's clustering
+    val plan = AnalyticsExt.queries("q_sessionize")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+
   test("TPC-H batch plan shapes: dims broadcast, top-k never global-" +
       "sorts, the returnflag filter reaches the scan") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

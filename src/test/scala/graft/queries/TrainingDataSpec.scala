@@ -747,4 +747,38 @@ class TrainingDataSpec extends SparkSpec {
     }
     r.unpersist()
   }
+
+  test("d_tokenizer_eval: three legs share the word-counting rule, " +
+      "fertility is >= 1 everywhere, and each leg reconciles with " +
+      "its standalone catalog entry") {
+    val e = TrainingData.queries("d_tokenizer_eval")(spark, sf0001)
+      .cache()
+    val legs = e.select("tokenizer").distinct()
+      .as[String].collect().toSet
+    assert(legs == Set("bpe", "greedy", "unigram"))
+    // identical (source, n_docs, n_words) across legs — the shared
+    // whitespace word rule is what makes fertility comparable
+    val shapes = e.groupBy("source")
+      .agg(countDistinct(col("n_docs")).as("d"),
+        countDistinct(col("n_words")).as("w"))
+      .filter(col("d") =!= 1 || col("w") =!= 1)
+    assert(shapes.isEmpty, "legs disagree on docs/words per source")
+    // every word yields at least one piece in every family
+    assert(e.filter(col("n_pieces") < col("n_words")).isEmpty)
+    assert(e.filter(col("fertility") < 1.0).isEmpty)
+    // corpus totals reconcile with the standalone entries
+    val bpeTotal = e.filter(col("tokenizer") === "bpe")
+      .agg(sum("n_pieces")).head().getLong(0)
+    val standalone = TrainingData.queries("d_bpe_tokens")(spark, sf0001)
+      .agg(sum("n_bpe")).head().getLong(0)
+    assert(bpeTotal == standalone,
+      s"bpe leg $bpeTotal != d_bpe_tokens $standalone")
+    val uniTotal = e.filter(col("tokenizer") === "unigram")
+      .agg(sum("n_pieces")).head().getLong(0)
+    val uniStandalone =
+      TrainingData.queries("d_unigram_tokens")(spark, sf0001)
+        .agg(sum("n_pieces")).head().getLong(0)
+    assert(uniTotal == uniStandalone)
+    e.unpersist()
+  }
 }
