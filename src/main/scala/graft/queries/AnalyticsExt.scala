@@ -239,15 +239,24 @@ object AnalyticsExt {
     * exact arithmetic, no seconds truncation, no float epoch. Session
     * boundaries tie-break on event_id so duplicate timestamps order
     * deterministically in both engines. */
-  def qSessionize(s: SparkSession, d: String): DataFrame = {
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(s, d), gapUs = 1800000000L)
+      .orderBy("user_id", "session_idx")
+
+  /** The sessionizer itself, gap-parameterized — SessionizeSpec runs
+    * it at the streaming family's 10-minute gap to prove it agrees
+    * with Spark's native `session_window` operator session-for-
+    * session (an independent second implementation of the same
+    * semantics). */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(asc("ts"), asc("event_id"))
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
       .withColumn("new_s",
-        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+        when(col("gap_us").isNull || col("gap_us") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -257,7 +266,6 @@ object AnalyticsExt {
         max(col("ts")).as("session_end"),
         (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
           .as("duration_us"))
-      .orderBy("user_id", "session_idx")
   }
 
   private val qSessionizeSql =

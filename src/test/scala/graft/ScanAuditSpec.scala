@@ -93,4 +93,23 @@ class ScanAuditSpec extends SparkSpec {
     val (cols, _) = scanOf(df, "embeddings")
     assert(cols == Set("vec_id", "embedding"), s"scan widened to $cols")
   }
+
+  test("q_sessionize: the events scan ships only (user_id, ts, " +
+      "event_id) — event_type/value/props are pruned") {
+    val (cols, _) = scanOf(
+      queries.AnalyticsExt.qSessionize(spark, sf0001), "events")
+    assert(cols == Set("user_id", "ts", "event_id"),
+      s"scan widened to $cols")
+  }
+
+  test("s_hybrid_rrf: both legs' scans stay minimal — documents " +
+      "(doc_id, text), embeddings (vec_id, embedding)") {
+    val df = queries.TrainingData.sHybridRrf(spark, sf0001)
+    val (docCols, _) = scanOf(df, "documents")
+    assert(docCols == Set("doc_id", "text"),
+      s"documents scan widened to $docCols")
+    val (embCols, _) = scanOf(df, "embeddings")
+    assert(embCols == Set("vec_id", "embedding"),
+      s"embeddings scan widened to $embCols")
+  }
 }

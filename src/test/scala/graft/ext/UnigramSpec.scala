@@ -86,6 +86,14 @@ class UnigramSpec extends SparkSpec {
     assert(t.collect().toSeq == t2.collect().toSeq)
   }
 
+  test("train is partition-invariant: 1-partition and 7-partition " +
+      "corpora fit bit-identical tokenizers") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val a = Unigram.train(docs.repartition(1)).collect().toSeq
+    val b = Unigram.train(docs.repartition(7)).collect().toSeq
+    assert(a == b, "EM fit must not depend on the physical layout")
+  }
+
   test("tokenStats is consistent with train (Σ doc pieces = Σ type " +
       "cnt × pieces) and long words route to n_long") {
     val docs = graft.Tables.documents(spark, sf0001)

@@ -139,6 +139,46 @@ class AnalyticsQuerySpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
 
+  test("sessionize agrees with Spark's native session_window " +
+      "operator session-for-session on the real corpus (independent " +
+      "second implementation of the same semantics)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gapUs = 600000000L // the streaming family's 10-minute gap
+    val ev = graft.Tables.events(spark, sf0001)
+    val dp = AnalyticsExt.sessionize(ev, gapUs)
+      .select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+    val native = graft.streaming.EventsStream.sessionAgg(ev)
+    // native end = last event + gap (the window extent); the DP end
+    // is the last event itself — shift to compare
+    val nativeAligned = native.select(col("user_id"),
+      col("session_start"),
+      timestamp_micros(unix_micros(col("session_end")) - gapUs)
+        .as("session_end"), col("n_events"))
+    assert(dp.count() == native.count(),
+      "session counts diverge between implementations")
+    assert(dp.exceptAll(nativeAligned).isEmpty &&
+      nativeAligned.exceptAll(dp).isEmpty,
+      "per-session rows diverge between implementations")
+    // both implementations share the same boundary convention: a
+    // successor at EXACTLY the gap merges; one microsecond past it
+    // splits — planted probes pin that agreement at the edge
+    def plant(deltaUs: Long) = Seq(
+      (1L, 1000000L, 7L, "view"),
+      (2L, 1000000L + deltaUs, 7L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+    assert(AnalyticsExt.sessionize(plant(gapUs), gapUs).count() == 1L)
+    assert(graft.streaming.EventsStream.sessionAgg(plant(gapUs))
+      .count() == 1L)
+    assert(AnalyticsExt.sessionize(plant(gapUs + 1), gapUs)
+      .count() == 2L)
+    assert(graft.streaming.EventsStream.sessionAgg(plant(gapUs + 1))
+      .count() == 2L)
+  }
+
   test("TPC-H batch plan shapes: dims broadcast, top-k never global-" +
       "sorts, the returnflag filter reaches the scan") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
