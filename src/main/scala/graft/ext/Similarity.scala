@@ -346,6 +346,56 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim")), k)
 
+  /** Multi-probe LSH top-k (Lv et al. 2007): beyond the query's own
+    * bucket, probe the buckets reached by flipping the sign bits the
+    * query is CLOSEST to (smallest |projection| — the planes where a
+    * near neighbor most plausibly landed on the other side). The
+    * standard recall lever at fixed plane count: `nProbe` buckets
+    * searched instead of 2^planes-more tables or fewer planes, so
+    * candidate volume grows by ≤ nProbe× while recall approaches the
+    * OR-construction's at a fraction of the index size.
+    *
+    * Scale shape is [[lshTopK]]'s: the corpus side keys on its ONE
+    * precomputed bucket id; only the tiny (query × nProbe) probe
+    * frame replicates — the corpus is never re-bucketed or re-keyed
+    * per probe. Probe order ties (equal |projection|) break by plane
+    * index; every margin is one IEEE dot + abs, so the probe SET is
+    * engine-reproducible and the operator carries a full DuckDB
+    * oracle (probe selection replayed with a rank over the same
+    * margins).
+    *
+    * `nProbe` = 1 degrades to exactly [[lshTopK]]. */
+  def lshMultiProbeTopK(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, numPlanes: Int, nProbe: Int, seed: Long, dim: Int)
+      : DataFrame = {
+    require(nProbe >= 1 && nProbe <= numPlanes + 1,
+      s"nProbe $nProbe outside 1..${numPlanes + 1}")
+    val base = lshBase(embeddings, numPlanes, seed, dim)
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    // (|projection|, bit) per plane; array_sort orders by margin
+    // then bit — the flip sequence, cheapest boundary first
+    val margins = planes.zipWithIndex.map { case (p, i) =>
+      struct(abs(graft.functions.ArrayOps.dot_product(col("q_emb"),
+        typedLit(p))).as("m"), lit(1 << i).as("bit"))
+    }
+    val probes = q.withColumn("flip",
+        slice(array_sort(array(margins: _*)), 1, nProbe - 1))
+      .select(col("query_id"), col("q_emb"),
+        explode(concat(array(col("q_bucket")),
+          transform(col("flip"),
+            f => col("q_bucket").bitwiseXOR(f.getField("bit")))))
+          .as("p_bucket"))
+    rankTopK(
+      base.join(broadcast(probes),
+          col("bucket") === col("p_bucket") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim")), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family (exact / Jaccard / MinHash / SimHash /
     * cosine): all pairs with cosine ≥ `threshold`, found via

@@ -1235,6 +1235,63 @@ object TrainingData {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH ANN ([[graft.ext.Similarity.lshMultiProbeTopK]],
+    * Lv et al. 2007): 8 planes, 4 probes — the query's own bucket
+    * plus the 3 buckets across its lowest-margin hyperplanes. The
+    * oracle replays the probe selection with a rank over the same
+    * IEEE margins and expands buckets with integer XOR, so the probe
+    * SET (not just the final ranking) is hash-verified. */
+  def sAnnLshMp(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.lshMultiProbeTopK(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, numPlanes = 8, nProbe = 4, seed = 42L, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnLshMpSql = {
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64,
+      seed = 42L)
+    def arr(pl: Seq[Double]) = "[" + pl.mkString(", ") + "]"
+    val bucket = planes.zipWithIndex.map { case (pl, i) =>
+      s"CASE WHEN list_dot_product(emb, ${arr(pl)}) > 0 " +
+      s"THEN ${1 << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    val marginStructs = planes.zipWithIndex.map { case (pl, i) =>
+      s"{'m': abs(list_dot_product(q_emb, ${arr(pl)})), " +
+      s"'bit': ${1 << i}}"
+    }.mkString(",\n      ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |bk AS (SELECT vec_id, emb,
+       |    $bucket AS bucket
+       |  FROM base),
+       |$qidsSql,
+       |q AS (SELECT k.vec_id AS query_id, k.emb AS q_emb,
+       |    k.bucket AS q_bucket
+       |  FROM bk k JOIN qids s ON k.vec_id = s.vec_id),
+       |mg AS (SELECT query_id, q_bucket, unnest([
+       |      $marginStructs]) AS s
+       |  FROM q),
+       |fl AS (SELECT query_id, q_bucket, s.bit, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s.m ASC, s.bit ASC) AS rn
+       |  FROM mg),
+       |pr AS (SELECT query_id, q_bucket AS p_bucket FROM q
+       |  UNION ALL
+       |  SELECT query_id, xor(q_bucket, bit) FROM fl WHERE rn <= 3),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${sqlCosine("q.q_emb", "b.emb")} AS cos_sim
+       |  FROM bk b JOIN pr p ON b.bucket = p.p_bucket
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE b.vec_id <> p.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF-style ANN probing nearest label centroids. Oracle-verified:
     * centroid components are order-independent decimal sums
     * (QueryUtil strategy), so DuckDB reproduces the coarse quantizer
@@ -2888,65 +2945,130 @@ object TrainingData {
       .orderBy("qid", "rk")
   }
 
-  private val sHybridRrfSql =
-    """WITH q(qid, term) AS (VALUES
-      |    (CAST(0 AS BIGINT), 'sort'), (0, 'merge'), (0, 'join'),
-      |    (1, 'fast'), (1, 'query'),
-      |    (2, 'vector'), (2, 'stream'), (2, 'data')),
-      |qv(qid, qvec_id) AS (VALUES
-      |    (CAST(0 AS BIGINT), CAST(10 AS BIGINT)), (1, 20), (2, 30)),
-      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |  FROM documents),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-      |n AS (SELECT count(*) AS n_docs,
-      |    CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) AS sum_dl
-      |  FROM dl),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
-      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |sc AS (SELECT q.qid, tf.doc_id,
-      |    round(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
-      |      (tf.tf * 2.5) /
-      |      (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl /
-      |        (n.sum_dl / n.n_docs))), 6) AS t_score
-      |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
-      |  JOIN dl USING (doc_id), n),
-      |bagg AS (SELECT qid, doc_id,
-      |    round(CAST(sum(CAST(t_score AS DECIMAL(18,6))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM sc GROUP BY 1, 2),
-      |sr AS (SELECT qid, doc_id, row_number() OVER (
-      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
-      |  FROM bagg),
-      |base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-      |  FROM embeddings),
-      |qd AS (SELECT qv.qid, qv.qvec_id, b.emb AS q_emb
-      |  FROM base b JOIN qv ON b.vec_id = qv.qvec_id),
-      |dscored AS (SELECT qd.qid, b.vec_id AS doc_id,
+  /** [[sHybridRrf]] with the dense leg swapped brute → IVF
+    * ([[graft.ext.Similarity.ivfTopK]], nprobe 3) — the
+    * leg-interchangeability claim made CONCRETE and hash-verified:
+    * same query set, same fusion, only `dr` changes. This is the
+    * production composition at scale (the coarse index eats the
+    * corpus-proportional work; fusion cost is unchanged). */
+  def sHybridRrfIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq(
+      (0L, "sort"), (0L, "merge"), (0L, "join"),
+      (1L, "fast"), (1L, "query"),
+      (2L, "vector"), (2L, "stream"), (2L, "data"))
+      .toDF("qid", "term")
+    val qmap = Seq((0L, 10L), (1L, 20L), (2L, 30L))
+      .toDF("qid", "qvec_id")
+    val sparse = graft.ext.Retrieval.bm25TopK(docs(s, d), terms,
+        k = 10, k1 = 1.5, b = 0.75)
+      .select(col("qid"), col("doc_id"), col("rk"))
+    val dense = Similarity.ivfTopK(embs(s, d),
+        qmap.select(col("qvec_id").as("vec_id")), k = 10, nprobe = 3)
+      .join(broadcast(qmap), col("query_id") === col("qvec_id"))
+      .select(col("qid"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rk"))
+    graft.ext.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+      .orderBy("qid", "rk")
+  }
+
+  private val sHybridRrfIvfSql = hybridRrfSqlWith(
+    """ibase AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |dims AS (SELECT label, i,
+      |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+      |      / count(*) AS cv
+      |  FROM ibase CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY label, i),
+      |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+      |  FROM dims GROUP BY label),
+      |cprobes AS (SELECT qd.qid, qd.qvec_id, qd.q_emb, cent.label,
+      |    round(list_dot_product(q_emb, centroid) /
+      |      (sqrt(list_dot_product(q_emb, q_emb)) *
+      |       sqrt(list_dot_product(centroid, centroid))), 6) AS c_sim
+      |  FROM qd CROSS JOIN cent),
+      |probed AS (SELECT qid, qvec_id, q_emb, label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY c_sim DESC, label ASC) AS prn FROM cprobes)
+      |  WHERE prn <= 3),
+      |dscored AS (SELECT p.qid, b.vec_id AS doc_id,
+      |    round(list_dot_product(p.q_emb, b.emb) /
+      |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+      |       sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+      |  FROM ibase b JOIN probed p ON b.label = p.label
+      |  WHERE b.vec_id <> p.qvec_id),
+      |dr AS (SELECT qid, doc_id, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS rk
+      |  FROM dscored)""".stripMargin)
+
+  /** Shared oracle builder for the RRF hybrids: the BM25 chain and
+    * the fusion are identical across variants; `denseCtes` supplies
+    * the dense leg ending in a CTE `dr` with (qid, doc_id, rk) —
+    * exactly the leg-interchangeability contract the Spark operator
+    * makes ([[graft.ext.Retrieval.rrfFuse]] takes any ranked frame). */
+  private def hybridRrfSqlWith(denseCtes: String): String =
+    s"""WITH q(qid, term) AS (VALUES
+       |    (CAST(0 AS BIGINT), 'sort'), (0, 'merge'), (0, 'join'),
+       |    (1, 'fast'), (1, 'query'),
+       |    (2, 'vector'), (2, 'stream'), (2, 'data')),
+       |qv(qid, qvec_id) AS (VALUES
+       |    (CAST(0 AS BIGINT), CAST(10 AS BIGINT)), (1, 20), (2, 30)),
+       |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) AS sum_dl
+       |  FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT q.qid, tf.doc_id,
+       |    round(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |      (tf.tf * 2.5) /
+       |      (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl /
+       |        (n.sum_dl / n.n_docs))), 6) AS t_score
+       |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       |  JOIN dl USING (doc_id), n),
+       |bagg AS (SELECT qid, doc_id,
+       |    round(CAST(sum(CAST(t_score AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |      AS score
+       |  FROM sc GROUP BY 1, 2),
+       |sr AS (SELECT qid, doc_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+       |  FROM bagg),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |qd AS (SELECT qv.qid, qv.qvec_id, b.emb AS q_emb
+       |  FROM base b JOIN qv ON b.vec_id = qv.qvec_id),
+       |$denseCtes,
+       |legs AS (
+       |  SELECT qid, doc_id,
+       |    CAST(floor(1e9 / (60 + rk) + 0.5) AS BIGINT) AS contrib
+       |  FROM sr WHERE rk <= 10
+       |  UNION ALL
+       |  SELECT qid, doc_id,
+       |    CAST(floor(1e9 / (60 + rk) + 0.5) AS BIGINT) AS contrib
+       |  FROM dr WHERE rk <= 10),
+       |fused AS (SELECT qid, doc_id,
+       |    CAST(sum(contrib) AS BIGINT) AS rrf,
+       |    count(*) AS n_legs
+       |  FROM legs GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, rrf, n_legs, row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT qid, doc_id, rrf, CAST(n_legs AS BIGINT) AS n_legs,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  private val sHybridRrfSql = hybridRrfSqlWith(
+    """dscored AS (SELECT qd.qid, b.vec_id AS doc_id,
       |    round(list_dot_product(q_emb, emb) /
       |      (sqrt(list_dot_product(q_emb, q_emb)) *
       |       sqrt(list_dot_product(emb, emb))), 6) AS cos_sim
       |  FROM base b CROSS JOIN qd WHERE b.vec_id <> qd.qvec_id),
       |dr AS (SELECT qid, doc_id, row_number() OVER (
       |    PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS rk
-      |  FROM dscored),
-      |legs AS (
-      |  SELECT qid, doc_id,
-      |    CAST(floor(1e9 / (60 + rk) + 0.5) AS BIGINT) AS contrib
-      |  FROM sr WHERE rk <= 10
-      |  UNION ALL
-      |  SELECT qid, doc_id,
-      |    CAST(floor(1e9 / (60 + rk) + 0.5) AS BIGINT) AS contrib
-      |  FROM dr WHERE rk <= 10),
-      |fused AS (SELECT qid, doc_id, sum(contrib) AS rrf,
-      |    count(*) AS n_legs
-      |  FROM legs GROUP BY 1, 2),
-      |r AS (SELECT qid, doc_id, rrf, n_legs, row_number() OVER (
-      |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
-      |  FROM fused)
-      |SELECT qid, doc_id, rrf, CAST(n_legs AS BIGINT) AS n_legs,
-      |  CAST(rk AS BIGINT) AS rk
-      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+      |  FROM dscored)""".stripMargin)
 
   /** Benchmark decontamination: find corpus documents sharing any
     * 5-gram with a held-out eval set (doc_id % 10 == 0 stands in for
@@ -4149,6 +4271,7 @@ object TrainingData {
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_bm25" -> (dBm25 _),
     "s_hybrid_rrf" -> (sHybridRrf _),
+    "s_hybrid_rrf_ivf" -> (sHybridRrfIvf _),
     "d_dedup_recall" -> (dDedupRecall _),
     "d_neardup_pipeline" -> (dNeardupPipeline _),
     "d_corpus_card" -> (dCorpusCard _),
@@ -4162,6 +4285,7 @@ object TrainingData {
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_int8" -> (sAnnInt8 _),
     "s_ann_lsh" -> (sAnnLsh _),
+    "s_ann_lsh_mp" -> (sAnnLshMp _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_incremental" -> (sAnnIncremental _),
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
@@ -4237,6 +4361,7 @@ object TrainingData {
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_bm25" -> dBm25Sql,
     "s_hybrid_rrf" -> sHybridRrfSql,
+    "s_hybrid_rrf_ivf" -> sHybridRrfIvfSql,
     "d_dedup_recall" -> dDedupRecallSql,
     "d_neardup_pipeline" -> dNeardupPipelineSql,
     "d_corpus_card" -> dCorpusCardSql,
@@ -4292,6 +4417,7 @@ object TrainingData {
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_lsh" -> sAnnLshSql,
+    "s_ann_lsh_mp" -> sAnnLshMpSql,
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_incremental" -> sAnnIncrementalSql,
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,

@@ -35,6 +35,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall too low: $recall")
   }
 
+  test("multi-probe LSH: nProbe=1 degrades to exactly single-probe, " +
+      "candidates only grow with nProbe, and recall at 8 planes / " +
+      "4 probes beats single-probe on the real corpus") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val qids = Similarity.sampleQueryIds(
+      emb.filter(col("embedding").isNotNull), n = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // degradation: one probe IS the plain bucketed search
+    val single = rows(Similarity.lshTopK(emb, qids, 5,
+      numPlanes = 8, seed = 42L, dim = 64))
+    val mp1 = rows(Similarity.lshMultiProbeTopK(emb, qids, 5,
+      numPlanes = 8, nProbe = 1, seed = 42L, dim = 64))
+    assert(mp1 == single, "nProbe=1 must equal lshTopK")
+    // monotone: a probed bucket set is a superset, so every
+    // single-probe neighbor survives (rank may only improve) and
+    // per-query result counts never shrink
+    val mp4 = rows(Similarity.lshMultiProbeTopK(emb, qids, 5,
+      numPlanes = 8, nProbe = 4, seed = 42L, dim = 64))
+    val mp4Pairs = mp4.map(r => (r._1, r._2))
+    val singleByQ = single.groupBy(_._1)
+    val mp4ByQ = mp4.groupBy(_._1)
+    for ((qid, s) <- singleByQ) {
+      val m = mp4ByQ.getOrElse(qid, Set.empty)
+      assert(m.size >= s.size, s"query $qid lost results: $s vs $m")
+    }
+    // recall against brute-force ground truth strictly improves on
+    // this corpus (8 planes = 256 buckets over 50 vectors leaves
+    // most queries alone in their bucket; the flips rescue them)
+    val brute = rows(Similarity.bruteForceTopK(emb, qids, 5))
+      .map(r => (r._1, r._2))
+    val rSingle = single.map(r => (r._1, r._2))
+      .count(brute.contains).toDouble / brute.size
+    val rMp = mp4Pairs.count(brute.contains).toDouble / brute.size
+    assert(rMp > rSingle,
+      s"multi-probe recall $rMp must beat single-probe $rSingle")
+  }
+
   test("IVF top-k probes centroids and returns ranked neighbors") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val got = Similarity.ivfTopK(emb, col("vec_id") % 100 === 0, 5,

@@ -748,6 +748,28 @@ class TrainingDataSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("hybrid RRF: swapping the dense leg brute -> IVF perturbs, " +
+      "not replaces, the fused ranking; both variants emit full " +
+      "per-query result sets") {
+    def byQ(name: String) =
+      TrainingData.queries(name)(spark, sf0001)
+        .select("qid", "doc_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = byQ("s_hybrid_rrf")
+    val ivf = byQ("s_hybrid_rrf_ivf")
+    assert(brute.keySet == Set(0L, 1L, 2L) && ivf.keySet == brute.keySet)
+    for (q <- brute.keySet) {
+      assert(brute(q).size == 10 && ivf(q).size == 10,
+        s"query $q short of k=10")
+      // the sparse leg is IDENTICAL across variants and nprobe=3/8
+      // keeps most of the dense neighborhood — the fused sets must
+      // stay majority-stable under the leg swap
+      val overlap = (brute(q) & ivf(q)).size.toDouble / 10
+      assert(overlap >= 0.5,
+        s"query $q: leg swap rewrote the fusion ($overlap)")
+    }
+  }
+
   test("d_tokenizer_eval: three legs share the word-counting rule, " +
       "fertility is >= 1 everywhere, and each leg reconciles with " +
       "its standalone catalog entry") {
