@@ -396,6 +396,62 @@ object Similarity {
           round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim")), k)
   }
 
+  /** Maximum-inner-product search (MIPS) via norm augmentation
+    * (Bachrach et al. 2014, "XBOX"): when corpus vectors carry
+    * meaningful NORMS (recommendation scores, popularity-weighted
+    * embeddings), top-k by inner product ≠ top-k by cosine, and
+    * angular LSH cannot index it directly. The reduction appends one
+    * coordinate `√(M² − ‖v‖²)` to every corpus vector (M = max corpus
+    * norm) and `0` to the query — inner-product order in the original
+    * space becomes cosine order in the augmented space, so the
+    * existing sign-projection LSH buckets (over dim+1 planes) serve
+    * as the candidate generator. Candidates are then ranked by the
+    * EXACT raw inner product.
+    *
+    * The corpus here is the unit-norm embedding table given
+    * deterministic synthetic norms `w = 1 + (vec_id mod 5)` — the
+    * shape a popularity-weighted deployment has.
+    *
+    * Scale shape: identical to [[lshTopK]] — the corpus is bucketed
+    * once (narrow projection; the 1-row max-norm frame broadcasts),
+    * candidates come from a bucket equi-join against the broadcast
+    * |Q|-row query frame, and no pair outside the query's bucket is
+    * ever scored. */
+  def mipsTopK(embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      numPlanes: Int, seed: Long, dim: Int = 64): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
+    val base0 = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+    val scaled = base0.select(col("vec_id"),
+      transform(col("emb"), x =>
+        x * (lit(1.0) + pmod(col("vec_id"), lit(5L)).cast("double")))
+        .as("sv"))
+    val m2 = scaled.agg(max(dot(col("sv"), col("sv"))).as("m2"))
+    val planes = hyperplanes(numPlanes, dim + 1, seed)
+    val bucketed = scaled.crossJoin(broadcast(m2))
+      .select(col("vec_id"), col("sv"),
+        graft.functions.HyperplaneBuckets(
+          concat(col("sv"), array(sqrt(greatest(lit(0.0),
+            col("m2") - dot(col("sv"), col("sv")))))),
+          Seq(planes)).getItem(0).as("bucket"))
+    val q = base0.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        graft.functions.HyperplaneBuckets(
+          concat(col("emb"), array(lit(0.0))),
+          Seq(planes)).getItem(0).as("q_bucket"))
+    val scored = bucketed.join(broadcast(q),
+        col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("sv")), 6).as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("ip"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family (exact / Jaccard / MinHash / SimHash /
     * cosine): all pairs with cosine ≥ `threshold`, found via
@@ -692,6 +748,80 @@ object Similarity {
         .localCheckpoint()
     }
     centroids
+  }
+
+  /** Greedy k-center (farthest-point traversal, Gonzalez 1985)
+    * diverse-subset selection — the curation op that picks a maximally
+    * spread sample of an embedding corpus (coreset seeding, eval-set
+    * selection, k-means++-style init). Seeded by the smallest
+    * portable-hash vec_id (the [[sampleQueryIds]] MINSTD order); each
+    * round adds the point FARTHEST from the selected set under the
+    * rounded squared-L2 of [[assignClustersL2]] (ties by vec_id), and
+    * the output reports each center's selection radius — the greedy
+    * 2-approximation of the optimal k-center cost — plus how many
+    * corpus points it covers.
+    *
+    * Scale shape: k passes over the corpus. Each pass is a narrow
+    * projection (min distance to ≤k PLAN-LITERAL centers — no join, no
+    * shuffle) followed by `orderBy(...).limit(1)`, which compiles to a
+    * per-partition top-1 (TakeOrderedAndProject): one row per
+    * partition moves. The driver holds exactly k centers (k·dim
+    * doubles). The final coverage pass is the same narrow projection
+    * plus a map-side-combined count. Total O(kN) — the cost floor for
+    * the greedy guarantee; FAISS seeds coarse quantizers the same way.
+    */
+  def kcenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center needs at least one center")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
+    // distance of the corpus row's emb to one plan-literal center —
+    // the exact [[l2sq]] expression shape, so the oracle can replay it
+    def dLit(c: Seq[Double]): Column = {
+      val ca = array(c.map(lit): _*)
+      round(dot(col("emb"), col("emb")) - lit(2) * dot(col("emb"), ca)
+        + dot(ca, ca), 6)
+    }
+    val seed = base.select(col("vec_id"), col("emb"),
+        pmod(pmod(col("vec_id"), lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("emb")).collect()(0)
+    var centers = Vector(
+      (seed.getLong(0), seed.getSeq[Double](1).toVector, 0.0))
+    for (_ <- 2 to k) {
+      val sel = centers.map(_._1)
+      val minD = centers.map(c => dLit(c._2)).reduce(least(_, _))
+      val nxt = base.filter(!col("vec_id").isin(sel: _*))
+        .select(col("vec_id"), col("emb"), minD.as("d"))
+        .orderBy(desc("d"), asc("vec_id")).limit(1).collect()(0)
+      centers = centers :+ ((nxt.getLong(0),
+        nxt.getSeq[Double](1).toVector, nxt.getDouble(2)))
+    }
+    val centersDf = centers.zipWithIndex.map { case ((id, emb, r), i) =>
+      (i + 1, id, emb, r)
+    }.toDF("sel_order", "vec_id", "center", "radius")
+    // coverage: nearest center by (rounded d, sel_order) struct-min —
+    // identical tie semantics to the oracle's row_number replay
+    val counts = base
+      .crossJoin(broadcast(centersDf
+        .select(col("sel_order"), col("center"))))
+      .withColumn("d", round(
+        dot(col("emb"), col("emb"))
+          - lit(2) * dot(col("emb"), col("center"))
+          + dot(col("center"), col("center")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("sel_order"))).as("_b"))
+      .groupBy(col("_b.sel_order").as("sel_order"))
+      .agg(count(lit(1)).as("n_assigned"))
+    centersDf.join(counts, Seq("sel_order"), "left")
+      .select(col("sel_order"), col("vec_id"), col("radius"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+      .orderBy("sel_order")
   }
 
   /** (vec_id, sub, semb): the corpus exploded into its m PQ

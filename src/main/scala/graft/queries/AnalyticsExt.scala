@@ -116,6 +116,68 @@ object AnalyticsExt {
        |  ${sqlSumDec("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Skew-salted JOIN — the join-side sibling of [[qSaltedAgg]]: a
+    * fact⋈dim equi-join whose fact keys follow a power law (here a
+    * synthetic hot key: every `user_id % 4 == 0` event collapses onto
+    * profile key 0, ~25% of the stream). A plain hash join would pin
+    * the hot key's rows on ONE reducer; salting appends
+    * `salt = event_id % SaltBuckets` to the fact key and explodes the
+    * dim side `SaltBuckets`× so the hot key's rows spread over
+    * `SaltBuckets` reducers. Result is provably identical to the
+    * unsalted join (the oracle IS the unsalted join; SaltedJoinSpec
+    * additionally asserts plan-level salting and result equality).
+    *
+    * Scale shape: the dim replication multiplies only the DIM (here
+    * profile keys ≤ 50 rows — at production scale, dim×SaltBuckets
+    * still ≪ fact), the fact side gains one narrow projected column,
+    * and both sides hash-exchange on (k, salt) — per-reducer load is
+    * bounded by hot_key_rows / SaltBuckets. This is the manual form
+    * of what AQE skew-join does adaptively; it is the only option
+    * when the skew is known ahead of time and the join sits under
+    * further key-preserving operators. */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val hotKey = (u: Column) =>
+      when(u % 4 === 0, lit(0L)).otherwise(u.cast("long"))
+    // profile dim: per-key customer stats, keyed on the SAME collapsed
+    // key space so the hot key exists on both sides
+    val dim = Tables.customer(s, d)
+      .select(hotKey(col("c_custkey") % 200).as("k"),
+        col("c_acctbal"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_cust"),
+        sumDec(col("c_acctbal")).as("bal_sum"))
+    val dimSalted = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    val fact = Tables.events(s, d)
+      .select(hotKey(col("user_id")).as("k"), col("value"),
+        pmod(col("event_id"), lit(SaltBuckets)).as("_salt"))
+    fact.join(dimSalted, Seq("k", "_salt"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        sumDec(col("value")).as("value_sum"),
+        first(col("n_cust")).as("n_cust"),
+        first(col("bal_sum")).as("bal_sum"))
+      .orderBy("k")
+  }
+
+  private val qSaltedJoinSql =
+    s"""WITH dim AS (SELECT
+       |    CAST(CASE WHEN (c_custkey % 200) % 4 = 0 THEN 0
+       |      ELSE c_custkey % 200 END AS BIGINT) AS k,
+       |    count(*) AS n_cust,
+       |    ${sqlSumDec("c_acctbal")} AS bal_sum
+       |  FROM customer GROUP BY 1),
+       |fact AS (SELECT
+       |    CAST(CASE WHEN user_id % 4 = 0 THEN 0
+       |      ELSE user_id END AS BIGINT) AS k,
+       |    value
+       |  FROM events)
+       |SELECT f.k AS k, count(*) AS n_events,
+       |  ${sqlSumDec("f.value")} AS value_sum,
+       |  first(d.n_cust) AS n_cust, first(d.bal_sum) AS bal_sum
+       |FROM fact f JOIN dim d ON f.k = d.k
+       |GROUP BY f.k ORDER BY k""".stripMargin
+
   /** Ordered conversion funnel over the event stream: users who
     * viewed, then clicked strictly after their first view, then
     * purchased strictly after that first click — the sequential
@@ -895,6 +957,7 @@ object AnalyticsExt {
     "q_cms_portable" -> (qCmsPortable _),
     "q_pivot_priority" -> (qPivotPriority _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_sessionize" -> (qSessionize _),
@@ -920,6 +983,7 @@ object AnalyticsExt {
     "q_cms_portable" -> qCmsPortableSql,
     "q_pivot_priority" -> qPivotPrioritySql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_funnel" -> qFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_sessionize" -> qSessionizeSql,

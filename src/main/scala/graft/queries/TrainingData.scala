@@ -1024,6 +1024,111 @@ object TrainingData {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Greedy k-center diverse subset selection (k = 8) over the
+    * embedding corpus — [[Similarity.kcenterSelect]]. */
+  def sKcenter(s: SparkSession, d: String): DataFrame =
+    Similarity.kcenterSelect(embs(s, d), 8)
+
+  /** `s_kcenter` oracle: the greedy farthest-point loop UNROLLED —
+    * one CTE per round whose argmax references the earlier centers as
+    * scalar subqueries, then the coverage pass replayed with the same
+    * (rounded distance, sel_order) tie order Spark's struct-min uses.
+    * Distance is the engine-shared `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩` form,
+    * rounded to 6 dp before every comparison. */
+  private def sKcenterSql(k: Int): String = {
+    def dist(e: String, c: String) =
+      s"round(list_dot_product($e, $e) - 2*list_dot_product($e, $c)" +
+        s" + list_dot_product($c, $c), 6)"
+    val sb = new StringBuilder
+    // MATERIALIZED is load-bearing: each cᵢ references all earlier
+    // centers several times (distance + NOT IN), and DuckDB inlines
+    // plain CTEs — the expansion is exponential in k and exhausts
+    // file handles re-opening the parquet. Materializing caps every
+    // CTE at one evaluation.
+    sb ++= "WITH base AS MATERIALIZED (SELECT vec_id," +
+      " embedding::DOUBLE[] AS emb FROM embeddings),\n"
+    sb ++= "c1 AS MATERIALIZED (SELECT vec_id, emb, 0.0 AS d FROM base\n" +
+      "  ORDER BY ((((vec_id % 2147483647) + 2147483647) % 2147483647)" +
+      " * 48271) % 2147483647, vec_id LIMIT 1),\n"
+    for (i <- 2 to k) {
+      val notIn = (1 until i).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      val dists = (1 until i)
+        .map(j => dist("b.emb", s"(SELECT emb FROM c$j)"))
+      val minD =
+        if (dists.size == 1) dists.head
+        else s"least(${dists.mkString(",\n    ")})"
+      sb ++= s"c$i AS MATERIALIZED (SELECT b.vec_id, b.emb, $minD AS d\n" +
+        s"  FROM base b WHERE b.vec_id NOT IN ($notIn)\n" +
+        s"  ORDER BY d DESC, b.vec_id LIMIT 1),\n"
+    }
+    val cent = (1 to k).map(i =>
+      s"SELECT $i AS sel_order, vec_id, emb, d AS radius FROM c$i")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"cent AS ($cent),\n"
+    sb ++= "asg AS (SELECT b.vec_id AS v, cent.sel_order,\n" +
+      "    row_number() OVER (PARTITION BY b.vec_id ORDER BY " +
+      s"${dist("b.emb", "cent.emb")}, cent.sel_order) AS rn\n" +
+      "  FROM base b CROSS JOIN cent),\n" +
+      "n AS (SELECT sel_order, count(*) AS n_assigned FROM asg" +
+      " WHERE rn = 1 GROUP BY 1)\n"
+    sb ++= "SELECT cent.sel_order, cent.vec_id, cent.radius,\n" +
+      "  coalesce(n.n_assigned, 0) AS n_assigned\n" +
+      "FROM cent LEFT JOIN n USING (sel_order) ORDER BY sel_order"
+    sb.toString
+  }
+
+  /** MIPS via norm augmentation ([[Similarity.mipsTopK]]): corpus
+    * vectors carry synthetic norms `1 + (vec_id mod 5)`, queries are
+    * the 16 sampled raw embeddings, candidates come from sign-LSH
+    * buckets over the (dim+1)-augmented space, ranked by exact inner
+    * product. */
+  def sAnnMips(s: SparkSession, d: String): DataFrame =
+    Similarity.mipsTopK(embs(s, d),
+        Similarity.sampleQueryIds(embs(s, d), 16), k = 5,
+        numPlanes = 4, seed = 77L)
+      .orderBy("query_id", "rank")
+
+  private val sAnnMipsSql = {
+    val planes = Similarity.hyperplanes(numPlanes = 4, dim = 65,
+      seed = 77L)
+    def bucket(v: String) = planes.zipWithIndex.map { case (pl, i) =>
+      val arr = "[" + pl.mkString(", ") + "]"
+      s"CASE WHEN list_dot_product($v, $arr) > 0 " +
+        s"THEN ${1 << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |sc AS (SELECT vec_id, emb,
+       |    list_transform(emb,
+       |      x -> x * (1.0 + CAST(vec_id % 5 AS DOUBLE))) AS sv
+       |  FROM base),
+       |m AS (SELECT max(list_dot_product(sv, sv)) AS m2 FROM sc),
+       |corp AS (SELECT vec_id, sv,
+       |    list_append(sv, sqrt(greatest(0.0,
+       |      (SELECT m2 FROM m) - list_dot_product(sv, sv)))) AS av
+       |  FROM sc),
+       |bk AS (SELECT vec_id, sv,
+       |    ${bucket("av")} AS bucket
+       |  FROM corp),
+       |$qidsSql,
+       |qa AS (SELECT b.vec_id, b.emb,
+       |    list_append(b.emb, 0.0) AS aq
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb,
+       |    ${bucket("aq")} AS q_bucket
+       |  FROM qa),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(list_dot_product(q_emb, sv), 6) AS ip
+       |  FROM bk JOIN q ON bucket = q_bucket AND vec_id <> query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id
+       |    ORDER BY ip DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, ip, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Int8-quantized brute-force ANN — the bandwidth REFERENCE POINT:
     * all scoring runs on 72-byte quantized codes (~7× fewer
     * broadcast / shuffle bytes than `array<double>` rows), the lever
@@ -1069,7 +1174,10 @@ object TrainingData {
   // SQL `%` — without it a negative BIGINT vec_id would order by a
   // negative residue here while Spark orders by the non-negative pmod,
   // silently selecting different query samples in the two engines.
-  private val qidsSql =
+  // `def`, not `val`: referenced from oracle-SQL builders that may sit
+  // ABOVE this line in declaration order (a val would interpolate as
+  // "null" there — object vals initialize strictly top-to-bottom)
+  private def qidsSql =
     """qids AS (SELECT vec_id FROM base
       |  ORDER BY ((((vec_id % 2147483647) + 2147483647) % 2147483647) * 48271) % 2147483647, vec_id
       |  LIMIT 16)""".stripMargin
@@ -2820,6 +2928,78 @@ object TrainingData {
       |SELECT source, token, n, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  /** PMI collocation mining (Church & Hanks 1990): adjacent token
+    * pairs whose corpus frequency exceeds what unigram independence
+    * predicts. Ranked by the lift RATIO `n_xy·N²/(B·n_x·n_y)` — the
+    * exact monotone transform of PMI — so the ranking path carries no
+    * transcendental: integer counts enter one fixed double
+    * multiply/divide tree (bit-identical cross-engine), rounded
+    * before the order-by.
+    *
+    * Scale shape: bigram generation is a narrow per-row `transform`
+    * (no self-join, no corpus window); both count legs are map-side-
+    * combined hash aggregations (linear in corpus tokens); the
+    * unigram attach joins broadcast a VOCABULARY-sized frame; the
+    * totals are two 1-row broadcast frames; the top-50 compiles to
+    * TakeOrderedAndProject over the vocabulary²-bounded scored frame
+    * (per-partition top-n — no global sort shuffle), and the final
+    * rank window runs over 50 rows. */
+  def dCollocations(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(TextStats.tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nTok = uni.agg(sum(col("n_w")).as("n_tok"))
+    val nBig = bi.agg(sum(col("n_xy")).as("n_big"))
+    val scored = bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_x"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_y"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .filter(col("n_xy") >= 5)
+      .withColumn("lift",
+        round(col("n_xy").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_big").cast("double") * col("n_x") * col("n_y")), 6))
+    scored.orderBy(desc("lift"), asc("w1"), asc("w2")).limit(50)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("lift"), asc("w1"), asc("w2"))).cast("long"))
+      .select(col("rk"), col("w1"), col("w2"), col("n_xy"), col("lift"))
+      .orderBy("rk")
+  }
+
+  private val dCollocationsSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |u AS (SELECT unnest(toks) AS w FROM t),
+      |uni AS (SELECT w, count(*) AS n_w FROM u GROUP BY 1),
+      |b0 AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+      |    i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |big AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_xy
+      |  FROM b0 GROUP BY 1, 2),
+      |tot AS (SELECT
+      |    (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_tok,
+      |    (SELECT CAST(sum(n_xy) AS BIGINT) FROM big) AS n_big),
+      |sc AS (SELECT w1, w2, n_xy,
+      |    round(((CAST(n_xy AS DOUBLE) * n_tok) * n_tok) /
+      |      ((CAST(n_big AS DOUBLE) * x.n_w) * y.n_w), 6) AS lift
+      |  FROM big JOIN uni x ON big.w1 = x.w
+      |    JOIN uni y ON big.w2 = y.w
+      |    CROSS JOIN tot
+      |  WHERE n_xy >= 5),
+      |top AS (SELECT * FROM sc ORDER BY lift DESC, w1, w2 LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2)
+      |    AS BIGINT) AS rk,
+      |  w1, w2, n_xy, lift
+      |FROM top ORDER BY rk""".stripMargin
+
   /** TF-IDF top-3 terms per document. Shapes: term-frequency hash agg
     * on (doc_id, token); document-frequency derived from the tf frame
     * (token-partitioned agg — never re-reads the corpus); the 1-row
@@ -4283,6 +4463,8 @@ object TrainingData {
     "d_fingerprint" -> (dFingerprint _),
     "d_winnowing" -> (dWinnowing _),
     "s_ann_brute" -> (sAnnBrute _),
+    "s_kcenter" -> (sKcenter _),
+    "s_ann_mips" -> (sAnnMips _),
     "s_ann_int8" -> (sAnnInt8 _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_lsh_mp" -> (sAnnLshMp _),
@@ -4312,6 +4494,7 @@ object TrainingData {
     "d_chunking" -> (dChunking _),
     "d_pack" -> (dPack _),
     "d_top_tokens" -> (dTopTokens _),
+    "d_collocations" -> (dCollocations _),
     "d_tfidf" -> (dTfidf _),
     "d_decontaminate" -> (dDecontaminate _),
     "d_span_dedup" -> (dSpanDedup _),
@@ -4386,6 +4569,7 @@ object TrainingData {
     "d_chunking" -> dChunkingSql,
     "d_pack" -> dPackSql,
     "d_top_tokens" -> dTopTokensSql,
+    "d_collocations" -> dCollocationsSql,
     "d_tfidf" -> dTfidfSql,
     "d_decontaminate" -> dDecontaminateSql,
     "d_span_dedup" -> dSpanDedupSql,
@@ -4415,6 +4599,8 @@ object TrainingData {
     "d_pii_redact" -> dPiiRedactSql,
     "d_mix_sources" -> dMixSourcesSql,
     "s_ann_brute" -> sAnnBruteSql,
+    "s_kcenter" -> sKcenterSql(8),
+    "s_ann_mips" -> sAnnMipsSql,
     "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_lsh_mp" -> sAnnLshMpSql,

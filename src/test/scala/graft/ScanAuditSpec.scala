@@ -22,15 +22,31 @@ class ScanAuditSpec extends SparkSpec {
 
   /** (table, read columns, pushed-filter string) for every parquet
     * scan in the query's physical plan (pre-AQE: pruning and pushdown
-    * are planning-time properties, AQE only re-plans exchanges). */
-  private def scans(df: DataFrame): Seq[(String, Set[String], String)] =
-    df.queryExecution.sparkPlan.collect {
+    * are planning-time properties, AQE only re-plans exchanges).
+    * Descends into `InMemoryTableScanExec` — a `persist()`ed subtree
+    * hides its file scan behind the cache node, and the audit must
+    * still see what the cache itself reads from parquet. */
+  private def scans(df: DataFrame): Seq[(String, Set[String], String)] = {
+    def gather(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[(String, Set[String], String)] = p.collect {
       case f: FileSourceScanExec =>
         val table = f.relation.location.rootPaths.headOption
           .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
-        (table, f.requiredSchema.fieldNames.toSet,
-          f.metadata.getOrElse("PushedFilters", ""))
-    }
+        Seq((table, f.requiredSchema.fieldNames.toSet,
+          f.metadata.getOrElse("PushedFilters", "")))
+      case im: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec =>
+        gather(im.relation.cachedPlan)
+      // a cached plan is itself adaptive: the file scan hides inside
+      // AQE stage nodes whose plans are fields, not children
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec =>
+        gather(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        gather(qs.plan)
+    }.flatten
+    gather(df.queryExecution.sparkPlan)
+  }
 
   private def scanOf(df: DataFrame, table: String)
       : (Set[String], String) = {
@@ -111,5 +127,35 @@ class ScanAuditSpec extends SparkSpec {
     val (embCols, _) = scanOf(df, "embeddings")
     assert(embCols == Set("vec_id", "embedding"),
       s"embeddings scan widened to $embCols")
+  }
+
+  test("d_collocations: the documents scan ships ONLY text — at " +
+      "100 TB the bigram pass is a single-column read") {
+    val (cols, _) = scanOf(
+      queries.TrainingData.dCollocations(spark, sf0001), "documents")
+    assert(cols == Set("text"), s"scan widened to $cols")
+  }
+
+  test("q_salted_join: fact scan reads only (user_id, value, " +
+      "event_id); dim scan only (c_custkey, c_acctbal)") {
+    val df = queries.AnalyticsExt.qSaltedJoin(spark, sf0001)
+    val (ev, _) = scanOf(df, "events")
+    assert(ev == Set("user_id", "value", "event_id"),
+      s"events scan widened to $ev")
+    val (cust, _) = scanOf(df, "customer")
+    assert(cust == Set("c_custkey", "c_acctbal"),
+      s"customer scan widened to $cust")
+  }
+
+  test("s_kcenter / s_ann_mips: the embeddings scans ship only " +
+      "(vec_id, embedding) — label is pruned everywhere") {
+    val kc = queries.TrainingData.sKcenter(spark, sf0001)
+    val (kcCols, _) = scanOf(kc, "embeddings")
+    assert(kcCols == Set("vec_id", "embedding"),
+      s"s_kcenter scan widened to $kcCols")
+    val mips = queries.TrainingData.sAnnMips(spark, sf0001)
+    val (mCols, _) = scanOf(mips, "embeddings")
+    assert(mCols == Set("vec_id", "embedding"),
+      s"s_ann_mips scan widened to $mCols")
   }
 }
