@@ -1046,6 +1046,70 @@ object Multimodal {
 
   /** documents.text re-cast as a media corpus (the container has no
     * real media files; byte payloads exercise identical plumbing). */
+  /** Media near-duplicate pairs via a 64-cell BLOCK-HASH perceptual
+    * fingerprint — the multimodal member of the dedup family. Each
+    * blob is cut into 64 contiguous byte blocks; a block's polynomial
+    * hash becomes one "pixel", the fingerprint bit is pixel > mean
+    * (the average-hash construction), and the 64 bits split into 4 ×
+    * 16-bit BANDS. Two blobs are candidates iff they share a band
+    * value (an LSH band join — a blob pair differing in a few blocks
+    * still collides on its unchanged bands), and candidates are
+    * verified by exact Hamming distance over the full fingerprint.
+    * Because cells hash LOCAL regions, a small byte edit flips only
+    * the cells it touches — unlike a whole-blob hash, near-identical
+    * media land at small Hamming distance.
+    *
+    * Scale shape: fingerprints are ONE narrow pass (the 64-cell
+    * explode is per-row work) plus one doc_id exchange that serves
+    * both the window mean and the band aggregation; the band join
+    * ships only (band, bkey, doc_id) — never media bytes; Hamming
+    * verification reattaches the 4-band fingerprints by doc_id
+    * equi-joins, spreading hot-band pair work across the cluster
+    * (the [[graft.ext.Dedup.jaccardPairs]] hot-block cap applies
+    * unchanged if a corpus-common band emerges, e.g. all-zero
+    * fingerprints from constant-byte blobs). */
+  def phashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // blobs shorter than the cell count would yield empty blocks
+    // (degenerate fingerprints); route them to exact-hash dedup
+    // instead — a 64-byte floor costs nothing at media sizes
+    val m = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= 64)
+    val blockLen = greatest(floor(col("len") / 64).cast("long"), lit(1L))
+    val cells = m
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(0L), lit(63L))).as("i"))
+      .select(col("doc_id"), col("i"),
+        graft.functions.RollingHash.rolling_hash(
+          col("text").substr((col("i") * blockLen + 1).cast("int"),
+            blockLen.cast("int"))).as("h"))
+    val fp = cells
+      .withColumn("mean",
+        floor(sum(col("h")).over(w) / 64.0).cast("long"))
+      .groupBy(col("doc_id"), (col("i") / 16).cast("int").as("band"))
+      .agg(sum(when(col("h") > col("mean"),
+          expr("CAST(shiftleft(1, CAST(i % 16 AS INT)) AS BIGINT)"))
+        .otherwise(lit(0L))).cast("long").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = fp.as("a").join(fp.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("band"),
+        col("bkey").as("ka")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("band"),
+        col("bkey").as("kb")), Seq("doc_b", "band"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(bit_count(col("ka").bitwiseXOR(col("kb"))))
+        .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     graft.Tables.documents(s, dir)

@@ -2403,6 +2403,43 @@ object TrainingData {
   /** Fit-within-box resize over the decoded dimensions (320×240,
     * never upscaling) — the metadata half of a media resize chained
     * onto the decode pipeline. */
+  /** Media near-dup pairs via the 64-cell block-hash perceptual
+    * fingerprint ([[graft.ext.Multimodal.phashDupPairs]]): band-join
+    * candidates, exact-Hamming verify, threshold 6 bits. */
+  def mPhashDups(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.phashDupPairs(docs(s, d), maxHamming = 6)
+
+  private val mPhashDupsSql = {
+    val blockLen = "greatest(len // 64, 1)"
+    val cellHash = sqlPolyHash(
+      s"substring(text, CAST(i * $blockLen AS INT) + 1, " +
+        s"CAST($blockLen AS INT))")
+    s"""WITH m AS (SELECT doc_id, text, length(text) AS len
+       |  FROM documents WHERE length(text) >= 64),
+       |cells AS (SELECT doc_id, i,
+       |    $cellHash AS h
+       |  FROM m CROSS JOIN range(0, 64) t(i)),
+       |mu AS (SELECT doc_id,
+       |    CAST(floor(sum(h) / 64.0) AS BIGINT) AS mean
+       |  FROM cells GROUP BY 1),
+       |fp AS (SELECT c.doc_id, CAST(c.i // 16 AS INT) AS band,
+       |    CAST(sum(CASE WHEN c.h > mu.mean
+       |      THEN (1 << CAST(c.i % 16 AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS bkey
+       |  FROM cells c JOIN mu ON c.doc_id = mu.doc_id GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
+       |ham AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(bit_count(xor(x.bkey, y.bkey))) AS BIGINT)
+       |      AS hamming
+       |  FROM cand c JOIN fp x ON x.doc_id = c.doc_a
+       |    JOIN fp y ON y.doc_id = c.doc_b AND x.band = y.band
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, hamming FROM ham
+       |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def mResize(s: SparkSession, d: String): DataFrame = {
     val meta = graft.ext.Multimodal.decodePipeline(s, d)
     val (w2, h2) = graft.ext.Multimodal.resizeDims(
@@ -4530,6 +4567,7 @@ object TrainingData {
     "m_frame_decode" -> (mFrameDecode _),
     "m_features" -> (mFeatures _),
     "m_resize" -> (mResize _),
+    "m_phash_dups" -> (mPhashDups _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4623,5 +4661,6 @@ object TrainingData {
     "m_frame_decode" -> mFrameDecodeSql,
     "m_features" -> mFeaturesSql,
     "m_resize" -> mResizeSql,
+    "m_phash_dups" -> mPhashDupsSql,
   )
 }

@@ -147,6 +147,12 @@ class ScanAuditSpec extends SparkSpec {
       s"customer scan widened to $cust")
   }
 
+  test("m_phash_dups: the documents scan ships only (doc_id, text)") {
+    val (cols, _) = scanOf(
+      queries.TrainingData.mPhashDups(spark, sf0001), "documents")
+    assert(cols == Set("doc_id", "text"), s"scan widened to $cols")
+  }
+
   test("s_kcenter / s_ann_mips: the embeddings scans ship only " +
       "(vec_id, embedding) — label is pruned everywhere") {
     val kc = queries.TrainingData.sKcenter(spark, sf0001)

@@ -711,4 +711,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4Info(mp4.take(40)).isEmpty) // moov cut off
     assert(Multimodal.mp4Samples(mp4.take(40), 5).isEmpty)
   }
+
+  test("phashDupPairs equals an independent plain-Scala reference: " +
+      "band-collision candidates, exact Hamming, threshold filter") {
+    // independent reference implementation of the fingerprint
+    def bands(text: String): Array[Long] = {
+      val len = text.length
+      val bl = math.max(len / 64, 1)
+      val hs = (0 until 64).map { i =>
+        val start = i * bl
+        val block =
+          if (start >= len) ""
+          else text.substring(start, math.min(start + bl, len))
+        block.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+      }
+      val mean = hs.sum / 64
+      (0 until 4).map { b =>
+        (0 until 16).map { j =>
+          if (hs(b * 16 + j) > mean) 1L << j else 0L
+        }.sum
+      }.toArray
+    }
+    val base = ("x" * 128) + ("y" * 128) + ("z" * 128) + ("w" * 128)
+    val edited = base.substring(0, 256) + "EDITEDXX" + base.substring(264)
+    val varied = (0 until 512).map(i => ('a' + (i * 7) % 26).toChar)
+      .mkString
+    val variedEdit = "QQQQQQQQ" * 3 + varied.substring(24)
+    val fixture = Seq((1L, base), (2L, edited), (3L, base),
+      (4L, varied), (5L, variedEdit))
+
+    val expected = (for {
+      (ia, ta) <- fixture; (ib, tb) <- fixture if ia < ib
+      fa = bands(ta); fb = bands(tb)
+      if fa.indices.exists(b => fa(b) == fb(b)) // band collision
+      ham = fa.indices.map(b =>
+        java.lang.Long.bitCount(fa(b) ^ fb(b)).toLong).sum
+      if ham <= 6
+    } yield (ia, ib) -> ham).toMap
+
+    val out = Multimodal.phashDupPairs(
+      fixture.toDF("doc_id", "text"), maxHamming = 6).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == expected, s"got $out\nexpected $expected")
+    // sanity on the expectation itself: the exact copy is a Hamming-0
+    // pair, and the two unrelated families never cross-pair
+    assert(expected.get((1L, 3L)).contains(0L))
+    assert(!expected.keys.exists { case (a, b) =>
+      Set(1L, 2L, 3L)(a) && Set(4L, 5L)(b) })
+  }
 }
