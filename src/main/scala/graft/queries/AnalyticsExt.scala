@@ -116,6 +116,47 @@ object AnalyticsExt {
        |  ${sqlSumDec("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Time-RANGE moving window: per customer, the 90-day trailing
+    * order spend — the RANGE-frame sibling of `q_running_total`'s
+    * ROWS frame. A RANGE frame bounds the window by the ORDER-BY
+    * VALUE (here days-since-epoch), so the pane grows and shrinks
+    * with order density instead of a fixed row count — the shape
+    * behind every "trailing 90-day revenue" metric. Both engines
+    * order by the identical integer day number; tied dates are frame
+    * peers in both, and the sum runs in DECIMAL inside the pane
+    * (order-independent), so the result is hash-exact.
+    *
+    * Scale shape: ONE hash exchange on o_custkey + a per-partition
+    * sort; the sliding pane is computed in a single pass per
+    * partition (Spark's bounded-range window frame advances two
+    * pointers — no per-row rescan), and no join or second shuffle
+    * exists in the plan. */
+  def qMovingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01")))
+      .rangeBetween(-90, 0)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("spend_90d",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "spend_90d", "n_win")
+      .orderBy(asc("o_custkey"), asc("o_orderkey"))
+  }
+
+  private val qMovingWindowSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+      |    AS DOUBLE) AS spend_90d,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_win
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY (o_orderdate - DATE '1970-01-01')
+      |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Skew-salted JOIN — the join-side sibling of [[qSaltedAgg]]: a
     * fact⋈dim equi-join whose fact keys follow a power law (here a
     * synthetic hot key: every `user_id % 4 == 0` event collapses onto
@@ -958,6 +999,7 @@ object AnalyticsExt {
     "q_pivot_priority" -> (qPivotPriority _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_moving_window" -> (qMovingWindow _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_sessionize" -> (qSessionize _),
@@ -984,6 +1026,7 @@ object AnalyticsExt {
     "q_pivot_priority" -> qPivotPrioritySql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_salted_join" -> qSaltedJoinSql,
+    "q_moving_window" -> qMovingWindowSql,
     "q_funnel" -> qFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_sessionize" -> qSessionizeSql,

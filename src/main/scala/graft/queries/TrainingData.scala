@@ -2471,6 +2471,74 @@ object TrainingData {
     * the 2-gram distinct count reuses the codegen'd ShingleSet
     * kernel. Thresholds were chosen against this corpus's metric
     * distribution so the verdict actually discriminates. */
+  /** Robust per-source length-outlier filter: median / MAD (median
+    * absolute deviation), the estimator that survives the exact heavy
+    * tails that break mean/stddev cuts — one boilerplate-spam source
+    * can shift a mean arbitrarily but moves the median by one rank.
+    * Both statistics are the LOWER MEDIAN by (value, doc_id) rank —
+    * pure integer arithmetic, so the filter is hash-exact with no
+    * float tolerance anywhere. Verdict: keep iff
+    * |len − med| ≤ 3·max(MAD, 1) (the MAD floor guards the
+    * all-identical-lengths source, where MAD = 0 would reject every
+    * non-median doc).
+    *
+    * Scale shape: two windowed passes partitioned on source (rank +
+    * group count share one exchange each) and two broadcast joins of
+    * GROUP-COUNT-sized frames (one row per source — a bounded
+    * taxonomy, not corpus-scaled). No self-join of the corpus, no
+    * global sort; the per-source sort is the unavoidable cost of an
+    * exact median and parallelizes across sources. */
+  def dMadFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d).select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val srcW = Window.partitionBy("source")
+    val rankW = srcW.orderBy(asc("n_chars"), asc("doc_id"))
+    val meds = base
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("cnt", count(lit(1)).over(srcW))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("source"), col("n_chars").as("med"))
+    val withDev = base.join(broadcast(meds), Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val devW = srcW.orderBy(asc("dev"), asc("doc_id"))
+    val mads = withDev
+      .withColumn("rn", row_number().over(devW))
+      .withColumn("cnt", count(lit(1)).over(srcW))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("source"), col("dev").as("mad"))
+    withDev.join(broadcast(mads), Seq("source"))
+      .withColumn("keep", col("dev") <= lit(3) * greatest(col("mad"), lit(1L)))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"), col("dev"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dMadFilterSql =
+    """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+      |r1 AS (SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM base),
+      |meds AS (SELECT source, n_chars AS med FROM r1
+      |  WHERE rn = (cnt + 1) // 2),
+      |dv AS (SELECT b.doc_id, b.source, b.n_chars, m.med,
+      |    abs(b.n_chars - m.med) AS dev
+      |  FROM base b JOIN meds m ON b.source = m.source),
+      |r2 AS (SELECT source, dev,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY dev, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM dv),
+      |mads AS (SELECT source, dev AS mad FROM r2
+      |  WHERE rn = (cnt + 1) // 2)
+      |SELECT d.doc_id, d.source, d.n_chars, d.med, d.mad, d.dev,
+      |  d.dev <= 3 * greatest(d.mad, 1) AS keep
+      |FROM (SELECT dv.*, mads.mad FROM dv
+      |  JOIN mads ON dv.source = mads.source) d
+      |ORDER BY d.doc_id""".stripMargin
+
   def dGopherRules(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .withColumn("_toks", TextStats.tokens(col("text")))
@@ -4522,6 +4590,7 @@ object TrainingData {
     "d_dedup_keep_best" -> (dDedupKeepBest _),
     "d_ccnet_buckets" -> (dCcnetBuckets _),
     "d_gopher_rules" -> (dGopherRules _),
+    "d_mad_filter" -> (dMadFilter _),
     "d_filter_stack" -> (dFilterStack _),
     "d_quality_lr" -> (dQualityLr _),
     "d_repetition_break" -> (dRepetitionBreak _),
@@ -4598,6 +4667,7 @@ object TrainingData {
     "d_dedup_keep_best" -> dDedupKeepBestSql,
     "d_ccnet_buckets" -> dCcnetBucketsSql,
     "d_gopher_rules" -> dGopherRulesSql,
+    "d_mad_filter" -> dMadFilterSql,
     "d_filter_stack" -> dFilterStackSql,
     "d_quality_lr" -> dQualityLrSql,
     "d_repetition_break" -> dRepetitionBreakSql,
