@@ -1068,7 +1068,20 @@ object Multimodal {
     * (the [[graft.ext.Dedup.jaccardPairs]] hot-block cap applies
     * unchanged if a corpus-common band emerges, e.g. all-zero
     * fingerprints from constant-byte blobs). */
-  def phashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def phashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    phashDupPairsImpl(docs, maxHamming, materialize = true)
+
+  /** The same plan WITHOUT persist/localCheckpoint — full parquet
+    * lineage preserved for the scan audit (the public path severs it
+    * by design: localCheckpoint is what releases the cached
+    * fingerprint frame). Tests only; production callers want the
+    * materializing form. */
+  private[graft] def phashDupPairsPlan(docs: DataFrame,
+      maxHamming: Int): DataFrame =
+    phashDupPairsImpl(docs, maxHamming, materialize = false)
+
+  private def phashDupPairsImpl(docs: DataFrame, maxHamming: Int,
+      materialize: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     // blobs shorter than the cell count would yield empty blocks
     // (degenerate fingerprints); route them to exact-hash dedup
@@ -1084,21 +1097,23 @@ object Multimodal {
         graft.functions.RollingHash.rolling_hash(
           col("text").substr((col("i") * blockLen + 1).cast("int"),
             blockLen.cast("int"))).as("h"))
-    val fp = cells
+    val fpLazy = cells
       .withColumn("mean",
         floor(sum(col("h")).over(w) / 64.0).cast("long"))
       .groupBy(col("doc_id"), (col("i") / 16).cast("int").as("band"))
       .agg(sum(when(col("h") > col("mean"),
           expr("CAST(shiftleft(1, CAST(i % 16 AS INT)) AS BIGINT)"))
         .otherwise(lit(0L))).cast("long").as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = if (materialize)
+      fpLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fpLazy
     val cand = fp.as("a").join(fp.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(fp.select(col("doc_id").as("doc_a"), col("band"),
         col("bkey").as("ka")), Seq("doc_a"))
       .join(fp.select(col("doc_id").as("doc_b"), col("band"),
@@ -1108,6 +1123,16 @@ object Multimodal {
         .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+    // The passing pair set is orders smaller than the fingerprint
+    // frame: materialize it once and release the persist immediately
+    // (the cosineDupPairs hygiene) so repeated calls — every Bench
+    // rep, every spec — don't accumulate cached blocks.
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint()
+      fp.unpersist()
+      out
+    }
   }
 
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -131,4 +131,47 @@ object Retrieval {
     fused.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Exact phrase search over a POSITIONAL inverted index — the
+    * retrieval primitive BM25's bag-of-words scoring cannot express:
+    * "these terms, adjacent, in this order". A curation pipeline uses
+    * it for boilerplate hunting ("all rights reserved"), contamination
+    * probes (exact benchmark phrases), and template detection.
+    *
+    * @param docs    (doc_id, text), whitespace-tokenized with the
+    *                corpus-wide [[TextStats.tokens]] rule
+    * @param phrases tiny (pid: long, w1: string, w2: string) frame of
+    *                two-term phrases; longer phrases chain the same
+    *                adjacency join once per extra term
+    *
+    * Output: (pid, w1, w2, n_docs, n_hits) — documents containing the
+    * phrase and total occurrences (overlapping occurrences each
+    * count: positions are distinct by construction).
+    *
+    * Distributed shape: ONE corpus pass builds the positional
+    * postings (doc_id, pos, term) via `posexplode`; the broadcast
+    * phrase-term set filters the postings immediately, so everything
+    * downstream is bounded by the query terms' document frequency,
+    * never the token count. The adjacency match is an equi-join of
+    * the two term legs on (pid, doc_id, pos+1 = pos) — a hash join
+    * keyed on values that both sides derive from the SAME filtered
+    * postings frame. At 100 TB the postings frame is the thing a
+    * deployment persists (partitioned by term); the probe then never
+    * touches text at all. */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val post = docs.select(col("doc_id"),
+        posexplode(TextStats.tokens(col("text"))).as(Seq("pos", "term")))
+    val terms = phrases.select(col("w1").as("term"))
+      .unionByName(phrases.select(col("w2").as("term"))).distinct()
+    val qpost = post.join(broadcast(terms), Seq("term"))
+    val leg1 = qpost.join(broadcast(phrases), col("term") === col("w1"))
+      .select(col("pid"), col("w1"), col("w2"), col("doc_id"),
+        col("pos"))
+    val leg2 = qpost.select(col("term").as("w2"),
+      col("doc_id"), (col("pos") - 1).as("pos"))
+    leg1.join(leg2, Seq("w2", "doc_id", "pos"))
+      .groupBy(col("pid"), col("w1"), col("w2"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+  }
 }

@@ -770,13 +770,34 @@ object Similarity {
     * plus a map-side-combined count. Total O(kN) — the cost floor for
     * the greedy guarantee; FAISS seeds coarse quantizers the same way.
     */
-  def kcenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
+  def kcenterSelect(embeddings: DataFrame, k: Int): DataFrame =
+    kcenterSelectImpl(embeddings, k, materialize = true)
+
+  /** [[kcenterSelect]] WITHOUT persist/localCheckpoint — the k driver
+    * passes recompute the projection, but the returned frame keeps
+    * its full parquet lineage for the scan audit (the public path
+    * severs it: localCheckpoint is what lets `base` unpersist).
+    * Tests only. */
+  private[graft] def kcenterSelectPlan(embeddings: DataFrame,
+      k: Int): DataFrame =
+    kcenterSelectImpl(embeddings, k, materialize = false)
+
+  private def kcenterSelectImpl(embeddings: DataFrame, k: Int,
+      materialize: Boolean): DataFrame = {
     require(k >= 1, "k-center needs at least one center")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val base = embeddings.select(col("vec_id"),
+    val baseLazy = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = if (materialize)
+      baseLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else baseLazy
+    // k passes reuse `base`; a corpus smaller than k would exhaust the
+    // isin-filtered argmax mid-loop (empty collect) — fail fast with
+    // the actual counts instead of an ArrayIndexOutOfBoundsException.
+    val n = base.count()
+    require(n >= k,
+      s"k-center needs at least k=$k corpus rows, found $n")
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
     // distance of the corpus row's emb to one plan-literal center —
@@ -818,10 +839,20 @@ object Similarity {
       .agg(min(struct(col("d"), col("sel_order"))).as("_b"))
       .groupBy(col("_b.sel_order").as("sel_order"))
       .agg(count(lit(1)).as("n_assigned"))
-    centersDf.join(counts, Seq("sel_order"), "left")
+    // k rows total: materialize once and release the cached base
+    // (same persist/localCheckpoint/unpersist hygiene as
+    // [[cosineDupPairs]]) — the returned frame no longer references
+    // `base`, so repeated calls don't accumulate cached blocks.
+    val result = centersDf.join(counts, Seq("sel_order"), "left")
       .select(col("sel_order"), col("vec_id"), col("radius"),
         coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
       .orderBy("sel_order")
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint()
+      base.unpersist()
+      out
+    }
   }
 
   /** (vec_id, sub, semb): the corpus exploded into its m PQ
@@ -977,6 +1008,63 @@ object Similarity {
     subBase.unpersist()
     base.unpersist()
     out
+  }
+
+  /** PQ with VARIANCE-BALANCED subspace assignment — the classic
+    * pre-rotation fix for anisotropic embeddings (the allocation
+    * heuristic OPQ [Ge et al. 2013] initializes from; PCA-permutation
+    * balancing appears in Jégou et al. 2011 §5 as the "structured
+    * ordering" variant): contiguous slicing puts correlated
+    * high-variance dimensions in the SAME codebook, starving the
+    * kSub centroids; ranking dimensions by variance and dealing them
+    * round-robin across the m subspaces equalizes per-subspace
+    * variance, so every codebook spends its centroids on comparable
+    * signal. The true inner product is permutation-invariant, so
+    * ground truth is unchanged — only the quantization error moves.
+    *
+    * The permutation derives from ONE narrow corpus pass (per-dim
+    * decimal sums → dim² driver rows — 64 values, the MLlib
+    * local-finish pattern) and is applied as a plan-literal
+    * projection; everything downstream is the unmodified [[pqTopK]]
+    * machinery, so the balanced index inherits its scale shape and
+    * its oracle verifiability (the variance ranking is
+    * SQL-mirrorable: same decimal sums, same (variance DESC, dim)
+    * order). */
+  def pqTopKBalanced(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, m: Int, kSub: Int, iters: Int, dim: Int = 64)
+      : DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
+    val subDim = dim / m
+    val base = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+    // per-dim variance via exact decimal sums: both engines compute
+    // (s2 − s1²/n)/n on identical doubles, rounded before ranking so
+    // a 1-ulp divergence can never flip the permutation
+    val varRows = base
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(graft.queries.QueryUtil.sumDec(col("v")).as("s1"),
+        graft.queries.QueryUtil.sumDec(col("v") * col("v")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("dim"), round(
+        (col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 6)
+        .as("variance"))
+      .collect()
+    val ranked = varRows.map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy { case (d, v) => (-v, d) }
+    // perm(newPos) = source dim: rank r deals to subspace r % m,
+    // slot r / m — round-robin by variance rank
+    val perm = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case ((d, _), r) =>
+      perm((r % m) * subDim + (r / m)) = d
+    }
+    val permuted = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), array(
+        perm.toIndexedSeq.map(d =>
+          element_at(col("embedding"), d + 1)): _*).as("embedding"))
+    pqTopK(permuted, queryIds, k, m, kSub, iters, dim)
   }
 
   /** IVF × PQ — the canonical production ANN composition (IVF-PQ,
@@ -1358,11 +1446,39 @@ object Similarity {
     ivfCore(base, q, k, nprobe)
   }
 
+  /** Metadata-FILTERED ANN — the vector-search feature every modern
+    * deployment needs ("nearest neighbors among documents WHERE
+    * <predicate>"): the predicate restricts CANDIDATES, not the
+    * index. Centroids are still built from the full corpus (the
+    * stored index is filter-agnostic — a per-filter refit would be
+    * absurd at production churn), probing is unchanged, and the
+    * predicate applies inside the probed partitions as a pre-filter
+    * on the fine-rank scan — in storage terms, a pushed-down column
+    * predicate on the partition-pruned index read, the cheapest of
+    * the pre/post-filter family (post-filtering top-k then filtering
+    * k·selectivity⁻¹ results is the recall trap this form avoids).
+    *
+    * The residual recall risk is selectivity: a probed partition may
+    * hold < k matching candidates, so callers WIDEN nprobe in
+    * proportion to 1/selectivity (the catalog entry probes 5 vs the
+    * unfiltered 3 at ~1/3 selectivity); SimilaritySpec pins recall
+    * against the filtered brute-force ground truth. */
+  def ivfTopKFiltered(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, nprobe: Int, candidateFilter: Column): DataFrame = {
+    val base = ivfBase(embeddings)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfCore(base, q, k, nprobe,
+      candidates = Some(base.filter(candidateFilter)))
+  }
+
   /** Shared IVF probe + fine-rank core: centroids from `base`'s
     * label partitions, `q` probes its `nprobe` best partitions,
-    * fine ranking only within them. */
+    * fine ranking only within them (restricted to `candidates` when
+    * given — the filtered-search form; centroids ALWAYS derive from
+    * the full `base`, the filter-agnostic stored index). */
   private def ivfCore(base: DataFrame, q: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, candidates: Option[DataFrame] = None): DataFrame = {
     // centroid per label via explode-by-dimension — scales to any
     // partition size (no per-group collect of whole vectors). The
     // component mean uses the exact-decimal sum (QueryUtil strategy):
@@ -1386,7 +1502,8 @@ object Similarity {
     val probed = probes.withColumn("prn", row_number().over(wq))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("label"))
-    val scored = base.join(broadcast(probed), Seq("label"))
+    val scored = candidates.getOrElse(base)
+      .join(broadcast(probed), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))

@@ -153,7 +153,7 @@ object AnalyticsExt {
       |  CAST(count(*) OVER w AS BIGINT) AS n_win
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey
-      |  ORDER BY (o_orderdate - DATE '1970-01-01')
+      |  ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
       |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
@@ -976,6 +976,194 @@ object AnalyticsExt {
   def qZorderScan(s: SparkSession, d: String): DataFrame =
     graft.ext.ZOrder.zorderScan(s, Tables.orders(s, d))
 
+  /** Incremental materialized-view maintenance — the delta-refresh
+    * pattern every 100-TB nightly pipeline runs: a per-customer spend
+    * MV is NOT recomputed from scratch; the new day's delta is
+    * aggregated ALONE (bounded by the day's ingest, not the corpus)
+    * and merged into the stored MV by summing the mergeable state
+    * (sum, count). AVG is the classic non-mergeable aggregate — it is
+    * carried as (sum, count) and derived only at read time; merging
+    * averages directly would be wrong whenever group sizes differ.
+    *
+    * Here the "stored" MV is derived from the pre-cutoff slice so
+    * DuckDB can verify the merged result against a full recompute —
+    * the equality `merge(mv(base), mv(delta)) == mv(base ∪ delta)` IS
+    * the correctness claim of incremental maintenance.
+    *
+    * Scale shape: in production the base-MV leg is a scan of the
+    * (already aggregated, customer-keyed) MV table and the delta leg
+    * scans one date partition — the merge is one hash aggregate on
+    * the MV key. Nothing rescans history. The exact decimal sums make
+    * the merged state bit-identical to the recompute, so refresh
+    * drift is impossible, not just unlikely. */
+  def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    // mergeable MV state: (count, exact decimal sum)
+    def mv(df: DataFrame): DataFrame = df.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(DecimalType(18, 6))).as("_spend"))
+    val base = mv(o.filter(col("o_orderdate") < cutoff))
+    val delta = mv(o.filter(col("o_orderdate") >= cutoff))
+    base.unionByName(delta)
+      .groupBy("o_custkey")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("_spend")).as("_spend"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("_spend").cast("double").as("total_spend"),
+        round(col("_spend").cast("double") / col("n_orders"), 6)
+          .as("avg_spend"))
+      .orderBy("o_custkey")
+  }
+
+  /** `q_incremental_agg` oracle: the full recompute — identical
+    * output proves the merge of partial states is exact. */
+  private val qIncrementalAggSql =
+    s"""SELECT o_custkey, count(*) AS n_orders,
+       |  ${sqlSumDec("o_totalprice")} AS total_spend,
+       |  round(${sqlSumDec("o_totalprice")} / count(*), 6) AS avg_spend
+       |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin
+
+  /** Snapshot column-profile drift report — the data-quality gate a
+    * production pipeline runs before promoting a new snapshot: per
+    * column, row count, null rate, exact distinct count, and min/max
+    * for the previous snapshot vs the candidate, side by side. A
+    * range that silently widens 10× or a null rate that jumps from
+    * 0 to 0.2 is caught HERE, before 1000 executors burn a day on
+    * poisoned input.
+    *
+    * Shapes: ONE aggregate pass per snapshot computes every
+    * column's stats simultaneously (no per-column rescans), then
+    * `stack` pivots the 1-row wide frame to one row per column —
+    * driver-free, join on the tiny per-column frame. The exact
+    * `count(distinct)` pair in one aggregate plans through Spark's
+    * Expand (2× rows of the 3 profiled columns, not the table); at
+    * 100 TB swap in `approx_count_distinct` per the comment — the
+    * exact form is kept for oracle verifiability. */
+  def qProfileDrift(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val profCols = Seq("o_custkey", "o_totalprice")
+    def profile(df: DataFrame, tag: String): DataFrame = {
+      val aggs = count(lit(1)).as("n") +: profCols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        // exact for the oracle; approx_count_distinct at 100 TB
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = profCols.map(c =>
+        s"'$c', n, nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
+      wide.selectExpr(s"stack(${profCols.size}, $stackArgs) AS " +
+        s"(col_name, n_$tag, nn_$tag, nd_$tag, min_$tag, max_$tag)")
+    }
+    profile(o.filter(col("o_orderdate") < cutoff), "old")
+      .join(profile(o, "new"), Seq("col_name"))
+      .select(col("col_name"), col("n_old"), col("n_new"),
+        round(lit(1) - col("nn_old") / col("n_old").cast("double"), 6)
+          .as("null_rate_old"),
+        round(lit(1) - col("nn_new") / col("n_new").cast("double"), 6)
+          .as("null_rate_new"),
+        col("nd_old"), col("nd_new"),
+        col("min_old"), col("min_new"), col("max_old"), col("max_new"),
+        (col("min_new") < col("min_old") ||
+          col("max_new") > col("max_old")).as("range_widened"))
+      .orderBy("col_name")
+  }
+
+  private val qProfileDriftSql = {
+    def leg(src: String, tag: String) =
+      s"""SELECT col_name, n AS n_$tag, nn AS nn_$tag, nd AS nd_$tag,
+         |    vmin AS min_$tag, vmax AS max_$tag FROM (
+         |  SELECT 'o_custkey' AS col_name, count(*) AS n,
+         |    count(o_custkey) AS nn, count(DISTINCT o_custkey) AS nd,
+         |    CAST(min(o_custkey) AS DOUBLE) AS vmin,
+         |    CAST(max(o_custkey) AS DOUBLE) AS vmax FROM $src
+         |  UNION ALL
+         |  SELECT 'o_totalprice', count(*), count(o_totalprice),
+         |    count(DISTINCT o_totalprice),
+         |    CAST(min(o_totalprice) AS DOUBLE),
+         |    CAST(max(o_totalprice) AS DOUBLE) FROM $src)""".stripMargin
+    s"""WITH old_src AS (SELECT * FROM orders
+       |    WHERE o_orderdate < TIMESTAMP '1997-06-01'),
+       |o_prof AS (${leg("old_src", "old")}),
+       |n_prof AS (${leg("orders", "new")})
+       |SELECT col_name, n_old, n_new,
+       |  round(1 - nn_old / CAST(n_old AS DOUBLE), 6) AS null_rate_old,
+       |  round(1 - nn_new / CAST(n_new AS DOUBLE), 6) AS null_rate_new,
+       |  nd_old, nd_new, min_old, min_new, max_old, max_new,
+       |  (min_new < min_old OR max_new > max_old) AS range_widened
+       |FROM o_prof JOIN n_prof USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** Skyline (Pareto-dominance) query — "the orders no other order
+    * beats on BOTH price and recency": A dominates B iff A.price ≤
+    * B.price AND A.date ≥ B.date with one strict. The multi-criteria
+    * shortlist operator (Börzsönyi et al., ICDE 2001).
+    *
+    * Distributed shape — the classic two-stage skyline: dominance is
+    * transitive-closed under subsets (a point dominated inside ANY
+    * subset is dominated globally), so stage 1 computes a LOCAL
+    * skyline per hash bucket (one bucket-keyed exchange, per-bucket
+    * sort) and only the few survivors reach stage 2's global pass —
+    * the single-partition sort touches ~|skyline per bucket| × 32
+    * rows, never the corpus (uniform-ish 2D data keeps skylines
+    * O(log n)-sized). Each stage is ONE window: sort by (price ASC,
+    * date DESC); a point survives iff its date strictly exceeds the
+    * running max date of everything sorted before it — dominance
+    * collapses to a cummax comparison. Distinct points first so
+    * coincident points (mutually non-dominating) aren't dropped by
+    * the strict test; the join back to order keys is AQE-broadcast
+    * (skyline-sized build side).
+    *
+    * The oracle is the QUANTIFIER form (NOT EXISTS a dominator) — a
+    * completely independent derivation path, so the window/cummax
+    * reduction itself is what the hash check proves. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    o.join(skylinePoints(o, minimize = "o_totalprice",
+        maximize = "o_orderdate"),
+        Seq("o_totalprice", "o_orderdate"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Operator body of [[qSkyline]]: the distinct Pareto-optimal
+    * (minimize, maximize) points of any frame — exposed so the spec
+    * can pin the cummax reduction (including coincident-point and
+    * tie-on-one-axis cases) against a naive quadratic dominance
+    * reference on constructed fixtures. */
+  def skylinePoints(df: DataFrame, minimize: String, maximize: String)
+      : DataFrame = {
+    def pass(pts: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*)
+        .orderBy(asc(minimize), desc(maximize))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("_cm", max(col(maximize)).over(w))
+        .filter(col("_cm").isNull || col(maximize) > col("_cm"))
+        .drop("_cm")
+    }
+    val pts = df.select(col(minimize), col(maximize)).distinct()
+    val local = pass(
+      pts.withColumn("_b", pmod(hash(col(minimize), col(maximize)),
+        lit(32))), Seq(col("_b"))).drop("_b")
+    pass(local, Seq.empty)
+  }
+
+  private val qSkylineSql =
+    """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders a
+      |WHERE NOT EXISTS (SELECT 1 FROM orders b
+      |  WHERE b.o_totalprice <= a.o_totalprice
+      |    AND b.o_orderdate >= a.o_orderdate
+      |    AND (b.o_totalprice < a.o_totalprice
+      |      OR b.o_orderdate > a.o_orderdate))
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_zorder_skipping" -> (qZorderSkipping _),
     "q_zorder_scan" -> (qZorderScan _),
@@ -1007,6 +1195,9 @@ object AnalyticsExt {
     "q_levenshtein" -> (qLevenshtein _),
     "q_setops" -> (qSetOps _),
     "q_corr_stats" -> (qCorrStats _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_profile_drift" -> (qProfileDrift _),
+    "q_skyline" -> (qSkyline _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1034,5 +1225,8 @@ object AnalyticsExt {
     "q_levenshtein" -> qLevenshteinSql,
     "q_setops" -> qSetOpsSql,
     "q_corr_stats" -> qCorrStatsSql,
+    "q_incremental_agg" -> qIncrementalAggSql,
+    "q_profile_drift" -> qProfileDriftSql,
+    "q_skyline" -> qSkylineSql,
   )
 }

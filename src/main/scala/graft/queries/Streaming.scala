@@ -181,7 +181,39 @@ object Streaming {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY event_id""".stripMargin
 
+  /** Batch equivalent of the streaming changelog materialization
+    * ([[graft.streaming.StatefulOps.latestStream]]): each user's
+    * LATEST event row by (ts, event_id) — the keyed-upsert state a
+    * streaming pipeline maintains for a continuously-fresh profile
+    * table. The batch form is the declarative argmax: ONE struct-max
+    * hash aggregate keyed on user_id (map-side partials — no window,
+    * no sort, no row_number pass over the corpus; the (ts, event_id)
+    * prefix is unique so trailing struct fields never tie-break).
+    * Stream/batch parity across micro-batch boundaries is
+    * spec-verified (StatefulOpsSpec); this entry hash-verifies the
+    * shared ordering rule against the oracle's row_number replay. */
+  def stUpsertState(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("ts"),
+        col("s.event_id").as("event_id"),
+        col("s.event_type").as("event_type"),
+        col("s.value").as("value"))
+      .orderBy("user_id")
+
+  private val stUpsertStateSql =
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st_upsert_state" -> (stUpsertState _),
     "st_tumbling" -> (stTumbling _),
     "st_static_join" -> (stStaticJoin _),
     "st_left_join" -> (stLeftJoin _),
@@ -194,6 +226,7 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_upsert_state" -> stUpsertStateSql,
     "st_tumbling" -> stTumblingSql,
     "st_static_join" -> stStaticJoinSql,
     "st_left_join" -> stLeftJoinSql,

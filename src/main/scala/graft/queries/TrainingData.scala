@@ -1101,7 +1101,7 @@ object TrainingData {
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |sc AS (SELECT vec_id, emb,
        |    list_transform(emb,
-       |      x -> x * (1.0 + CAST(vec_id % 5 AS DOUBLE))) AS sv
+       |      x -> x * (1.0 + CAST(((vec_id % 5) + 5) % 5 AS DOUBLE))) AS sv
        |  FROM base),
        |m AS (SELECT max(list_dot_product(sv, sv)) AS m2 FROM sc),
        |corp AS (SELECT vec_id, sv,
@@ -1413,6 +1413,54 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Metadata-FILTERED ANN ([[Similarity.ivfTopKFiltered]]): top-k
+    * among candidates satisfying `vec_id % 3 = 0` (the stand-in for
+    * a metadata predicate — deterministic and SQL-mirrorable), over
+    * the UNCHANGED full-corpus IVF index. nprobe widened 3 → 5 to
+    * compensate ~1/3 selectivity inside the probed partitions (the
+    * documented filtered-search recall lever); queries are the
+    * standard 16-id sample and need not satisfy the predicate. */
+  def sAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKFiltered(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 5,
+        candidateFilter = pmod(col("vec_id"), lit(3)) === 0)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnFilteredSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dims AS (SELECT label, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |probes AS (SELECT query_id, q_emb, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN cent),
+       |probed AS (SELECT query_id, q_emb, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 5),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${sqlCosine("p.q_emb", "b.emb")} AS cos_sim
+       |  FROM base b JOIN probed p ON b.label = p.label
+       |  WHERE b.vec_id <> p.query_id
+       |    AND ((b.vec_id % 3) + 3) % 3 = 0),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val sAnnIvfSql =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -1709,6 +1757,63 @@ object TrainingData {
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |${pqFitsSqlWith(Some(4))},
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |codes AS ($pqCodesUnionSql),
+       |lut AS ($pqLutUnionSql),
+       |scored AS (SELECT query_id, k.vec_id AS neighbor_id,
+       |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY query_id, k.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Variance-balanced PQ ([[Similarity.pqTopKBalanced]]): dims
+    * ranked by exact-decimal variance and dealt round-robin across
+    * the 16 subspaces before the standard fit/encode/ADC — the
+    * anisotropy fix (OPQ's initialization heuristic). The oracle
+    * derives the SAME permutation in SQL (identical decimal sums,
+    * identical (variance DESC, dim) rank) and feeds the permuted CTE
+    * through the SHARED subspace-fit fragments (`pqFitsSqlWith`), so
+    * permutation + fit + codes + ADC are all hash-verified end to
+    * end. On this corpus (uniform embeddings, near-equal variances)
+    * the permutation is near-identity by design — the anisotropic
+    * case where balancing wins recall is pinned in SimilaritySpec. */
+  def sAnnPqBalanced(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.pqTopKBalanced(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, m = 16, kSub = 32, iters = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnPqBalancedSql =
+    s"""WITH rawb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |vstat AS (SELECT i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(emb[i] * emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      AS s2,
+       |    count(*) AS n
+       |  FROM rawb CROSS JOIN range(1, 65) t(i) GROUP BY i),
+       |vr AS (SELECT i, round((s2 - s1 * s1 / n) / n, 6) AS variance
+       |  FROM vstat),
+       |-- rank r (0-based) deals dim to subspace r % 16, slot r // 16
+       |rk AS (SELECT i AS olddim, CAST(row_number() OVER (
+       |      ORDER BY variance DESC, i) - 1 AS INT) AS r FROM vr),
+       |dm AS (SELECT (r % 16) * 4 + (r // 16) AS newpos, olddim
+       |  FROM rk),
+       |pm AS (SELECT list(olddim ORDER BY newpos) AS pm FROM dm),
+       |base AS (SELECT vec_id,
+       |    list_transform(range(1, 65), p -> emb[pm[p]]) AS emb
+       |  FROM rawb CROSS JOIN pm),
+       |$pqFitsSql,
        |$qidsSql,
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
@@ -2494,11 +2599,15 @@ object TrainingData {
       col("n_chars"))
     val srcW = Window.partitionBy("source")
     val rankW = srcW.orderBy(asc("n_chars"), asc("doc_id"))
+    // the rank filter leaves exactly one row per source; the trailing
+    // per-source Aggregate makes that bound STRUCTURAL (one row per
+    // group key, visible to the plan audit), so the broadcast hint on
+    // this source-taxonomy-sized frame is provably safe, not asserted
     val meds = base
       .withColumn("rn", row_number().over(rankW))
       .withColumn("cnt", count(lit(1)).over(srcW))
       .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
-      .select(col("source"), col("n_chars").as("med"))
+      .groupBy(col("source")).agg(min(col("n_chars")).as("med"))
     val withDev = base.join(broadcast(meds), Seq("source"))
       .withColumn("dev", abs(col("n_chars") - col("med")))
     val devW = srcW.orderBy(asc("dev"), asc("doc_id"))
@@ -2506,7 +2615,7 @@ object TrainingData {
       .withColumn("rn", row_number().over(devW))
       .withColumn("cnt", count(lit(1)).over(srcW))
       .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
-      .select(col("source"), col("dev").as("mad"))
+      .groupBy(col("source")).agg(min(col("dev")).as("mad"))
     withDev.join(broadcast(mads), Seq("source"))
       .withColumn("keep", col("dev") <= lit(3) * greatest(col("mad"), lit(1L)))
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -3197,6 +3306,55 @@ object TrainingData {
       |  FROM agg)
       |SELECT qid, doc_id, score, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** Exact phrase search ([[graft.ext.Retrieval.phraseSearch]]): the
+    * phrase set is CORPUS-DERIVED — the 5 most frequent bigrams
+    * (count desc, then lexicographic) — so the entry exercises both
+    * the derivation aggregate and the positional-adjacency probe on
+    * real data at any SF. The oracle takes a DIFFERENT derivation
+    * path on purpose: it counts bigram occurrences directly (for a
+    * two-term phrase, adjacency matches ≡ bigram occurrences), so the
+    * postings posexplode + (w2, doc_id, pos) equi-join is verified
+    * against independent arithmetic, not replayed. */
+  def dPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val toks = TextStats.tokens(col("text"))
+    val bi = base.filter(size(toks) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_bg"))
+    // top-5 compiles to TakeOrderedAndProject (per-partition top-n);
+    // the rank window then runs over 5 rows
+    val top = bi.orderBy(desc("n_bg"), asc("w1"), asc("w2")).limit(5)
+      .withColumn("pid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_bg"), asc("w1"), asc("w2"))).cast("long"))
+      .select(col("pid"), col("w1"), col("w2"))
+      // 5 rows; materialize so the bigram aggregate doesn't re-run
+      // for each of phraseSearch's two uses of the phrase frame
+      .localCheckpoint()
+    graft.ext.Retrieval.phraseSearch(base, top).orderBy("pid")
+  }
+
+  private val dPhraseSearchSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |b0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks)-1),
+      |    i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |bg AS (SELECT bg.w1 AS w1, bg.w2 AS w2, doc_id FROM b0),
+      |cnt AS (SELECT w1, w2, count(*) AS n_bg FROM bg GROUP BY 1, 2),
+      |top AS (SELECT CAST(row_number() OVER (
+      |      ORDER BY n_bg DESC, w1, w2) AS BIGINT) AS pid, w1, w2
+      |  FROM cnt ORDER BY n_bg DESC, w1, w2 LIMIT 5)
+      |SELECT pid, w1, w2,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_hits
+      |FROM top JOIN bg USING (w1, w2)
+      |GROUP BY pid, w1, w2 ORDER BY pid""".stripMargin
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion
     * ([[graft.ext.Retrieval.rrfFuse]], Cormack et al. 2009): each
@@ -4555,6 +4713,7 @@ object TrainingData {
     "d_containment_auto" -> (dContainmentAuto _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_bm25" -> (dBm25 _),
+    "d_phrase_search" -> (dPhraseSearch _),
     "s_hybrid_rrf" -> (sHybridRrf _),
     "s_hybrid_rrf_ivf" -> (sHybridRrfIvf _),
     "d_dedup_recall" -> (dDedupRecall _),
@@ -4574,12 +4733,14 @@ object TrainingData {
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_lsh_mp" -> (sAnnLshMp _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "s_ann_filtered" -> (sAnnFiltered _),
     "s_ann_incremental" -> (sAnnIncremental _),
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
     "s_ann_rerank" -> (sAnnRerank _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_sampled" -> (sAnnPqSampled _),
+    "s_ann_pq_balanced" -> (sAnnPqBalanced _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
     "s_ann_ivf_pq_res" -> (sAnnIvfPqRes _),
     "d_embed_dups" -> (dEmbedDups _),
@@ -4650,6 +4811,7 @@ object TrainingData {
     "d_containment_auto" -> dContainmentAutoSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_bm25" -> dBm25Sql,
+    "d_phrase_search" -> dPhraseSearchSql,
     "s_hybrid_rrf" -> sHybridRrfSql,
     "s_hybrid_rrf_ivf" -> sHybridRrfIvfSql,
     "d_dedup_recall" -> dDedupRecallSql,
@@ -4713,12 +4875,14 @@ object TrainingData {
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_lsh_mp" -> sAnnLshMpSql,
     "s_ann_ivf" -> sAnnIvfSql,
+    "s_ann_filtered" -> sAnnFilteredSql,
     "s_ann_incremental" -> sAnnIncrementalSql,
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
     "s_ann_rerank" -> sAnnRerankSql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_sampled" -> sAnnPqSampledSql,
+    "s_ann_pq_balanced" -> sAnnPqBalancedSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,
     "s_ann_ivf_pq_res" -> sAnnIvfPqResSql,
     "d_embed_dups" -> dEmbedDupsSql,

@@ -223,6 +223,71 @@ object StatefulOps {
         })
   }
 
+  /** Latest row per key (µs ts + event_id as the total tiebreak);
+    * bounded: one row's columns per live user. */
+  case class LatestState(ts: Long, eventId: Long, eventType: String,
+      value: Double)
+  case class LatestOut(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Pick the later of two candidate states by (ts, event_id) — the
+    * ONE ordering rule shared by the streaming fold, the batch
+    * struct-max, and the oracle's `row_number` replay; event_id is
+    * unique so the order is total and the winner engine-independent. */
+  def laterOf(a: LatestState, b: LatestState): LatestState =
+    if (b.ts > a.ts || (b.ts == a.ts && b.eventId > a.eventId)) b else a
+
+  /** Streaming changelog materialization — the state-store form of a
+    * keyed UPSERT: each micro-batch folds its events into a per-user
+    * "latest row" and emits the user's current row (Update mode;
+    * downstream sinks upsert by user_id). This is how a streaming
+    * pipeline maintains a continuously-fresh dimension/profile table
+    * without re-reading history: state is ONE row per live user, and
+    * with `EventTimeTimeout` (production form) users idle past
+    * `idleUs` evict, so live state tracks the active-user set, not
+    * lifetime distinct users.
+    *
+    * Exactness: [[laterOf]] is associative/commutative-idempotent on
+    * the unique (ts, event_id) order, so the fold result is
+    * independent of batch boundaries — the final emitted row per user
+    * provably equals the batch argmax ([[stUpsertState]]'s form),
+    * which the spec asserts across a multi-batch replay. */
+  def latestStream(events: Dataset[EventRow],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      delayThreshold: String = "1 hour",
+      idleUs: Long = 24L * 3600L * 1000000L): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    val eventTime = timeout == GroupStateTimeout.EventTimeTimeout
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    val src =
+      if (eventTime) events.withWatermark("ts", delayThreshold)
+      else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestState, LatestOut](
+        OutputMode.Update, timeout)(
+        (uid: Long, it: Iterator[EventRow],
+            state: GroupState[LatestState]) => {
+          if (useTimeout && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batchBest = it.map(e => LatestState(toMicros(e.ts),
+              e.event_id, e.event_type, e.value)).reduce(laterOf)
+            val s = state.getOption
+              .map(laterOf(_, batchBest)).getOrElse(batchBest)
+            state.update(s)
+            if (eventTime)
+              state.setTimeoutTimestamp(math.max(
+                s.ts / 1000L + idleUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            else if (useTimeout)
+              state.setTimeoutDuration(idleUs / 1000L)
+            Iterator.single(LatestOut(uid, fromMicros(s.ts), s.eventId,
+              s.eventType, s.value))
+          }
+        })
+  }
+
   /** Streaming J4 upsert: each micro-batch of user rows merges into
     * the target parquet state via `foreachBatch` + [[Merge.merge]] —
     * the streaming re-expression of the reference's per-row upsert

@@ -148,14 +148,20 @@ class ScanAuditSpec extends SparkSpec {
   }
 
   test("m_phash_dups: the documents scan ships only (doc_id, text)") {
-    val (cols, _) = scanOf(
-      queries.TrainingData.mPhashDups(spark, sf0001), "documents")
+    // the production path localCheckpoints its result (severing
+    // lineage so the fingerprint persist can release); the audit runs
+    // the identical plan via the test-only un-materialized variant
+    val df = ext.Multimodal.phashDupPairsPlan(
+      Tables.documents(spark, sf0001), maxHamming = 6)
+    val (cols, _) = scanOf(df, "documents")
     assert(cols == Set("doc_id", "text"), s"scan widened to $cols")
   }
 
   test("s_kcenter / s_ann_mips: the embeddings scans ship only " +
       "(vec_id, embedding) — label is pruned everywhere") {
-    val kc = queries.TrainingData.sKcenter(spark, sf0001)
+    // same un-materialized-variant rationale as m_phash_dups above
+    val kc = ext.Similarity.kcenterSelectPlan(
+      Tables.embeddings(spark, sf0001), 8)
     val (kcCols, _) = scanOf(kc, "embeddings")
     assert(kcCols == Set("vec_id", "embedding"),
       s"s_kcenter scan widened to $kcCols")

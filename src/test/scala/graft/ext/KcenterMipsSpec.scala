@@ -50,6 +50,26 @@ class KcenterMipsSpec extends SparkSpec {
       .forall { case (a, b) => a >= b }, radii.toSeq.toString)
   }
 
+  test("kcenterSelect fails fast with a clear message when the " +
+      "corpus has fewer rows than k (not a mid-loop index error)") {
+    val tiny = vecDf(Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kcenterSelect(tiny, 5)
+    }
+    assert(e.getMessage.contains("k=5") && e.getMessage.contains("2"),
+      e.getMessage)
+  }
+
+  test("kcenterSelect releases its persisted projection — the SQL " +
+      "cache is empty after the call returns (no per-invocation leak)") {
+    spark.sharedState.cacheManager.clearCache()
+    val out = Similarity.kcenterSelect(
+      graft.Tables.embeddings(spark, sf0001), 4)
+    assert(out.count() == 4)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "kcenterSelect left a cached frame behind")
+  }
+
   test("mipsTopK: scores are the true raw inner products under the " +
       "synthetic norms, and bucketed recall@5 is positive against " +
       "brute-force MIPS ground truth") {

@@ -759,4 +759,14 @@ class MultimodalSpec extends SparkSpec {
     assert(!expected.keys.exists { case (a, b) =>
       Set(1L, 2L, 3L)(a) && Set(4L, 5L)(b) })
   }
+
+  test("phashDupPairs releases its persisted fingerprint frame — the " +
+      "SQL cache is empty after the call returns") {
+    spark.sharedState.cacheManager.clearCache()
+    val out = Multimodal.phashDupPairs(
+      graft.Tables.documents(spark, sf0001), maxHamming = 6)
+    out.count() // materialization already happened (localCheckpoint)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "phashDupPairs left a cached frame behind")
+  }
 }

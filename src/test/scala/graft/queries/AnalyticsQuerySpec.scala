@@ -271,4 +271,45 @@ class AnalyticsQuerySpec extends SparkSpec {
         $"c_custkey" === $"o_custkey", "left_anti").count()
     assert(zeroBucket == noOrder)
   }
+
+  test("skylinePoints equals the quadratic dominance reference on a " +
+      "fixture with coincident points and single-axis ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // (x minimize, y maximize). Deliberate hazards: (1,5) twice
+    // (coincident points are mutually non-dominating and BOTH stay),
+    // (1,3) (dominated on y at equal x), (2,5) (dominated on x at
+    // equal y), (0,9) (dominates most), (3,1) (dominated), (0,2)
+    // (equal-x tie with the dominator), plus an incomparable chain
+    val pts = Seq((1L, 5L), (1L, 5L), (1L, 3L), (2L, 5L), (0L, 9L),
+      (3L, 1L), (0L, 2L), (2L, 7L), (4L, 8L), (5L, 10L))
+    val df = pts.toDF("x", "y")
+    val got = AnalyticsExt.skylinePoints(df, "x", "y")
+      .as[(Long, Long)].collect().toSet
+    val distinct = pts.distinct
+    val want = distinct.filter { case (x, y) =>
+      !distinct.exists { case (x2, y2) =>
+        x2 <= x && y2 >= y && (x2 < x || y2 > y) }
+    }.toSet
+    assert(got == want, s"got $got want $want")
+    // the corpus entry: every returned order is undominated, and
+    // every dropped order has a dominator (spot-check via count
+    // against the quadratic reference on the small corpus)
+    // compare dates as epoch micros — the parquet timestamp may
+    // surface as TIMESTAMP_NTZ (LocalDateTime rows), and the integer
+    // form sidesteps the accessor type entirely
+    val out = AnalyticsExt.qSkyline(spark, sf0001)
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_totalprice",
+        unix_micros($"o_orderdate".cast("timestamp_ltz")).as("us"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val sky = orders.distinct.filter { case (p, t) =>
+      !orders.exists { case (p2, t2) =>
+        p2 <= p && t2 >= t && (p2 < p || t2 > t) }
+    }.toSet
+    val gotPts = out.select($"o_totalprice",
+        unix_micros($"o_orderdate".cast("timestamp_ltz")).as("us"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(gotPts == sky)
+  }
 }

@@ -112,6 +112,42 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming latest-state upsert converges to the batch argmax " +
+      "regardless of micro-batch boundaries (fold is order-safe)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    // deliberately UNSORTED batches (split by event_id parity): the
+    // (ts, event_id) fold must not depend on arrival order — this is
+    // the associativity claim the funnel (ordered-arrival contract)
+    // cannot make
+    val rows = eventsDs.collect().toSeq
+    val (b1, b2) = rows.partition(_.event_id % 2 == 0)
+    val src = MemoryStream[EventRow]
+    val q = latestStream(src.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out")
+      .start()
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      // each user's LAST update (by ts, event_id — the emitted state
+      // is monotone in that order) is the user's final state
+      val streamed = spark.table("latest_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("s"))
+        .select(col("user_id"), col("s.ts"), col("s.event_id"),
+          col("s.event_type"), col("s.value"))
+        .orderBy("user_id").collect().toSeq
+      val batch = graft.queries.Streaming
+        .stUpsertState(spark, sf0001).collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: a stopped funnel query RESUMES from its " +
       "state store — the restarted query reads ONLY the new files " +
       "(source offsets recovered) yet converges to the single-run " +
