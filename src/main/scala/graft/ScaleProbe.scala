@@ -680,6 +680,23 @@ object ScaleProbe {
       new java.io.File(s"$dir/_built").createNewFile()
       println(f"[probe] star built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else println(s"[probe] reusing ${rep}x tpch star at $dir")
+    // events replicated with the CUSTOMER stride (user_id keys into
+    // c_custkey) — added separately so pre-existing stars upgrade in
+    // place; needed by the cross-table queries (q_fk_orphans)
+    if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      val custOff = spark.read.parquet(s"$src/customer.parquet")
+        .agg(max("c_custkey")).head().getLong(0) + 1
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val evOff = ev.agg(max("event_id")).head().getLong(0) + 1
+      (0 until rep).map(i => ev.select(
+          (col("event_id") + lit(i * evOff)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * custOff)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+        .reduce(_ unionByName _).repartition(math.min(32 * rep, 128))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      println(s"[probe] events replicated into the ${rep}x star")
+    }
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("q1_pricing_summary", "q3_shipping_priority",
@@ -872,7 +889,9 @@ object ScaleProbe {
     // explicitly opted in, so a full-family sweep never silently pays
     // the known cliff — the r8-verdict decision, recorded in
     // BASELINE.md.
-    val exhaustive = Set("s_ann_pq", "s_ann_brute")
+    // s_ann_pq_balanced is the same exhaustive ADC scan as s_ann_pq
+    // (the balancing changes the FIT layout, not the probe cost)
+    val exhaustive = Set("s_ann_pq", "s_ann_brute", "s_ann_pq_balanced")
     val optIn = sys.env.contains("SPARK_GRAFT_PROBE_EXHAUSTIVE")
     val queries = named.filter { q =>
       val keep = optIn || !exhaustive(q)

@@ -444,6 +444,50 @@ object AnalyticsExt {
        |FROM p2 ORDER BY kind, id""".stripMargin
   }
 
+  /** BFS hop distances ([[graft.ext.Bfs.distances]]) from the
+    * smallest node over the SAME bipartite customer↔supplier graph
+    * as [[gPagerank]] (shared derivation — the two entries can't
+    * drift). Engine side is Pregel-style frontier iteration (one
+    * frontier⋈edges join + one anti-join per round, diameter
+    * rounds); the oracle is a bounded RECURSIVE CTE taking min(dist)
+    * per node — a different algorithm entirely (exhaustive
+    * path-depth enumeration), so the hash match proves the
+    * frontier/anti-join reduction, not a replay. */
+  def gBfs(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.ext.Bfs.distances(e0, "src", "dst")
+      .select(
+        when(col("node") % 2 === 0, lit("cust"))
+          .otherwise(lit("supp")).as("kind"),
+        floor(col("node") / 2).cast("long").as("id"),
+        col("dist"))
+      .orderBy("kind", "id")
+  }
+
+  private val gBfsSql =
+    """WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      |    l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0
+      |  UNION SELECT dst, src FROM e0),
+      |s AS (SELECT min(src) AS node FROM e),
+      |bfs(node, dist) AS (
+      |  SELECT node, CAST(0 AS BIGINT) FROM s
+      |  UNION
+      |  SELECT e.dst, bfs.dist + 1 FROM bfs
+      |  JOIN e ON e.src = bfs.node
+      |  WHERE bfs.dist < 20)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END
+      |    AS kind,
+      |  CAST(floor(node / 2) AS BIGINT) AS id,
+      |  min(dist) AS dist
+      |FROM bfs GROUP BY node ORDER BY kind, id""".stripMargin
+
   /** Edit distance between adjacent sampled documents. */
   def qLevenshtein(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(
@@ -1164,6 +1208,98 @@ object AnalyticsExt {
       |      OR b.o_orderdate > a.o_orderdate))
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Small-files compaction planner — the table-maintenance pass
+    * every 100-TB lake runs: given a file manifest (here each
+    * document stands in as a file with size `n_chars`, grouped by
+    * `source` as the physical partition), assign files to output
+    * bins so each bin's total lands near the target size. Binning is
+    * the STREAMING cumulative-sum rule — bin = floor(running total
+    * BEFORE the file / target) within each partition, deterministic
+    * by (doc_id) order — not first-fit-decreasing: FFD is inherently
+    * sequential per partition anyway, and the cumsum rule needs only
+    * ONE source-keyed window pass (no driver loop, no per-bin state),
+    * overshooting a bin by at most one file — the same guarantee
+    * compactors like lakehouse OPTIMIZE implement.
+    *
+    * Output: one row per planned output file (source, bin, n_files,
+    * total_chars) — the job list a compactor would execute. One
+    * exchange on source; the window and the aggregate share it. */
+  def qCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val target = 20000L
+    val w = Window.partitionBy(col("source")).orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("sz"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("sz")).over(w), lit(0L)) / target)
+          .cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("total_chars"))
+      .orderBy("source", "bin")
+  }
+
+  private val qCompactionPlanSql =
+    """WITH f AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS sz
+      |  FROM documents),
+      |b AS (SELECT source, sz,
+      |    CAST(floor(coalesce(sum(sz) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) / 20000) AS BIGINT) AS bin
+      |  FROM f)
+      |SELECT source, bin, count(*) AS n_files,
+      |  CAST(sum(sz) AS BIGINT) AS total_chars
+      |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  /** Referential-integrity audit — the data-quality gate that pairs
+    * with [[qProfileDrift]]: per foreign-key relationship, how many
+    * child rows have no parent (orphans). Each leg is ONE left-anti
+    * join keyed on the FK (AQE broadcasts the smaller side when it
+    * fits, shuffled hash beyond) + a count — no row payload ever
+    * moves, only keys. At 100 TB this is the pre-publication check
+    * that catches a truncated dim load before consumers join against
+    * it. */
+  def qFkOrphans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def leg(name: String, child: DataFrame, key: Column,
+        parent: DataFrame, pkey: Column): DataFrame =
+      child.join(parent, key === pkey, "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_orphans"))
+    val legs = Seq(
+      leg("orders->customer", Tables.orders(s, d).select(
+          col("o_custkey")),
+        col("o_custkey"),
+        Tables.customer(s, d).select(col("c_custkey")),
+        col("c_custkey")),
+      leg("lineitem->orders", Tables.lineitem(s, d).select(
+          col("l_orderkey")),
+        col("l_orderkey"),
+        Tables.orders(s, d).select(col("o_orderkey")),
+        col("o_orderkey")),
+      leg("events->customer", Tables.events(s, d).select(
+          col("user_id")),
+        col("user_id"),
+        Tables.customer(s, d).select(col("c_custkey")),
+        col("c_custkey")))
+    legs.reduce(_ unionByName _).orderBy("relationship")
+  }
+
+  private val qFkOrphansSql =
+    """SELECT 'orders->customer' AS relationship,
+      |  count(*) AS n_orphans FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |    WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem->orders', count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'events->customer', count(*) FROM events e
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |    WHERE c.c_custkey = e.user_id)
+      |ORDER BY relationship""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_zorder_skipping" -> (qZorderSkipping _),
     "q_zorder_scan" -> (qZorderScan _),
@@ -1198,6 +1334,9 @@ object AnalyticsExt {
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_skyline" -> (qSkyline _),
+    "g_bfs" -> (gBfs _),
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_fk_orphans" -> (qFkOrphans _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1228,5 +1367,8 @@ object AnalyticsExt {
     "q_incremental_agg" -> qIncrementalAggSql,
     "q_profile_drift" -> qProfileDriftSql,
     "q_skyline" -> qSkylineSql,
+    "g_bfs" -> gBfsSql,
+    "q_compaction_plan" -> qCompactionPlanSql,
+    "q_fk_orphans" -> qFkOrphansSql,
   )
 }

@@ -157,6 +157,36 @@ class ScanAuditSpec extends SparkSpec {
     assert(cols == Set("doc_id", "text"), s"scan widened to $cols")
   }
 
+  test("round-10 additions: every new query's scans stay minimal") {
+    // d_phrase_search: both corpus passes (bigram derivation +
+    // postings) read only (doc_id, text)
+    val ph = queries.TrainingData.dPhraseSearch(spark, sf0001)
+    val (phCols, _) = scanOf(ph, "documents")
+    assert(phCols == Set("doc_id", "text"), s"widened to $phCols")
+    // q_skyline: orders scan = key + the two criteria columns
+    val sk = queries.AnalyticsExt.qSkyline(spark, sf0001)
+    val (skCols, _) = scanOf(sk, "orders")
+    assert(skCols == Set("o_orderkey", "o_totalprice", "o_orderdate"),
+      s"widened to $skCols")
+    // q_incremental_agg: orders scan = key + date + measure
+    val ia = queries.AnalyticsExt.qIncrementalAgg(spark, sf0001)
+    val (iaCols, _) = scanOf(ia, "orders")
+    assert(iaCols == Set("o_custkey", "o_orderdate", "o_totalprice"),
+      s"widened to $iaCols")
+    // st_upsert_state: events scan ships exactly the 5 output
+    // columns — props is pruned
+    val up = queries.Streaming.stUpsertState(spark, sf0001)
+    val (upCols, _) = scanOf(up, "events")
+    assert(upCols == Set("user_id", "ts", "event_id", "event_type",
+      "value"), s"widened to $upCols")
+    // s_ann_filtered: label rides for partition probing; everything
+    // else pruned
+    val fa = queries.TrainingData.sAnnFiltered(spark, sf0001)
+    val (faCols, _) = scanOf(fa, "embeddings")
+    assert(faCols == Set("vec_id", "embedding", "label"),
+      s"widened to $faCols")
+  }
+
   test("s_kcenter / s_ann_mips: the embeddings scans ship only " +
       "(vec_id, embedding) — label is pruned everywhere") {
     // same un-materialized-variant rationale as m_phash_dups above

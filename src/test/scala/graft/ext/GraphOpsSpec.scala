@@ -27,6 +27,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("BFS distances: branch + cycle fixture gets exact min-hop " +
+      "labels from the smallest node; disconnected nodes are absent") {
+    // source = min node (1). Shape: 1-2-3-4 path, branch 2-10,
+    // cycle 3-11-12-1 (12 reaches 1 directly → dist(12)=1 via the
+    // cycle, NOT 3 via the path), island 50-51 (unreachable).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 10L),
+      (3L, 11L), (11L, 12L), (12L, 1L), (50L, 51L))
+      .toDF("src", "dst")
+    val got = Bfs.distances(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 12L -> 1L, 3L -> 2L,
+      10L -> 2L, 11L -> 2L, 4L -> 3L),
+      s"got $got")
+    // a long path exercises the round loop well past depth 1
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainGot = Bfs.distances(chain, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(chainGot == (0L to 15L).map(i => i -> i).toMap)
+  }
+
   test("components match brute-force closure on a random graph") {
     val rnd = new scala.util.Random(4242)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong,
