@@ -875,8 +875,15 @@ object ScaleProbe {
     if (!new java.io.File(s"$dir/documents.parquet").exists()) {
       println(s"[probe] building ${scale}x corpus at $dir")
       val tBuild = System.nanoTime()
-      buildCorpus(spark, "/root/testdata/sf0.1", dir, replicas = scale,
-        withEvents = false)
+      // 1000x builds as 10 replicas OF the 100x corpus when present —
+      // a 1000-branch union tree would spend minutes in analysis
+      // alone; the two-level composition is the same corpus shape
+      if (scale == 1000 &&
+          new java.io.File("/tmp/sf10probe/documents.parquet").exists())
+        buildCorpus(spark, "/tmp/sf10probe", dir, replicas = 10,
+          withEvents = false)
+      else buildCorpus(spark, "/root/testdata/sf0.1", dir,
+        replicas = scale, withEvents = false)
       println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs " +
         s"(${spark.read.parquet(s"$dir/documents.parquet").count()} docs)")
     } else println(s"[probe] reusing ${scale}x corpus at $dir")

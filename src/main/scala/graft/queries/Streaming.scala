@@ -186,9 +186,13 @@ object Streaming {
     * LATEST event row by (ts, event_id) — the keyed-upsert state a
     * streaming pipeline maintains for a continuously-fresh profile
     * table. The batch form is the declarative argmax: ONE struct-max
-    * hash aggregate keyed on user_id (map-side partials — no window,
-    * no sort, no row_number pass over the corpus; the (ts, event_id)
-    * prefix is unique so trailing struct fields never tie-break).
+    * aggregate keyed on user_id. The struct-typed buffer makes Spark
+    * plan it as a two-phase SortAggregate rather than a hash
+    * aggregate — but the partial (map-side) phase still combines, so
+    * the exchange carries at most one row per user per map task, and
+    * the per-partition sort keys on user_id only. No window and no
+    * row_number pass over the corpus; the (ts, event_id) prefix is
+    * unique so trailing struct fields never tie-break.
     * Stream/batch parity across micro-batch boundaries is
     * spec-verified (StatefulOpsSpec); this entry hash-verifies the
     * shared ordering rule against the oracle's row_number replay. */

@@ -3316,10 +3316,32 @@ object TrainingData {
     * two-term phrase, adjacency matches ≡ bigram occurrences), so the
     * postings posexplode + (w2, doc_id, pos) equi-join is verified
     * against independent arithmetic, not replayed. */
-  def dPhraseSearch(s: SparkSession, d: String): DataFrame = {
+  def dPhraseSearch(s: SparkSession, d: String): DataFrame =
+    phraseSearchImpl(s, d, deriveSampleMod = 1L)
+
+  /** [[dPhraseSearch]] with the phrase DERIVATION on the
+    * deterministic quarter-sample (`doc_id % 4 = 0`) while the
+    * positional search still covers the FULL corpus — the production
+    * parameterization (the [[sAnnPqSampled]] pattern): top bigrams
+    * are a corpus statistic, so a fixed-rate sample finds the same
+    * heavy phrases at scale while the derivation's bigram shuffle —
+    * the measured 1000×-probe cost center (corpus-cardinality STRING
+    * keys with no combine benefit on the replica-disjoint worst-case
+    * vocabulary) — shrinks by the sample rate. The modulus predicate
+    * is SQL-mirrorable, so the sampled derivation stays
+    * hash-verified. */
+  def dPhraseSearchSampled(s: SparkSession, d: String): DataFrame =
+    phraseSearchImpl(s, d, deriveSampleMod = 4L)
+
+  private def phraseSearchImpl(s: SparkSession, d: String,
+      deriveSampleMod: Long): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
+    val deriveSrc =
+      if (deriveSampleMod > 1L)
+        base.filter(pmod(col("doc_id"), lit(deriveSampleMod)) === 0)
+      else base
     val toks = TextStats.tokens(col("text"))
-    val bi = base.filter(size(toks) >= 2)
+    val bi = deriveSrc.filter(size(toks) >= 2)
       .select(explode(transform(
         sequence(lit(0), size(toks) - 2),
         i => struct(element_at(toks, i + 1).as("w1"),
@@ -3339,14 +3361,18 @@ object TrainingData {
     graft.ext.Retrieval.phraseSearch(base, top).orderBy("pid")
   }
 
-  private val dPhraseSearchSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+  /** Shared phrase-search oracle: `sampleWhere` restricts the
+    * DERIVATION's bigram frame (the sampled variant) while the
+    * hit-count join always runs on the full-corpus bigrams. */
+  private def dPhraseSearchSqlWith(sampleWhere: String) =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
       |  FROM documents),
       |b0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks)-1),
       |    i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS bg
       |  FROM t WHERE len(toks) >= 2),
       |bg AS (SELECT bg.w1 AS w1, bg.w2 AS w2, doc_id FROM b0),
-      |cnt AS (SELECT w1, w2, count(*) AS n_bg FROM bg GROUP BY 1, 2),
+      |cnt AS (SELECT w1, w2, count(*) AS n_bg FROM bg
+      |  $sampleWhere GROUP BY 1, 2),
       |top AS (SELECT CAST(row_number() OVER (
       |      ORDER BY n_bg DESC, w1, w2) AS BIGINT) AS pid, w1, w2
       |  FROM cnt ORDER BY n_bg DESC, w1, w2 LIMIT 5)
@@ -3355,6 +3381,10 @@ object TrainingData {
       |  CAST(count(*) AS BIGINT) AS n_hits
       |FROM top JOIN bg USING (w1, w2)
       |GROUP BY pid, w1, w2 ORDER BY pid""".stripMargin
+
+  private val dPhraseSearchSql = dPhraseSearchSqlWith("")
+  private val dPhraseSearchSampledSql =
+    dPhraseSearchSqlWith("WHERE ((doc_id % 4) + 4) % 4 = 0")
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion
     * ([[graft.ext.Retrieval.rrfFuse]], Cormack et al. 2009): each
@@ -4714,6 +4744,7 @@ object TrainingData {
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_bm25" -> (dBm25 _),
     "d_phrase_search" -> (dPhraseSearch _),
+    "d_phrase_search_sampled" -> (dPhraseSearchSampled _),
     "s_hybrid_rrf" -> (sHybridRrf _),
     "s_hybrid_rrf_ivf" -> (sHybridRrfIvf _),
     "d_dedup_recall" -> (dDedupRecall _),
@@ -4812,6 +4843,7 @@ object TrainingData {
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_bm25" -> dBm25Sql,
     "d_phrase_search" -> dPhraseSearchSql,
+    "d_phrase_search_sampled" -> dPhraseSearchSampledSql,
     "s_hybrid_rrf" -> sHybridRrfSql,
     "s_hybrid_rrf_ivf" -> sHybridRrfIvfSql,
     "d_dedup_recall" -> dDedupRecallSql,

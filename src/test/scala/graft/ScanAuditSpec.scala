@@ -158,9 +158,14 @@ class ScanAuditSpec extends SparkSpec {
   }
 
   test("round-10 additions: every new query's scans stay minimal") {
-    // d_phrase_search: both corpus passes (bigram derivation +
-    // postings) read only (doc_id, text)
-    val ph = queries.TrainingData.dPhraseSearch(spark, sf0001)
+    // d_phrase_search: the postings pass reads only (doc_id, text) —
+    // audited via the un-materialized variant (the production path
+    // caches the filtered postings and checkpoints its 5-row result,
+    // severing lineage; same rationale as phashDupPairsPlan below)
+    import spark.implicits._
+    val phFixture = Seq((1L, "alpha", "beta")).toDF("pid", "w1", "w2")
+    val ph = ext.Retrieval.phraseSearchPlan(
+      Tables.documents(spark, sf0001), phFixture)
     val (phCols, _) = scanOf(ph, "documents")
     assert(phCols == Set("doc_id", "text"), s"widened to $phCols")
     // q_skyline: orders scan = key + the two criteria columns

@@ -98,4 +98,25 @@ class RetrievalSpec extends SparkSpec {
       .toDF("qid", "doc_id", "rk")
     assert(Retrieval.rrfFuse(Seq(leg), k = 10).count() == 10L)
   }
+
+  test("phraseSearch: exact adjacency counts (overlapping occurrences " +
+      "each count), no cross-phrase bleed, and the postings cache is " +
+      "released on return") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b": pos 0 and 2 → 2 hits
+      (2L, "a b c"),       // "a b" once, "b c" once
+      (3L, "b a b"),       // "a b" once (pos 1)
+      (4L, "c c c")        // neither
+    ).toDF("doc_id", "text")
+    val phrases = Seq((1L, "a", "b"), (2L, "b", "c"))
+      .toDF("pid", "w1", "w2")
+    val got = Retrieval.phraseSearch(docs, phrases)
+      .orderBy("pid")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 3L, 4L), (2L, 1L, 1L)),
+      got.toSeq.toString)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "phraseSearch left a cached frame behind")
+  }
 }
