@@ -231,6 +231,49 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-data accounting: a row behind the watermark is DROPPED, " +
+      "shows up in numRowsDroppedByWatermark, and never mutates a " +
+      "finalized window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    import spark.implicits._
+    import StatefulOps.EventRow
+    def ev(id: Long, ts: String, uid: Long) = EventRow(id,
+      java.sql.Timestamp.valueOf(ts), uid, "view", 1.0)
+    val src = MemoryStream[EventRow]
+    val agg = src.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: two rows in hour 0 + one at 03:00 that advances the
+      // watermark to 02:50 — hour 0 finalizes (and emits) next batch
+      src.addData(ev(1, "2024-01-01 00:10:00", 1),
+        ev(2, "2024-01-01 00:20:00", 2),
+        ev(3, "2024-01-01 03:00:00", 3))
+      q.processAllAvailable()
+      // batch 2: a LATE row inside the already-closed hour 0 — the
+      // watermark contract says drop it, count it, change nothing
+      src.addData(ev(4, "2024-01-01 00:30:00", 4))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        s"late row not accounted: droppedByWatermark=$dropped")
+      val rows = spark.table("late_out")
+        .as[(java.sql.Timestamp, Long)].collect()
+      assert(rows.nonEmpty, "hour-0 window never finalized")
+      // the finalized hour-0 window holds exactly the two on-time rows
+      val hour0 = rows.minBy(_._1.getTime)
+      assert(hour0._2 == 2L,
+        s"finalized window mutated by late data: $hour0")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark state is BOUNDED: dedup keys " +
       "are evicted once the watermark passes their expiry") {
     import spark.implicits._
