@@ -686,15 +686,27 @@ object ScaleProbe {
     if (!new java.io.File(s"$dir/events.parquet").exists()) {
       val custOff = spark.read.parquet(s"$src/customer.parquet")
         .agg(max("c_custkey")).head().getLong(0) + 1
+      // the nanos upgrade is scoped to THIS read: leaving it set on
+      // the shared session would leak into every later parquet read
+      // in the same probe run (round-10 advice)
+      val prevNanos =
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$src/events.parquet")
-      val evOff = ev.agg(max("event_id")).head().getLong(0) + 1
-      (0 until rep).map(i => ev.select(
-          (col("event_id") + lit(i * evOff)).as("event_id"),
-          col("ts"), (col("user_id") + lit(i * custOff)).as("user_id"),
-          col("event_type"), col("value"), col("props")))
-        .reduce(_ unionByName _).repartition(math.min(32 * rep, 128))
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      try {
+        val ev = spark.read.parquet(s"$src/events.parquet")
+        val evOff = ev.agg(max("event_id")).head().getLong(0) + 1
+        (0 until rep).map(i => ev.select(
+            (col("event_id") + lit(i * evOff)).as("event_id"),
+            col("ts"), (col("user_id") + lit(i * custOff)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+          .reduce(_ unionByName _).repartition(math.min(32 * rep, 128))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      } finally prevNanos match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
       println(s"[probe] events replicated into the ${rep}x star")
     }
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
@@ -877,13 +889,25 @@ object ScaleProbe {
       val tBuild = System.nanoTime()
       // 1000x builds as 10 replicas OF the 100x corpus when present —
       // a 1000-branch union tree would spend minutes in analysis
-      // alone; the two-level composition is the same corpus shape
+      // alone; the two-level composition is the same corpus shape.
+      // NOTE (round-10 advice): the two paths are NOT byte-identical
+      // — replica text suffixes compose (tokx37x9 vs tokx379), so
+      // token/char statistics differ slightly and 1000x numbers are
+      // only comparable within one build path; print which path ran
+      // so the bench record carries it.
       if (scale == 1000 &&
-          new java.io.File("/tmp/sf10probe/documents.parquet").exists())
+          new java.io.File("/tmp/sf10probe/documents.parquet").exists()) {
+        println("[probe] 1000x build path: 10 replicas of the cached" +
+          " 100x corpus (composed suffixes — numbers comparable only" +
+          " within this path)")
         buildCorpus(spark, "/tmp/sf10probe", dir, replicas = 10,
           withEvents = false)
-      else buildCorpus(spark, "/root/testdata/sf0.1", dir,
-        replicas = scale, withEvents = false)
+      } else {
+        if (scale == 1000) println("[probe] 1000x build path: direct" +
+          " 1000 replicas of sf0.1 (no cached 100x corpus)")
+        buildCorpus(spark, "/root/testdata/sf0.1", dir,
+          replicas = scale, withEvents = false)
+      }
       println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs " +
         s"(${spark.read.parquet(s"$dir/documents.parquet").count()} docs)")
     } else println(s"[probe] reusing ${scale}x corpus at $dir")

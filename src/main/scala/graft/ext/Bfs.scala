@@ -39,12 +39,15 @@ object Bfs {
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
       .localCheckpoint()
+    // empty edge set: min(a) would aggregate to one (NULL, 0) row —
+    // a spurious null-node label — so short-circuit to an empty frame
     var labels = sym.agg(min(col("a")).as("node"))
       .withColumn("dist", lit(0L))
+      .filter(col("node").isNotNull)
       .localCheckpoint()
     var frontier = labels
     var iter = 0
-    var done = false
+    var done = frontier.isEmpty
     while (!done && iter < maxIter) {
       val next = frontier
         .join(sym, frontier("node") === sym("a"))
@@ -59,6 +62,13 @@ object Bfs {
         iter += 1
       }
     }
+    // reaching maxIter with a live frontier means nodes beyond
+    // maxIter hops are silently absent — indistinguishable from
+    // unreachable ones — so make the truncation observable
+    if (!done) System.err.println(
+      s"[bfs] WARNING: frontier still non-empty after maxIter=$maxIter" +
+        " rounds; distances beyond that horizon are missing" +
+        " (raise maxIter for deeper graphs)")
     labels
   }
 }

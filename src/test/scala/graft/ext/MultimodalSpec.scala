@@ -763,10 +763,21 @@ class MultimodalSpec extends SparkSpec {
   test("phashDupPairs releases its persisted fingerprint frame — the " +
       "SQL cache is empty after the call returns") {
     spark.sharedState.cacheManager.clearCache()
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val out = Multimodal.phashDupPairs(
       graft.Tables.documents(spark, sf0001), maxHamming = 6)
     out.count() // materialization already happened (localCheckpoint)
     assert(spark.sharedState.cacheManager.isEmpty,
       "phashDupPairs left a cached frame behind")
+    // localCheckpoint pins RDD blocks in executor storage until the
+    // ContextCleaner GCs the RDD reference — the SQL cacheManager
+    // check above cannot see them. The only persistent RDDs the call
+    // may add are the OUTPUT's own checkpoint blocks (pair-count-
+    // sized, still referenced via `out`); a corpus-sized fingerprint
+    // frame surviving here would show up as extra entries.
+    val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(rddsAfter - rddsBefore <= 1,
+      s"phashDupPairs pinned ${rddsAfter - rddsBefore} persistent RDDs" +
+        " — expected only the checkpointed output")
   }
 }
