@@ -169,6 +169,81 @@ object Retrieval {
       phrases: DataFrame): DataFrame =
     phraseSearchImpl(docs, phrases, materialize = false)
 
+  /** Bucket count for the persisted postings layout: wide enough that
+    * a handful of query terms prunes most of the index, small enough
+    * that every bucket directory holds file-sized partitions at the
+    * bench SFs. */
+  val PhraseIndexBuckets = 64
+
+  /** Materialize the positional postings index ONCE, partitioned by a
+    * term-hash bucket — the production phrase-search layout this
+    * operator's doc comment has always specified (and the fix for the
+    * measured 1000×-probe super-linearity of the build-per-query
+    * forms: their per-query corpus-proportional postings persist is
+    * exactly what a deployment amortizes into a stored index).
+    *
+    * Layout: (term, doc_id, pos) partitioned by
+    * `pbkt = xxhash64(term) mod nBuckets` — the [[ZOrder]]
+    * materialization pattern with a hash key instead of a range key
+    * (phrase probes are equality lookups; there is no range to
+    * cluster). Partitioning by RAW term would create an unbounded
+    * directory count at corpus vocabulary sizes; the hash bucket
+    * bounds it at `nBuckets` while keeping every probe down to
+    * |query-term buckets| directories. The frame is repartitioned ON
+    * the bucket before the write so each directory is written by one
+    * task (writeZOrdered's measured dynamic-partition-writer fix).
+    *
+    * At 100 TB this build is the one corpus-sized pass — linear scan
+    * + one bucket-keyed shuffle — run once per corpus snapshot;
+    * every subsequent phrase probe is served from partition-pruned
+    * postings and never touches text. */
+  def buildPhraseIndex(docs: DataFrame, dir: String,
+      nBuckets: Int = PhraseIndexBuckets): Unit =
+    docs.select(col("doc_id"),
+        posexplode(TextStats.tokens(col("text"))).as(Seq("pos", "term")))
+      .withColumn("pbkt",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("pbkt"))
+      .write.mode("overwrite").partitionBy("pbkt").parquet(dir)
+
+  /** Phrase probe served from a [[buildPhraseIndex]] layout (same
+    * `nBuckets`): the tiny phrase frame's term set collects
+    * driver-side (≤ 2·|phrases| rows by contract — the k-center
+    * argmax bound), its bucket ids become a PLANNING-time partition
+    * filter, and the term equality stays as the in-partition residual
+    * pushed to the parquet scan. Both adjacency legs re-read the
+    * PRUNED scan — re-reading postings bounded by query-term document
+    * frequency is cheaper than any persist, which is the whole point:
+    * the probe carries no corpus-proportional state at all (the
+    * build-per-query form's `MEMORY_AND_DISK` postings cache was the
+    * 1000×-probe memory cliff). Results are identical to
+    * [[phraseSearch]] by construction — the layout must never change
+    * results (RetrievalSpec proves equality and pins the pruning). */
+  def phraseIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, phrases: DataFrame,
+      nBuckets: Int = PhraseIndexBuckets): DataFrame = {
+    val termRows = phrases.select(col("w1").as("term"))
+      .unionByName(phrases.select(col("w2").as("term"))).distinct()
+      .withColumn("pbkt",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .collect() // bounded by the phrase-frame contract
+    val terms = termRows.map(_.getString(0)).toSeq
+    val bkts = termRows.map(_.getInt(1)).distinct.toSeq
+    val post = spark.read.parquet(dir)
+      .filter(col("pbkt").isin(bkts: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+    val leg1 = post.join(broadcast(phrases), col("term") === col("w1"))
+      .select(col("pid"), col("w1"), col("w2"), col("doc_id"),
+        col("pos"))
+    val leg2 = post.select(col("term").as("w2"),
+      col("doc_id"), (col("pos") - 1).as("pos"))
+    leg1.join(leg2, Seq("w2", "doc_id", "pos"))
+      .groupBy(col("pid"), col("w1"), col("w2"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+  }
+
   private def phraseSearchImpl(docs: DataFrame, phrases: DataFrame,
       materialize: Boolean): DataFrame = {
     val post = docs.select(col("doc_id"),

@@ -3336,6 +3336,16 @@ object TrainingData {
   private def phraseSearchImpl(s: SparkSession, d: String,
       deriveSampleMod: Long): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
+    val top = topBigrams(base, deriveSampleMod)
+    graft.ext.Retrieval.phraseSearch(base, top).orderBy("pid")
+  }
+
+  /** The 5 hottest bigrams as a (pid, w1, w2) phrase frame —
+    * derivation shared by every phrase-search physical shape
+    * (build-per-query, sampled, and the persisted-index probe, which
+    * must all answer the same question on the same phrase set). */
+  private def topBigrams(base: DataFrame,
+      deriveSampleMod: Long): DataFrame = {
     val deriveSrc =
       if (deriveSampleMod > 1L)
         base.filter(pmod(col("doc_id"), lit(deriveSampleMod)) === 0)
@@ -3350,15 +3360,46 @@ object TrainingData {
       .agg(count(lit(1)).as("n_bg"))
     // top-5 compiles to TakeOrderedAndProject (per-partition top-n);
     // the rank window then runs over 5 rows
-    val top = bi.orderBy(desc("n_bg"), asc("w1"), asc("w2")).limit(5)
+    bi.orderBy(desc("n_bg"), asc("w1"), asc("w2")).limit(5)
       .withColumn("pid", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(desc("n_bg"), asc("w1"), asc("w2"))).cast("long"))
       .select(col("pid"), col("w1"), col("w2"))
       // 5 rows; materialize so the bigram aggregate doesn't re-run
-      // for each of phraseSearch's two uses of the phrase frame
+      // for each downstream use of the phrase frame
       .localCheckpoint()
-    graft.ext.Retrieval.phraseSearch(base, top).orderBy("pid")
+  }
+
+  /** The PRODUCTION phrase-search shape ([[graft.ext.Retrieval
+    * .buildPhraseIndex]] / [[graft.ext.Retrieval.phraseIndexProbe]]):
+    * the positional postings index is materialized ONCE, partitioned
+    * by term-hash bucket, and the phrase probe is served from
+    * partition-pruned postings without touching text — the layout the
+    * build-per-query entries' doc comment specifies for 100 TB (their
+    * per-query corpus-proportional postings persist was the measured
+    * 1000×-probe memory cliff; here the probe carries no
+    * corpus-proportional state at all). Derivation is the sampled
+    * variant's (top bigrams are a corpus statistic; the quarter
+    * sample finds the same heavy phrases); the layout must never
+    * change results, so the oracle is the sampled entry's —
+    * hash-equality against it IS the correctness claim. The temp
+    * layout is reclaimed after the probe (the zorderScan treatment:
+    * repeated runs must not accumulate layouts); in production the
+    * build amortizes across every probe on the snapshot. */
+  def dPhraseIndexScan(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val top = topBigrams(base, deriveSampleMod = 4L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phraseidx").toString
+    graft.ext.Retrieval.buildPhraseIndex(base, dir)
+    val out = graft.ext.Retrieval.phraseIndexProbe(s, dir, top)
+      .orderBy("pid").localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    out
   }
 
   /** Shared phrase-search oracle: `sampleWhere` restricts the
@@ -4745,6 +4786,7 @@ object TrainingData {
     "d_bm25" -> (dBm25 _),
     "d_phrase_search" -> (dPhraseSearch _),
     "d_phrase_search_sampled" -> (dPhraseSearchSampled _),
+    "d_phrase_index_scan" -> (dPhraseIndexScan _),
     "s_hybrid_rrf" -> (sHybridRrf _),
     "s_hybrid_rrf_ivf" -> (sHybridRrfIvf _),
     "d_dedup_recall" -> (dDedupRecall _),
@@ -4844,6 +4886,9 @@ object TrainingData {
     "d_bm25" -> dBm25Sql,
     "d_phrase_search" -> dPhraseSearchSql,
     "d_phrase_search_sampled" -> dPhraseSearchSampledSql,
+    // the persisted-index probe answers the sampled entry's question
+    // from a different physical layout — same oracle by design
+    "d_phrase_index_scan" -> dPhraseSearchSampledSql,
     "s_hybrid_rrf" -> sHybridRrfSql,
     "s_hybrid_rrf_ivf" -> sHybridRrfIvfSql,
     "d_dedup_recall" -> dDedupRecallSql,

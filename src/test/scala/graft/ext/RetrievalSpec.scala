@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
@@ -118,5 +119,62 @@ class RetrievalSpec extends SparkSpec {
       got.toSeq.toString)
     assert(spark.sharedState.cacheManager.isEmpty,
       "phraseSearch left a cached frame behind")
+  }
+
+  test("phraseIndexProbe: identical results to phraseSearch from the " +
+      "persisted layout, partition-pruned scan, no storage left behind") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val toks = Seq((1L, "data", "stream"), (2L, "fast", "query"))
+      .toDF("pid", "w1", "w2")
+    val dir = java.nio.file.Files
+      .createTempDirectory("phraseidx_spec").toString
+    try {
+      spark.sharedState.cacheManager.clearCache()
+      Retrieval.buildPhraseIndex(docs, dir)
+      val allFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] = {
+          val cs = Option(f.listFiles()).toSeq.flatten
+          cs.filter(_.isFile) ++ cs.filter(_.isDirectory).flatMap(walk)
+        }
+        walk(new java.io.File(dir))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      assert(allFiles > 4, s"layout too small to prove pruning: $allFiles")
+      val probe = Retrieval.phraseIndexProbe(spark, dir, toks)
+        .orderBy("pid")
+      val got = probe.collect().toSeq
+      val want = Retrieval.phraseSearch(docs, toks)
+        .orderBy("pid").collect().toSeq
+      assert(got == want, s"layout changed results: $got vs $want")
+      // the executed probe read strictly fewer files than the layout
+      // holds (4 query terms → ≤4 of the 64 hash buckets)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(allScans)
+      }
+      val scans = allScans(probe.queryExecution.executedPlan)
+      assert(scans.nonEmpty)
+      val numFiles = scans.map(_.metrics("numFiles").value).max
+      assert(numFiles > 0 && numFiles < allFiles,
+        s"expected partition pruning: read $numFiles of $allFiles files")
+      assert(scans.exists(_.toString.contains("PartitionFilters: [")))
+      // the probe path must carry NO corpus-proportional state — that
+      // was the build-per-query form's 1000x memory cliff
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "phraseIndexProbe cached a frame — the probe must be stateless")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 }
