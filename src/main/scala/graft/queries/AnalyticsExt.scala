@@ -1148,6 +1148,25 @@ object AnalyticsExt {
        |  round(${sqlSumDec("o_totalprice")} / count(*), 6) AS avg_spend
        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin
 
+  /** The PRODUCTION MV-refresh path ([[graft.ext.MvRefresh]]):
+    * stored-MV parquet scan + ONE partition-pruned month of the
+    * date-partitioned fact layout, merged in one MV-keyed hash
+    * aggregate — nothing rescans history (where `q_incremental_agg`
+    * verifies the merge algebra, this entry EXECUTES the refresh
+    * plan; ScanAuditSpec pins the pruned scan). Oracle stays the full
+    * recompute over the post-refresh horizon: identical output is
+    * the no-drift claim of incremental maintenance. */
+  def qIncrementalRefresh(s: SparkSession, d: String): DataFrame =
+    graft.ext.MvRefresh.refreshEntry(s, Tables.orders(s, d))
+
+  private val qIncrementalRefreshSql =
+    s"""SELECT o_custkey, count(*) AS n_orders,
+       |  ${sqlSumDec("o_totalprice")} AS total_spend,
+       |  round(${sqlSumDec("o_totalprice")} / count(*), 6) AS avg_spend
+       |FROM orders
+       |WHERE o_orderdate < TIMESTAMP '${graft.ext.MvRefresh.NewCutoff}'
+       |GROUP BY 1 ORDER BY o_custkey""".stripMargin
+
   /** Snapshot column-profile drift report — the data-quality gate a
     * production pipeline runs before promoting a new snapshot: per
     * column, row count, null rate, exact distinct count, and min/max
@@ -1410,6 +1429,7 @@ object AnalyticsExt {
     "q_setops" -> (qSetOps _),
     "q_corr_stats" -> (qCorrStats _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_incremental_refresh" -> (qIncrementalRefresh _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_skyline" -> (qSkyline _),
     "g_bfs" -> (gBfs _),
@@ -1444,6 +1464,7 @@ object AnalyticsExt {
     "q_setops" -> qSetOpsSql,
     "q_corr_stats" -> qCorrStatsSql,
     "q_incremental_agg" -> qIncrementalAggSql,
+    "q_incremental_refresh" -> qIncrementalRefreshSql,
     "q_profile_drift" -> qProfileDriftSql,
     "q_skyline" -> qSkylineSql,
     "g_bfs" -> gBfsSql,

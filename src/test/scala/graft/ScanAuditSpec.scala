@@ -205,4 +205,88 @@ class ScanAuditSpec extends SparkSpec {
     assert(mCols == Set("vec_id", "embedding"),
       s"s_ann_mips scan widened to $mCols")
   }
+
+  test("q_incremental_refresh: the executed refresh scans the stored " +
+      "MV plus exactly one pruned month partition — never history") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("mv_spec").toString
+    val factDir = java.nio.file.Files
+      .createTempDirectory("mvfact_spec").toString
+    try {
+      val orders = Tables.orders(spark, sf0001)
+      ext.MvRefresh.buildStore(orders, mvDir, factDir)
+      def parquetFiles(dir: String): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] = {
+          val cs = Option(f.listFiles()).toSeq.flatten
+          cs.filter(_.isFile) ++ cs.filter(_.isDirectory).flatMap(walk)
+        }
+        walk(new java.io.File(dir))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      val factFiles = parquetFiles(factDir)
+      assert(factFiles > 12,
+        s"fact layout too small to prove pruning: $factFiles")
+      val refreshed = ext.MvRefresh.refresh(spark, mvDir, factDir)
+        .orderBy("o_custkey")
+      val got = refreshed.collect().toSeq
+      // refresh result == full recompute over the post-refresh horizon
+      val want = orders
+        .filter(col("o_orderdate") <
+          lit(ext.MvRefresh.NewCutoff).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("_spend"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("_spend").cast("double").as("total_spend"),
+          round(col("_spend").cast("double") / col("n_orders"), 6)
+            .as("avg_spend"))
+        .orderBy("o_custkey")
+        .collect().toSeq
+      assert(got == want, s"refresh drift: ${got.take(3)} vs" +
+        s" ${want.take(3)} (${got.size}/${want.size} rows)")
+      // the executed fact scan touched one month directory, not the
+      // whole history (numFiles strictly below the layout total and
+      // bounded by the files of a single partition directory)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(allScans)
+      }
+      val execScans = allScans(refreshed.queryExecution.executedPlan)
+      val factScan = execScans.filter(
+        _.relation.location.rootPaths.exists(
+          _.toString.contains("mvfact")))
+      assert(factScan.nonEmpty, "no fact scan in the refresh plan")
+      val factRead = factScan.map(_.metrics("numFiles").value).max
+      val oneMonth = parquetFiles(
+        factDir + "/o_month=" + ext.MvRefresh.DeltaMonth)
+      assert(factRead > 0 && factRead <= oneMonth &&
+        factRead < factFiles,
+        s"expected one pruned month: read $factRead files" +
+          s" (month dir holds $oneMonth, layout $factFiles)")
+      assert(factScan.exists(
+        _.toString.contains("PartitionFilters: [")))
+      // column pruning: the fact scan must not ship o_orderdate (the
+      // month key replaced it) and the MV scan ships only its state
+      val factCols = factScan.map(_.requiredSchema.fieldNames.toSet)
+        .maxBy(_.size)
+      assert(factCols == Set("o_custkey", "o_totalprice"),
+        s"fact scan widened to $factCols")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(mvDir))
+      rm(new java.io.File(factDir))
+    }
+  }
 }
