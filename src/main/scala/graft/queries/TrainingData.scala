@@ -2813,6 +2813,14 @@ object TrainingData {
       .withColumn("keep", col("score_milli") > 0)
       .orderBy("doc_id")
 
+  /** Exact integer milli-unit score of a hashed token array — THE
+    * definition of the hashing-trick classifier, shared by every
+    * consumer so the weight expression can never drift. */
+  private def lrWeightSum(hs: Column): Column =
+    aggregate(transform(hs, h =>
+      (h % 256L) * 2654435761L % 2147483647L % 2001L - 1000L),
+      lit(0L), (a, x) => a + x)
+
   /** (doc_id, n_tok, score_milli) of the hashing-trick scorer — the
     * shared body of [[dQualityLr]] and the cluster-resolution quality
     * key of [[dDedupKeepBest]]. */
@@ -2820,11 +2828,8 @@ object TrainingData {
     val base = dd
       .withColumn("_hs", graft.functions.ArrayOps.array_poly_hash(
         TextStats.tokens(col("text"))))
-    val ws = transform(col("_hs"), h =>
-      (h % 256L) * 2654435761L % 2147483647L % 2001L - 1000L)
-    val n = size(col("_hs"))
-    base.select(col("doc_id"), n.cast("long").as("n_tok"),
-      aggregate(ws, lit(0L), (a, x) => a + x).as("score_milli"))
+    base.select(col("doc_id"), size(col("_hs")).cast("long").as("n_tok"),
+      lrWeightSum(col("_hs")).as("score_milli"))
   }
 
   /** Oracle CTE chain of [[lrScoreMilli]] (`t`, `w`) — ONE SQL
@@ -2844,6 +2849,91 @@ object TrainingData {
        |SELECT doc_id, n_tok, score_milli,
        |  score_milli > 0 AS keep
        |FROM w ORDER BY doc_id""".stripMargin
+
+  /** Reliability (calibration) bins for the [[dQualityLr]] scorer —
+    * the table a curation pass needs BEFORE thresholding on a
+    * classifier score: per score decile, how often the "high quality"
+    * outcome actually occurs. A well-calibrated scorer shows a
+    * monotone observed rate across bins; a flat or jagged table says
+    * the score ranks but its magnitude means nothing (threshold by
+    * rank, not value). The observed label is a deterministic,
+    * score-independent quality proxy: type-token ratio ≥ 1/2
+    * (2·|distinct tokens| ≥ |tokens| — repetitious docs fail), so
+    * both columns are reproducible engine-side and oracle-side.
+    *
+    * Deciles are NOT a global per-doc sort (single-task at corpus
+    * scale): the [[dCcnetBuckets]] histogram-cutoff construction —
+    * exact integer scores aggregate to a (score, count) histogram
+    * bounded by DISTINCT scores, a cumulative count over that
+    * histogram yields the nine cutoffs (c_k = smallest score with
+    * cum·10 ≥ k·n), the tiny cutoff frame broadcasts back, and a
+    * doc's bin is the smallest k with score ≤ c_k (ties share a bin
+    * by construction — deterministic, engine-identical). Per-bin
+    * stats are exact BIGINT sums; the two rates do one rounded
+    * double division each. At 100 TB the histogram bound is the
+    * lever: quantize the score coarser if distinct values grow. */
+  def dQualityCalibration(s: SparkSession, d: String): DataFrame =
+    qualityCalibration(docs(s, d))
+
+  private[queries] def qualityCalibration(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = TextStats.tokens(col("text"))
+    val base = dd.select(col("doc_id"),
+      lrWeightSum(graft.functions.ArrayOps.array_poly_hash(toksCol))
+        .as("score_milli"),
+      (size(array_distinct(toksCol)) * 2 >= size(toksCol)).as("label"))
+    val hist = base.groupBy(col("score_milli"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("score_milli"))))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .select(col("score_milli"), col("cum"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .filter(col("cum") * 10 >= col("n") * col("k"))
+      .groupBy(col("k")).agg(min(col("score_milli")).as("cut"))
+    val binned = base
+      .join(broadcast(cuts), col("score_milli") <= col("cut"), "left")
+      .groupBy(col("doc_id"), col("score_milli"), col("label"))
+      .agg(coalesce(min(col("k")), lit(10)).cast("long").as("bin"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score_milli")).as("_sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6)
+          .as("obs_pos_rate"),
+        round(col("_sum_score").cast("double") / col("n"), 6)
+          .as("avg_score_milli"))
+      .orderBy("bin")
+  }
+
+  private val dQualityCalibrationSql =
+    s"""WITH $lrScoreCtes,
+       |b AS (SELECT doc_id, score_milli,
+       |    len(list_distinct(toks)) * 2 >= len(toks) AS label
+       |  FROM t JOIN w USING (doc_id)),
+       |h AS (SELECT score_milli, count(*) AS c FROM b GROUP BY 1),
+       |cum AS (SELECT score_milli, c,
+       |    CAST(sum(c) OVER (ORDER BY score_milli) AS BIGINT) AS cum
+       |  FROM h),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+       |cuts AS (SELECT k, min(score_milli) AS cut
+       |  FROM cum CROSS JOIN n
+       |  CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+       |  WHERE cum * 10 >= n * k GROUP BY k),
+       |bn AS (SELECT b.doc_id, b.score_milli, b.label,
+       |    CAST(coalesce(min(c.k), 10) AS BIGINT) AS bin
+       |  FROM b LEFT JOIN cuts c ON b.score_milli <= c.cut
+       |  GROUP BY 1, 2, 3)
+       |SELECT bin, count(*) AS n,
+       |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pos,
+       |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS obs_pos_rate,
+       |  round(CAST(sum(score_milli) AS DOUBLE) / count(*), 6)
+       |    AS avg_score_milli
+       |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Repetition breaking: the longest run of consecutively repeated
     * tokens per document (the "aaaa…" / looped-generation failure mode
@@ -4827,6 +4917,7 @@ object TrainingData {
     "d_mad_filter" -> (dMadFilter _),
     "d_filter_stack" -> (dFilterStack _),
     "d_quality_lr" -> (dQualityLr _),
+    "d_quality_calibration" -> (dQualityCalibration _),
     "d_repetition_break" -> (dRepetitionBreak _),
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_priority_sample" -> (dPrioritySample _),
@@ -4909,6 +5000,7 @@ object TrainingData {
     "d_mad_filter" -> dMadFilterSql,
     "d_filter_stack" -> dFilterStackSql,
     "d_quality_lr" -> dQualityLrSql,
+    "d_quality_calibration" -> dQualityCalibrationSql,
     "d_repetition_break" -> dRepetitionBreakSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_priority_sample" -> dPrioritySampleSql,

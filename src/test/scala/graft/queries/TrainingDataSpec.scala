@@ -748,6 +748,48 @@ class TrainingDataSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("d_quality_calibration: monotone observed rate on a planted " +
+      "signal, exact bin accounting") {
+    // token weights replicate the operator's committed formula so the
+    // fixture can plant sign-separated scores independently
+    val cand = (0 until 200).map(i => s"tok$i")
+    val weights = cand.toDF("tok")
+      .select(col("tok"), element_at(
+        graft.functions.ArrayOps.array_poly_hash(array(col("tok"))), 1)
+        .as("h"))
+      .select(col("tok"),
+        ((col("h") % 256L) * 2654435761L % 2147483647L % 2001L - 1000L)
+          .as("w"))
+      .as[(String, Long)].collect().toMap
+    val pos = cand.filter(t => weights(t) > 0).take(25)
+    val neg = cand.filter(t => weights(t) < 0).head
+    assert(pos.size == 25, "fixture needs 25 positive-weight tokens")
+    // 20 low docs: one negative token repeated (label false, score<0,
+    // graded by length); 20 high docs: distinct positive tokens
+    // (label true, score>0, graded by count)
+    // repeats start at 3: a 2-token doc sits ON the TTR boundary
+    // (2·1 ≥ 2) and would be labeled positive
+    val low = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(i + 3)(neg).mkString(" ")))
+    val high = (0 until 20).map(i =>
+      (100L + i, pos.take(i + 5).mkString(" ")))
+    val docs = (low ++ high).toDF("doc_id", "text")
+    val bins = TrainingData.qualityCalibration(docs)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "obs_pos_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(bins.map(_._2).sum == 40L, s"bin counts must cover all docs: $bins")
+    assert(bins.map(_._3).sum == 20L, s"positives must total 20: $bins")
+    // planted signal: score orders the two families, so the observed
+    // rate must be non-decreasing across bins (the calibration claim)
+    val rates = bins.map(_._4)
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      s"observed rate not monotone: $bins")
+    // the low family fills the low bins at rate 0, the high family
+    // the top bins at rate 1
+    assert(rates.head == 0.0 && rates.last == 1.0, bins.toString)
+  }
+
   test("hybrid RRF: swapping the dense leg brute -> IVF perturbs, " +
       "not replaces, the fused ranking; both variants emit full " +
       "per-query result sets") {
