@@ -1033,14 +1033,26 @@ object Similarity {
   def pqTopKBalanced(embeddings: DataFrame, queryIds: DataFrame,
       k: Int, m: Int, kSub: Int, iters: Int, dim: Int = 64)
       : DataFrame = {
+    val permuted = variancePermuted(embeddings, m, dim,
+      keep = Seq("vec_id"))
+    pqTopK(permuted, queryIds, k, m, kSub, iters, dim)
+  }
+
+  /** The variance-balancing permutation applied as a plan-literal
+    * projection — ONE definition shared by the balanced PQ and the
+    * residual×balanced composition. Per-dim variance via exact
+    * decimal sums: both engines compute (s2 − s1²/n)/n on identical
+    * doubles, rounded before ranking so a 1-ulp divergence can never
+    * flip the permutation; rank r deals to subspace r % m, slot
+    * r / m. `keep` lists the id columns carried through (the IVF
+    * variants need `label` next to `vec_id`). */
+  private def variancePermuted(embeddings: DataFrame, m: Int,
+      dim: Int, keep: Seq[String]): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
     val subDim = dim / m
     val base = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
-    // per-dim variance via exact decimal sums: both engines compute
-    // (s2 − s1²/n)/n on identical doubles, rounded before ranking so
-    // a 1-ulp divergence can never flip the permutation
     val varRows = base
       .select(posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy(col("dim"))
@@ -1053,18 +1065,36 @@ object Similarity {
       .collect()
     val ranked = varRows.map(r => (r.getInt(0), r.getDouble(1)))
       .sortBy { case (d, v) => (-v, d) }
-    // perm(newPos) = source dim: rank r deals to subspace r % m,
-    // slot r / m — round-robin by variance rank
+    // perm(newPos) = source dim
     val perm = new Array[Int](dim)
     ranked.zipWithIndex.foreach { case ((d, _), r) =>
       perm((r % m) * subDim + (r / m)) = d
     }
-    val permuted = embeddings
+    embeddings
       .filter(col("embedding").isNotNull)
-      .select(col("vec_id"), array(
+      .select(keep.map(col) :+ array(
         perm.toIndexedSeq.map(d =>
-          element_at(col("embedding"), d + 1)): _*).as("embedding"))
-    pqTopK(permuted, queryIds, k, m, kSub, iters, dim)
+          element_at(col("embedding"), d + 1)): _*).as("embedding"): _*)
+  }
+
+  /** Residual IVF-PQ over the variance-balanced subspace layout —
+    * the two orthogonal quantization-error levers composed (OPQ-style
+    * allocation fixes WHICH dimensions share a codebook; residual
+    * encoding fixes WHAT the codebook must represent). The
+    * permutation is applied first as a plan-literal projection (the
+    * true inner product is permutation-invariant, so coarse probing
+    * and ground truth are unchanged up to summation order), then the
+    * unmodified [[ivfTopKPqResidual]] machinery runs on the permuted
+    * corpus — the composition inherits both parents' scale shape and
+    * both parents' oracle fragments (SimilaritySpec pins recall ≥
+    * each parent on the fixtures where each lever matters). */
+  def ivfTopKPqResidualBalanced(embeddings: DataFrame,
+      queryIds: DataFrame, k: Int, nprobe: Int, m: Int, kSub: Int,
+      iters: Int, dim: Int = 64): DataFrame = {
+    val permuted = variancePermuted(embeddings, m, dim,
+      keep = Seq("vec_id", "label"))
+    ivfTopKPqResidual(permuted, queryIds, k, nprobe, m, kSub, iters,
+      dim)
   }
 
   /** IVF × PQ — the canonical production ANN composition (IVF-PQ,

@@ -1904,10 +1904,13 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
-  private val sAnnIvfPqResSql =
-    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |dims AS (SELECT label, i,
+  /** Everything downstream of the (vec_id, label, emb) `base` CTE in
+    * the residual IVF-PQ oracle — shared verbatim by the raw-layout
+    * entry and the variance-balanced composition (whose only
+    * difference is the permuted `base`), so the two residual fits can
+    * never drift. */
+  private def ivfPqResBodySql =
+    s"""dims AS (SELECT label, i,
        |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
        |      / count(*) AS cv
        |  FROM base CROSS JOIN range(1, 65) t(i)
@@ -1947,6 +1950,53 @@ object TrainingData {
        |  FROM scored)
        |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val sAnnIvfPqResSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |$ivfPqResBodySql""".stripMargin
+
+  /** Residual IVF-PQ × variance-balanced allocation
+    * ([[Similarity.ivfTopKPqResidualBalanced]]): the two orthogonal
+    * quantization-error levers composed — the balanced permutation
+    * decides WHICH dimensions share a codebook, residual encoding
+    * decides WHAT the codebook must represent. The oracle derives
+    * the identical permutation in SQL (the `s_ann_pq_balanced`
+    * fragments, label carried through) and feeds the permuted base
+    * into the SHARED residual body ([[ivfPqResBodySql]]), so
+    * permutation + coarse fit + residuals + all 16 subspace fits +
+    * ADC verify end to end; SimilaritySpec pins recall ≥ each parent
+    * on the fixture where each lever matters. */
+  def sAnnIvfPqResBal(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKPqResidualBalanced(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3, m = 16, kSub = 32, iters = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnIvfPqResBalSql =
+    s"""WITH rawb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |vstat AS (SELECT i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(emb[i] * emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      AS s2,
+       |    count(*) AS n
+       |  FROM rawb CROSS JOIN range(1, 65) t(i) GROUP BY i),
+       |vr AS (SELECT i, round((s2 - s1 * s1 / n) / n, 6) AS variance
+       |  FROM vstat),
+       |-- rank r (0-based) deals dim to subspace r % 16, slot r // 16
+       |rk AS (SELECT i AS olddim, CAST(row_number() OVER (
+       |      ORDER BY variance DESC, i) - 1 AS INT) AS r FROM vr),
+       |dm AS (SELECT (r % 16) * 4 + (r // 16) AS newpos, olddim
+       |  FROM rk),
+       |pm AS (SELECT list(olddim ORDER BY newpos) AS pm FROM dm),
+       |base AS (SELECT vec_id, label,
+       |    list_transform(range(1, 65), p -> emb[pm[p]]) AS emb
+       |  FROM rawb CROSS JOIN pm),
+       |$ivfPqResBodySql""".stripMargin
 
   /** ANN quality evaluation: recall@k of the LSH path against the
     * brute-force ground truth — the number that decides whether an
@@ -4906,6 +4956,7 @@ object TrainingData {
     "s_ann_pq_balanced" -> (sAnnPqBalanced _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
     "s_ann_ivf_pq_res" -> (sAnnIvfPqRes _),
+    "s_ann_ivf_pq_resbal" -> (sAnnIvfPqResBal _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_decontaminate" -> (dEmbedDecontaminate _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
@@ -5054,6 +5105,7 @@ object TrainingData {
     "s_ann_pq_balanced" -> sAnnPqBalancedSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,
     "s_ann_ivf_pq_res" -> sAnnIvfPqResSql,
+    "s_ann_ivf_pq_resbal" -> sAnnIvfPqResBalSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "d_embed_dups_auto" -> dEmbedDupsAutoSql,
     "d_embed_decontaminate" -> dEmbedDecontaminateSql,

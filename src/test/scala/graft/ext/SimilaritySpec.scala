@@ -598,6 +598,56 @@ class SimilaritySpec extends SparkSpec {
       s"residual recall $resC collapsed vs non-residual $nonresC")
   }
 
+  test("residual x balanced composition: recall >= each parent on " +
+      "the clustered fixture, no collapse on the uniform corpus") {
+    // the residual test's 4-blob fixture — the lever where BOTH
+    // parents bind: kSub=2 starves raw codebooks (residual lever) and
+    // contiguous slicing stacks all four blob dims into subspace 0
+    // (allocation lever: balancing deals them 2/2)
+    def v(b: Int, j: Double): Seq[Float] =
+      (0 until 8).map(i => (if (i == b) 10.0 else 0.0) +
+        (if (i == (b + 4) % 8) j else 0.0)).map(_.toFloat)
+    val vecs = (0 until 24).map(i =>
+      (i.toLong, (i % 4).toLong, v(i % 4, 0.02 * (i / 4 + 1))))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val qids = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
+    val truth = Similarity.bruteForceTopK(df, qids, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    def recallOf(r: org.apache.spark.sql.DataFrame): Double =
+      r.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(truth.contains).toDouble / truth.size
+    val nonres = recallOf(Similarity.ivfTopKPq(df, qids, 3,
+      nprobe = 2, m = 2, kSub = 2, iters = 2, dim = 8))
+    val res = recallOf(Similarity.ivfTopKPqResidual(df, qids, 3,
+      nprobe = 2, m = 2, kSub = 2, iters = 2, dim = 8))
+    val resbal = recallOf(Similarity.ivfTopKPqResidualBalanced(df,
+      qids, 3, nprobe = 2, m = 2, kSub = 2, iters = 2, dim = 8))
+    assert(resbal >= res,
+      s"composition $resbal < residual parent $res")
+    assert(resbal >= nonres,
+      s"composition $resbal < non-residual $nonres")
+
+    // uniform corpus: near-equal variances make the permutation
+    // arbitrary-but-valid; the composition must stay in the residual
+    // variant's band (no collapse)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val truthC = Similarity.bruteForceTopK(emb, q16, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    def recallC(r: org.apache.spark.sql.DataFrame): Double =
+      r.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(truthC.contains).toDouble / truthC.size
+    val resC = recallC(Similarity.ivfTopKPqResidual(emb, q16, 5,
+      nprobe = 3, m = 16, kSub = 32, iters = 2))
+    val resbalC = recallC(Similarity.ivfTopKPqResidualBalanced(emb,
+      q16, 5, nprobe = 3, m = 16, kSub = 32, iters = 2))
+    assert(resbalC >= resC - 0.1,
+      s"composition recall $resbalC collapsed vs residual $resC")
+  }
+
   test("variance-balanced PQ beats contiguous slicing on anisotropic " +
       "data and stays within noise on the uniform corpus") {
     // Anisotropic fixture: ALL identity signal lives in dims 0 (a ∈
