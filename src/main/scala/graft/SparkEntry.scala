@@ -31,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ AnalyticsExt.oracle ++
       Relational.oracle ++ Parity.oracle ++
-      TrainingData.oracle ++ Streaming.oracle
+      TrainingData.oracle ++ Streaming.oracle ++
+      TrainingData.dynamicOracle // plan-literal SQL, built at dump time
 }

@@ -1718,10 +1718,13 @@ object TrainingData {
       s" AS pdot FROM q CROSS JOIN c${s}2")
     .mkString("\n  UNION ALL ")
 
-  private val sAnnPqSql =
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |$pqFitsSql,
+  /** Everything downstream of the (vec_id, emb) `base` CTE in the
+    * exhaustive-ADC PQ oracle — ONE definition shared by the raw,
+    * sampled-fit, balanced-permutation and OPQ-rotation entries
+    * (whose only difference is how `base` is derived and which fit
+    * fragments run), so the four ADC chains can never drift. */
+  private def pqAdcBodySql(fits: String): String =
+    s"""$fits,
        |$qidsSql,
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
@@ -1737,6 +1740,11 @@ object TrainingData {
        |  FROM scored)
        |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val sAnnPqSql =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |${pqAdcBodySql(pqFitsSql)}""".stripMargin
 
   /** PQ with the SAMPLED codebook fit ([[Similarity.pqTopK]] at
     * `fitSampleMod = 4`): quantizers trained on the deterministic
@@ -1756,22 +1764,7 @@ object TrainingData {
   private val sAnnPqSampledSql =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |${pqFitsSqlWith(Some(4))},
-       |$qidsSql,
-       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
-       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
-       |codes AS ($pqCodesUnionSql),
-       |lut AS ($pqLutUnionSql),
-       |scored AS (SELECT query_id, k.vec_id AS neighbor_id,
-       |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
-       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
-       |  WHERE k.vec_id <> l.query_id
-       |  GROUP BY query_id, k.vec_id),
-       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |${pqAdcBodySql(pqFitsSqlWith(Some(4)))}""".stripMargin
 
   /** Variance-balanced PQ ([[Similarity.pqTopKBalanced]]): dims
     * ranked by exact-decimal variance and dealt round-robin across
@@ -1813,22 +1806,89 @@ object TrainingData {
        |base AS (SELECT vec_id,
        |    list_transform(range(1, 65), p -> emb[pm[p]]) AS emb
        |  FROM rawb CROSS JOIN pm),
-       |$pqFitsSql,
-       |$qidsSql,
-       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
-       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
-       |codes AS ($pqCodesUnionSql),
-       |lut AS ($pqLutUnionSql),
-       |scored AS (SELECT query_id, k.vec_id AS neighbor_id,
-       |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
-       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
-       |  WHERE k.vec_id <> l.query_id
-       |  GROUP BY query_id, k.vec_id),
-       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |${pqAdcBodySql(pqFitsSql)}""".stripMargin
+
+  /** The exact integer-micro covariance matrix of the embedding
+    * corpus — [[graft.ext.Pca.covMeans]]' fused-kernel aggregate
+    * surfaced as its own hash-verified entry. This is the
+    * verification anchor for every LOCAL eigensolve built on it
+    * (power iteration, Hotelling deflation, and the OPQ Jacobi
+    * rotation of [[sAnnPqOpq]]): DuckDB independently reproduces the
+    * 4096 BIGINT cells, and the rotation is a pure deterministic
+    * function of exactly these integers (PcaSpec pins the function's
+    * invariants), so the chain covariance → rotation → rotated-ADC
+    * is verified end to end even though no SQL engine can replay a
+    * Jacobi sweep. One corpus pass; the shuffle is matrix-sized. */
+  def dEmbedCov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, c) = graft.ext.Pca.covMeans(embs(s, d), 64)
+    (for (i <- 0 until 64; j <- 0 until 64)
+      yield (i.toLong, j.toLong, c(i)(j)))
+      .toDF("i", "j", "ci").orderBy("i", "j")
+  }
+
+  /** PQ over the TRAINED OPQ rotation ([[graft.ext.Pca.opqRotation]]
+    * — Ge et al. 2013's parametric form: full Jacobi eigenbasis +
+    * greedy eigenvalue allocation across the 16 subspaces). The
+    * rotation is derived from the SAME covariance integers the
+    * hash-verified [[dEmbedCov]] entry dumps, applied as a
+    * plan-literal 64×64 projection (left-fold sums — identical IEEE
+    * order in both engines), and everything downstream is the
+    * unmodified [[Similarity.pqTopK]] machinery. Verification chain:
+    * the covariance is hash-verified by `d_embed_cov`; the rotation
+    * is a pure deterministic local function of it (orthogonality,
+    * eigen-residuals and allocation pinned in PcaSpec); the oracle
+    * embeds the derived rotation as literals (the
+    * hyperplane-literal pattern of `s_ann_lsh`) and replays
+    * rotation-application + fit + codes + ADC in full — dumped AFTER
+    * the query runs (Verify's contract), via [[dynamicOracle]]. */
+  def sAnnPqOpq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val (_, c) = graft.ext.Pca.covMeans(e, 64)
+    val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
+    opqRotationUsed.set(rot)
+    val rotated = graft.ext.Pca.applyRotation(e, rot)
+    Similarity.pqTopK(rotated,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, m = PqM, kSub = PqKSub, iters = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val opqRotationUsed =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
+  /** [[sAnnPqOpq]]'s oracle, built at DUMP time from the rotation the
+    * query actually derived (Verify runs every query before dumping
+    * oracle_sql.json, so the driver's correctness gate always sees
+    * the real literals; a restricted dev dump that skipped the query
+    * gets a marker statement instead). The rotated base reproduces
+    * the plan's left-fold double sums term by term; the rest is the
+    * shared ADC body. */
+  private def sAnnPqOpqSqlNow: String =
+    Option(opqRotationUsed.get) match {
+      case None =>
+        "SELECT 'run s_ann_pq_opq before dumping its oracle' AS err"
+      case Some(rot) =>
+        val rows = (0 until 64).map { i =>
+          (0 until 64).map(j => s"(${rot(i)(j)}) * emb[${j + 1}]")
+            .mkString(" + ")
+        }.mkString(",\n      ")
+        s"""WITH rawb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |base AS (SELECT vec_id, list_value(
+           |      $rows) AS emb
+           |  FROM rawb),
+           |${pqAdcBodySql(pqFitsSql)}""".stripMargin
+    }
+
+  /** Oracle statements that depend on state a query derives at run
+    * time (plan-literal rotations). [[graft.SparkEntry.oracleSql]]
+    * splices these in at dump time. */
+  def dynamicOracle: Map[String, String] =
+    Map("s_ann_pq_opq" -> sAnnPqOpqSqlNow)
+
+  private val dEmbedCovSql = graft.ext.Pca.covSql(64)
 
   /** IVF × PQ ([[Similarity.ivfTopKPq]]) — the canonical production
     * composition (what FAISS-class systems deploy): per-label coarse
@@ -4954,6 +5014,8 @@ object TrainingData {
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_sampled" -> (sAnnPqSampled _),
     "s_ann_pq_balanced" -> (sAnnPqBalanced _),
+    "s_ann_pq_opq" -> (sAnnPqOpq _),
+    "d_embed_cov" -> (dEmbedCov _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
     "s_ann_ivf_pq_res" -> (sAnnIvfPqRes _),
     "s_ann_ivf_pq_resbal" -> (sAnnIvfPqResBal _),
@@ -5103,6 +5165,9 @@ object TrainingData {
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_sampled" -> sAnnPqSampledSql,
     "s_ann_pq_balanced" -> sAnnPqBalancedSql,
+    // s_ann_pq_opq's oracle lives in dynamicOracle (plan-literal
+    // rotation, built at dump time)
+    "d_embed_cov" -> dEmbedCovSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,
     "s_ann_ivf_pq_res" -> sAnnIvfPqResSql,
     "s_ann_ivf_pq_resbal" -> sAnnIvfPqResBalSql,

@@ -96,6 +96,67 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("jacobiEigenAll: exact known eigenpairs, orthogonal V, " +
+      "C·v = λ·v, and bitwise determinism") {
+    val M = 1000000L
+    // block matrix [[2,1],[1,2]] ⊕ diag(5,1): eigenvalues {3,1,5,1},
+    // eigenvectors (1,1)/√2, (1,-1)/√2, e2, e3
+    val c = Array(
+      Array(2 * M, 1 * M, 0L, 0L),
+      Array(1 * M, 2 * M, 0L, 0L),
+      Array(0L, 0L, 5 * M, 0L),
+      Array(0L, 0L, 0L, 1 * M))
+    val (vecs, vals) = Pca.jacobiEigenAll(c, 4)
+    assert(vals.sorted.zip(Seq(1.0, 1.0, 3.0, 5.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 }, vals.toSeq.toString)
+    // orthonormality: VᵀV = I to rounding error
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 4).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-12, s"V not orthogonal at ($a,$b): $dot")
+    }
+    // eigen-residual: C·v = λ·v
+    for (k <- 0 until 4; i <- 0 until 4) {
+      val cv = (0 until 4).map(j => c(i)(j).toDouble / M * vecs(k)(j)).sum
+      assert(math.abs(cv - vals(k) * vecs(k)(i)) < 1e-9,
+        s"residual at k=$k i=$i")
+    }
+    // pure function of the integers: a second call is bit-identical
+    val (vecs2, vals2) = Pca.jacobiEigenAll(c, 4)
+    assert(vecs.flatten.toSeq == vecs2.flatten.toSeq &&
+      vals.toSeq == vals2.toSeq, "Jacobi must be deterministic")
+  }
+
+  test("opqRotation: near-orthonormal rows, balanced eigenvalue " +
+      "allocation across subspaces") {
+    val M = 1000000L
+    // diag(16, 9, 4, 1): eigenvalues known and well separated
+    val c = Array.tabulate(4, 4)((i, j) =>
+      if (i == j) Seq(16L, 9L, 4L, 1L)(i) * M else 0L)
+    val rot = Pca.opqRotation(c, 4, m = 2)
+    assert(rot.length == 4 && rot.forall(_.length == 4))
+    // rows are unit and mutually orthogonal to the 6-decimal rounding
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 4).map(i => rot(a)(i) * rot(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4,
+        s"rotation rows not orthonormal at ($a,$b): $dot")
+    }
+    // greedy product balancing: λ=16 and λ=9 (the two largest) must
+    // land in DIFFERENT subspaces — subspace 0 gets {16, 1} (log
+    // product 2.77), subspace 1 gets {9, 4} (3.58); stacking 16·9 in
+    // one subspace (4.97 vs 1.39) is exactly what allocation avoids
+    def subspaceOfEig(e: Int): Int = {
+      val row = (0 until 4).maxBy(r => math.abs(rot(r)(e)))
+      row / 2
+    }
+    assert(subspaceOfEig(0) != subspaceOfEig(1),
+      "the two largest eigendirections must split across subspaces")
+    assert(subspaceOfEig(0) == subspaceOfEig(3) &&
+      subspaceOfEig(1) == subspaceOfEig(2),
+      "greedy allocation must pair 16 with 1 and 9 with 4")
+  }
+
   test("real corpus: Rayleigh residual is small (C·v ≈ λ·v) and evr " +
       "is a valid share") {
     val e = graft.Tables.embeddings(spark, sf0001)

@@ -690,6 +690,19 @@ class SimilaritySpec extends SparkSpec {
         "anisotropic data")
     assert(balanced >= 0.9, s"balanced recall degraded: $balanced")
 
+    // the TRAINED OPQ rotation (full Jacobi eigenbasis + eigenvalue
+    // allocation — what s_ann_pq_opq runs) must do at least as well
+    // as the round-robin variance heuristic on the fixture built to
+    // reward allocation
+    val (_, cov) = Pca.covMeans(df, 8)
+    val rot = Pca.opqRotation(cov, 8, m = 2)
+    val opq = recallOf(Similarity.pqTopK(
+      Pca.applyRotation(df, rot), qids, 3,
+      m = 2, kSub = 2, iters = 2, dim = 8))
+    assert(opq >= balanced,
+      s"trained rotation $opq < balanced heuristic $balanced on " +
+        "anisotropic data")
+
     // Uniform corpus: per-dim variances are near-equal, so the
     // permutation is arbitrary-but-valid and recall must stay in the
     // same band as contiguous PQ (no free lunch, no collapse).
