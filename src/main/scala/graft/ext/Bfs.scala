@@ -71,4 +71,92 @@ object Bfs {
         " (raise maxIter for deeper graphs)")
     labels
   }
+
+  // run token + shutdown reclamation for the adjacency tables (the
+  // Relational bucketed-join discipline: two sessions sharing a
+  // warehouse never race on names; dirs left by aborted runs are
+  // deleted at JVM exit)
+  private val adjCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val adjDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def deleteRec(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec)
+    f.delete(): Unit
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = adjDirs.poll()
+      while (d != null) { deleteRec(new java.io.File(d)); d = adjDirs.poll() }
+    }))
+  }
+
+  /** [[distances]] over a MATERIALIZED adjacency index: the
+    * symmetrized edge list is written ONCE as a bucketed table
+    * (`bucketBy(nBuckets, a)`, sorted within buckets — the
+    * `q_bucketed_join` lever), and every round's frontier join reads
+    * it back through the catalog. Two things change vs the cached
+    * frame:
+    *
+    *  - the edge side of the per-round join carries bucket
+    *    HashPartitioning from the LAYOUT, so it is never exchanged —
+    *    only the (tiny, shrinking) frontier shuffles to the bucket
+    *    count, or broadcasts outright once AQE sees its size. With
+    *    the cached form both sides re-shuffled every round at scale
+    *    whenever the edge list outgrew the broadcast threshold.
+    *  - the index lives on disk, not executor storage: the measured
+    *    100× cold-heap sensitivity (a 6M-edge `localCheckpoint`
+    *    pinning blocks before the first round) disappears; repeated-
+    *    source workloads amortize the one build the way every other
+    *    materialized layout here does.
+    *
+    * Semantics are [[distances]]' exactly — GraphOpsSpec proves
+    * equality; the table and its directory are reclaimed before
+    * returning (the result is checkpointed first). */
+  def distancesIndexed(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20, nBuckets: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    val token =
+      s"${ProcessHandle.current().pid()}_${adjCounter.incrementAndGet()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_bfs_adj_$token").toString
+    adjDirs.add(dir)
+    val tbl = s"graft_bfs_adj_$token"
+    edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .repartition(nBuckets, col("a")) // one file per bucket
+      .write.bucketBy(nBuckets, "a").sortBy("a")
+      .option("path", s"$dir/adj").mode("overwrite")
+      .saveAsTable(tbl)
+    val sym = spark.table(tbl)
+    var labels = sym.agg(min(col("a")).as("node"))
+      .withColumn("dist", lit(0L))
+      .filter(col("node").isNotNull)
+      .localCheckpoint()
+    var frontier = labels
+    var iter = 0
+    var done = frontier.isEmpty
+    while (!done && iter < maxIter) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("a"))
+        .select(col("b").as("node"), (col("dist") + 1).as("dist"))
+        .distinct()
+        .join(labels.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        labels = labels.unionByName(next).localCheckpoint()
+        frontier = next
+        iter += 1
+      }
+    }
+    if (!done) System.err.println(
+      s"[bfs] WARNING: frontier still non-empty after maxIter=$maxIter" +
+        " rounds; distances beyond that horizon are missing" +
+        " (raise maxIter for deeper graphs)")
+    val out = labels // every round is already checkpointed
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    deleteRec(new java.io.File(dir))
+    out
+  }
 }

@@ -460,7 +460,7 @@ object AnalyticsExt {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    graft.ext.Bfs.distances(e0, "src", "dst")
+    graft.ext.Bfs.distancesIndexed(e0, "src", "dst")
       .select(
         when(col("node") % 2 === 0, lit("cust"))
           .otherwise(lit("supp")).as("kind"),

@@ -47,6 +47,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(chainGot == (0L to 15L).map(i => i -> i).toMap)
   }
 
+  test("BFS over the bucketed adjacency index: identical distances " +
+      "to the cached-frame form, empty edges, and layout reclaimed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 10L),
+      (3L, 11L), (11L, 12L), (12L, 1L), (50L, 51L))
+      .toDF("src", "dst")
+    val want = Bfs.distances(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val got = Bfs.distancesIndexed(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"indexed BFS drifted: $got vs $want")
+    // the run-scoped adjacency table must not survive the call
+    assert(!spark.catalog.listTables()
+      .collect().exists(_.name.startsWith("graft_bfs_adj")),
+      "adjacency table leaked")
+    // empty edge set: same guard as the cached form
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Bfs.distancesIndexed(none, "src", "dst").isEmpty)
+    // a random graph for non-trivial fan-out equality
+    val rnd = new scala.util.Random(7)
+    val re = Seq.fill(120)((rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong)).filter(e => e._1 != e._2)
+      .toDF("src", "dst")
+    val w2 = Bfs.distances(re, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val g2 = Bfs.distancesIndexed(re, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == w2)
+  }
+
   test("components match brute-force closure on a random graph") {
     val rnd = new scala.util.Random(4242)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong,
