@@ -157,6 +157,10 @@ object ScaleProbe {
         probeMediaReal(spark, scale); spark.stop(); return
       case Some("tpch") =>
         probeTpch(spark, scale, reps); spark.stop(); return
+      case Some("phrase") =>
+        probePhrase(spark, scale, reps); spark.stop(); return
+      case Some("mvrefresh") =>
+        probeMvRefresh(spark, scale, reps); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -882,7 +886,11 @@ object ScaleProbe {
     }
   }
 
-  def probeDeep(spark: SparkSession, scale: Int, reps: Int): Unit = {
+  /** Build-or-reuse the deep-probe corpus for `scale` (100 →
+    * /tmp/sf10probe, 1000 → /tmp/sf100probe) — shared by every probe
+    * mode that runs on the document/embedding corpora. */
+  private def ensureDeepCorpus(spark: SparkSession, scale: Int)
+      : String = {
     val dir = s"/tmp/sf${scale / 10}probe"
     if (!new java.io.File(s"$dir/documents.parquet").exists()) {
       println(s"[probe] building ${scale}x corpus at $dir")
@@ -911,6 +919,11 @@ object ScaleProbe {
       println(f"[probe] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1fs " +
         s"(${spark.read.parquet(s"$dir/documents.parquet").count()} docs)")
     } else println(s"[probe] reusing ${scale}x corpus at $dir")
+    dir
+  }
+
+  def probeDeep(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = ensureDeepCorpus(spark, scale)
     val named = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(DeepQueries)
     // Exhaustive O(|Q|·|C|) baselines are documented bandwidth
@@ -922,7 +935,10 @@ object ScaleProbe {
     // BASELINE.md.
     // s_ann_pq_balanced is the same exhaustive ADC scan as s_ann_pq
     // (the balancing changes the FIT layout, not the probe cost)
-    val exhaustive = Set("s_ann_pq", "s_ann_brute", "s_ann_pq_balanced")
+    // s_ann_pq_opq is the same exhaustive ADC scan again (the trained
+    // rotation changes the FIT layout, not the probe cost)
+    val exhaustive = Set("s_ann_pq", "s_ann_brute", "s_ann_pq_balanced",
+      "s_ann_pq_opq")
     val optIn = sys.env.contains("SPARK_GRAFT_PROBE_EXHAUSTIVE")
     val queries = named.filter { q =>
       val keep = optIn || !exhaustive(q)
@@ -959,5 +975,116 @@ object ScaleProbe {
       println(f"[probe] jaccard(cap=8,rescue) min ${times.min}%7.2fs  " +
         f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
     }
+  }
+
+  /** Phrase-search diagnosis + production split
+    * (`ScaleProbe <reps> <scale> phrase`). One phrase set (the
+    * catalog's quarter-sample top-bigram derivation) is derived once
+    * and shared, then:
+    *  - the build-per-query search runs with its per-query postings
+    *    persist at MEMORY_AND_DISK (the catalog shape), DISK_ONLY,
+    *    and with NO persist — isolating whether the 1000× step lives
+    *    in the persist (spill/memory pressure) or in the recomputed
+    *    double scan;
+    *  - the persisted index is built ONCE (timed) and the
+    *    partition-pruned probe is timed alone — the production split
+    *    the d_phrase_index_scan entry amortizes. */
+  def probePhrase(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val dir = ensureDeepCorpus(spark, scale)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val tDer0 = System.nanoTime()
+    val top = graft.queries.TrainingData.topBigrams(base, 4L)
+    println(f"[probe] phrase derivation (mod 4) " +
+      f"${(System.nanoTime() - tDer0) / 1e9}%7.2fs")
+    val variants: Seq[(String, Option[StorageLevel])] = Seq(
+      "persist=mem_and_disk" -> Some(StorageLevel.MEMORY_AND_DISK),
+      "persist=disk_only" -> Some(StorageLevel.DISK_ONLY),
+      "persist=none" -> None)
+    for ((name, lvl) <- variants) {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ext.Retrieval.phraseSearchWith(base, top, lvl)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] search $name%-22s min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+    }
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_phraseidx_probe").toString
+    val tB0 = System.nanoTime()
+    graft.ext.Retrieval.buildPhraseIndex(base, idxDir)
+    println(f"[probe] index build (once)     " +
+      f"${(System.nanoTime() - tB0) / 1e9}%7.2fs")
+    val probeTimes = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.ext.Retrieval.phraseIndexProbe(spark, idxDir, top)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[probe] index probe (pruned)   min ${probeTimes.min}%7.2fs  " +
+      f"(runs ${probeTimes.map(t => f"$t%.2f").mkString("/")})")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(idxDir))
+  }
+
+  /** MV-refresh production split (`ScaleProbe <reps> <scale>
+    * mvrefresh`, over the replicated star): the store — yesterday's
+    * MV + the month-partitioned fact layout — is built ONCE (timed),
+    * then the refresh plan (stored-MV scan + one pruned month) is
+    * timed alone against the full-recompute leg, so the probe row
+    * answers the actual question: is refresh cost bounded by the
+    * delta rather than history? */
+  def probeMvRefresh(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val star = s"/tmp/tpch${scale}x"
+    require(new java.io.File(s"$star/orders.parquet").exists(),
+      s"$star missing — run `ScaleProbe <reps> $scale tpch` first")
+    val orders = Tables.orders(spark, star)
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("graft_mv_probe").toString
+    val factDir = java.nio.file.Files
+      .createTempDirectory("graft_mvfact_probe").toString
+    val tB0 = System.nanoTime()
+    graft.ext.MvRefresh.buildStore(orders, mvDir, factDir)
+    println(f"[probe] mv store build (once)  " +
+      f"${(System.nanoTime() - tB0) / 1e9}%7.2fs")
+    val refreshTimes = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.ext.MvRefresh.refresh(spark, mvDir, factDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[probe] refresh (MV + 1 month) min ${refreshTimes.min}%7.2fs  " +
+      f"(runs ${refreshTimes.map(t => f"$t%.2f").mkString("/")})")
+    import org.apache.spark.sql.types.DecimalType
+    val recomputeTimes = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      orders
+        .filter(col("o_orderdate") <
+          lit(graft.ext.MvRefresh.NewCutoff).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            .as("_spend"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("_spend").cast("double").as("total_spend"),
+          round(col("_spend").cast("double") / col("n_orders"), 6)
+            .as("avg_spend"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[probe] full recompute leg     min ${recomputeTimes.min}%7.2fs  " +
+      f"(runs ${recomputeTimes.map(t => f"$t%.2f").mkString("/")})")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(mvDir))
+    rm(new java.io.File(factDir))
   }
 }

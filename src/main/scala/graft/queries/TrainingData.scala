@@ -3544,7 +3544,7 @@ object TrainingData {
     * derivation shared by every phrase-search physical shape
     * (build-per-query, sampled, and the persisted-index probe, which
     * must all answer the same question on the same phrase set). */
-  private def topBigrams(base: DataFrame,
+  private[graft] def topBigrams(base: DataFrame,
       deriveSampleMod: Long): DataFrame = {
     val deriveSrc =
       if (deriveSampleMod > 1L)
