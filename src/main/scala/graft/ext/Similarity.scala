@@ -1116,10 +1116,20 @@ object Similarity {
     * embeddings. Work per query: k_clusters coarse dots + nprobe·|C|/
     * k_clusters LUT-sum candidates — corpus-linear at fixed |Q|, with
     * the PQ constant ~32× smaller than the raw-vector IVF scan. */
+  /** `fitSampleMod` > 1 trains all m codebooks on the deterministic
+    * `vec_id % fitSampleMod == 0` sample (the [[pqTopK]] production
+    * fit lever, measured at the 1000× tier: the full-corpus fit pays
+    * THREE subspace-assign passes over the persisted 32M-row
+    * subspace frame — two Lloyd iterations + the encode — and at 2M
+    * vectors that frame's MEMORY_AND_DISK footprint round-trips to
+    * disk; sampling bounds the two fit passes, the corpus pays
+    * exactly one encode). SQL-mirrorable, so hash-verified. */
   def ivfTopKPq(embeddings: DataFrame, queryIds: DataFrame, k: Int,
-      nprobe: Int, m: Int, kSub: Int, iters: Int, dim: Int = 64)
+      nprobe: Int, m: Int, kSub: Int, iters: Int, dim: Int = 64,
+      fitSampleMod: Long = 1L)
       : DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
+    require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
     val subDim = dim / m
     val base = embeddings.select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("emb"))
@@ -1143,7 +1153,12 @@ object Similarity {
     // as "the stored index"
     val subBase = pqSubExplode(base, m, subDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = pqFitCodebooks(base, subBase, m, subDim, kSub, iters)
+    val (fitBase, fitSub) =
+      if (fitSampleMod > 1L) {
+        val fb = base.filter(col("vec_id") % fitSampleMod === 0)
+        (fb, pqSubExplode(fb, m, subDim))
+      } else (base, subBase)
+    val cents = pqFitCodebooks(fitBase, fitSub, m, subDim, kSub, iters)
     val index = pqAssign(subBase, cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))

@@ -1906,7 +1906,7 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
-  private val sAnnIvfPqSql =
+  private def ivfPqSqlWith(fits: String) =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |dims AS (SELECT label, i,
@@ -1916,7 +1916,7 @@ object TrainingData {
        |  GROUP BY label, i),
        |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
        |  FROM dims GROUP BY label),
-       |$pqFitsSql,
+       |$fits,
        |$qidsSql,
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
@@ -1944,6 +1944,32 @@ object TrainingData {
        |  FROM scored)
        |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val sAnnIvfPqSql = ivfPqSqlWith(pqFitsSql)
+
+  /** IVF-PQ with the SAMPLED codebook fit
+    * ([[Similarity.ivfTopKPq]] at `fitSampleMod = 4`) — the
+    * production parameterization of the composition, shipped after
+    * the 1000× probe named the full-fit cost: three subspace-assign
+    * passes over the persisted corpus-sized subspace frame (two
+    * Lloyd iterations + encode) round-trip to disk at 2M vectors
+    * (444.7s; shuffle sizing ruled out — 1024 partitions measured
+    * the same). Training the quantizers on the deterministic
+    * quarter-sample bounds the fit; the corpus pays exactly one
+    * encode pass. Hash-verified via the modulus-mirrored fit
+    * fragments (the `s_ann_pq_sampled` pattern, spliced into the
+    * shared IVF body). */
+  def sAnnIvfPqSampled(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKPq(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3, m = 16, kSub = 32, iters = 2,
+        fitSampleMod = 4L)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnIvfPqSampledSql = ivfPqSqlWith(pqFitsSqlWith(Some(4)))
 
   /** RESIDUAL IVF-PQ ([[Similarity.ivfTopKPqResidual]]) — the FAISS
     * production form: codebooks fitted on `v − c(v)` residuals
@@ -5017,6 +5043,7 @@ object TrainingData {
     "s_ann_pq_opq" -> (sAnnPqOpq _),
     "d_embed_cov" -> (dEmbedCov _),
     "s_ann_ivf_pq" -> (sAnnIvfPq _),
+    "s_ann_ivf_pq_sampled" -> (sAnnIvfPqSampled _),
     "s_ann_ivf_pq_res" -> (sAnnIvfPqRes _),
     "s_ann_ivf_pq_resbal" -> (sAnnIvfPqResBal _),
     "d_embed_dups" -> (dEmbedDups _),
@@ -5169,6 +5196,7 @@ object TrainingData {
     // rotation, built at dump time)
     "d_embed_cov" -> dEmbedCovSql,
     "s_ann_ivf_pq" -> sAnnIvfPqSql,
+    "s_ann_ivf_pq_sampled" -> sAnnIvfPqSampledSql,
     "s_ann_ivf_pq_res" -> sAnnIvfPqResSql,
     "s_ann_ivf_pq_resbal" -> sAnnIvfPqResBalSql,
     "d_embed_dups" -> dEmbedDupsSql,

@@ -760,6 +760,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"sampled-fit PQ recall degraded: $recall")
   }
 
+  test("sampled-fit IVF-PQ: fitSampleMod=1 is the identity; the " +
+      "quarter-sample fit encodes the full corpus and holds recall") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val full = Similarity.ivfTopKPq(emb, q16, 5, nprobe = 3, m = 16,
+      kSub = 32, iters = 2).orderBy("query_id", "rank")
+      .collect().toSeq
+    val mod1 = Similarity.ivfTopKPq(emb, q16, 5, nprobe = 3, m = 16,
+      kSub = 32, iters = 2, fitSampleMod = 1L)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(mod1 == full)
+    val sampled = Similarity.ivfTopKPq(emb, q16, 5, nprobe = 3,
+        m = 16, kSub = 32, iters = 2, fitSampleMod = 4L)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    for ((q, rows) <- sampled.groupBy(_._1)) {
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length) &&
+        rows.length <= 5, s"ranks for $q")
+      assert(rows.forall(_._2 != q))
+    }
+    assert(sampled.exists(_._2 % 4 != 0),
+      "encode pass looks sample-restricted")
+    // sampled-fit recall stays in the full-fit composition's band
+    val truth = Similarity.bruteForceTopK(emb, q16, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recallFull = full.map(r => (r.getLong(0), r.getLong(1)))
+      .count(truth.contains).toDouble / truth.size
+    val recallSampled = sampled.map(r => (r._1, r._2))
+      .count(truth.contains).toDouble / truth.size
+    assert(recallSampled >= recallFull - 0.15,
+      s"sampled-fit IVF-PQ recall $recallSampled collapsed vs " +
+        s"full-fit $recallFull")
+  }
+
   test("embedDecontaminate flags planted cross-split near-dups, " +
       "ignores eval-eval and corpus-corpus pairs, drops NULLs") {
     def v(axis: Int): Seq[Float] =
