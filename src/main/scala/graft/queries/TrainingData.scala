@@ -1847,7 +1847,13 @@ object TrainingData {
     val (_, c) = graft.ext.Pca.covMeans(e, 64)
     val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
     opqRotationUsed.set(rot)
-    val rotated = graft.ext.Pca.applyRotation(e, rot)
+    // sever the 64×64-literal projection from the plan: without the
+    // checkpoint the ~4k-node rotation expression rides through every
+    // downstream Catalyst transform of the PQ chain (measured 17.9 →
+    // 11.7s warm at sf0.1; the residue is the one-time codegen of the
+    // wide projection itself). The materialization is corpus-sized
+    // but so is pqTopK's own base persist — same cost class, once.
+    val rotated = graft.ext.Pca.applyRotation(e, rot).localCheckpoint()
     Similarity.pqTopK(rotated,
         Similarity.sampleQueryIds(
           e.filter(col("embedding").isNotNull), n = 16),
