@@ -150,7 +150,7 @@ object ScaleProbe {
       case Some("containment") =>
         probeContainment(spark, scale); spark.stop(); return
       case Some("stream") =>
-        probeStream(spark); spark.stop(); return
+        probeStream(spark, scale); spark.stop(); return
       case Some("ingest") =>
         probeAnnIngest(spark, scale, reps); spark.stop(); return
       case Some("realmedia") =>
@@ -388,17 +388,39 @@ object ScaleProbe {
     * triple per user by construction), the stream-stream interval
     * join (append), and the TTL funnel in its production
     * configuration (EventTimeTimeout + 24h idle). */
-  private def probeStream(spark: SparkSession): Unit = {
+  private def probeStream(spark: SparkSession, scale: Int = 10): Unit = {
     import spark.implicits._
     import graft.streaming.{EventsStream, StatefulOps}
-    if (!new java.io.File(s"$ProbeDir/events.parquet").exists())
-      buildCorpus(spark, "/root/testdata/sf0.1")
-    val staged = "/tmp/streamprobe_events"
-    if (!new java.io.File(staged).exists())
-      Tables.events(spark, ProbeDir)
+    // scale×100k events staged as ts-ordered files (10 → the r8 1M
+    // row; 100 → 10M events, the r12 1000×-tier extension). Beyond
+    // 10× the events replicate DIRECTLY from sf0.1 with the stride
+    // rule (event ids and user ids both shift, so per-user event
+    // distributions — the stateful operators' state shape — are
+    // preserved while the user population scales linearly).
+    val staged =
+      if (scale == 10) "/tmp/streamprobe_events"
+      else s"/tmp/streamprobe_events$scale"
+    if (scale == 10) {
+      if (!new java.io.File(s"$ProbeDir/events.parquet").exists())
+        buildCorpus(spark, "/root/testdata/sf0.1")
+      if (!new java.io.File(staged).exists())
+        Tables.events(spark, ProbeDir)
+          .repartitionByRange(50, col("ts"))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(staged)
+    } else if (!new java.io.File(staged).exists()) {
+      val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      val evOff = ev.agg(max("event_id")).head().getLong(0) + 1
+      val userOff = ev.agg(max("user_id")).head().getLong(0) + 1
+      (0 until scale).map(i =>
+          ev.select((col("event_id") + lit(i * evOff)).as("event_id"),
+            col("ts"), (col("user_id") + lit(i * userOff)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+        .reduce(_ unionByName _)
         .repartitionByRange(50, col("ts"))
         .sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(staged)
+    }
     val n = spark.read.parquet(staged).count()
     println(s"[probe] stream corpus: $n events, 50 ts-ordered files, " +
       "5 files/trigger")
@@ -654,27 +676,39 @@ object ScaleProbe {
     val dir = s"/tmp/tpch${rep}x"
     val src = "/root/testdata/sf0.1"
     if (!new java.io.File(s"$dir/_built").exists()) {
+      // 1000x composes as 10 replicas OF the 100x star when present
+      // (the ensureDeepCorpus rule — a 1000-branch union tree spends
+      // minutes in analysis alone). Unlike the text corpora, the
+      // composition is EXACT here: keys replicate by pure numeric
+      // stride, and the 100x star's own max-key+1 stride IS 100× the
+      // base stride, so 10×(100x) ≡ 1000×(base) row for row.
+      val (bsrc, brep) =
+        if (rep == 1000 &&
+            new java.io.File("/tmp/tpch100x/_built").exists())
+          ("/tmp/tpch100x", 10) else (src, rep)
+      if (bsrc != src) println(s"[probe] ${rep}x tpch build path: 10" +
+        " replicas of the cached 100x star (numerically exact)")
       println(s"[probe] building ${rep}x tpch star at $dir")
       val t0 = System.nanoTime()
-      val cust = spark.read.parquet(s"$src/customer.parquet")
-      val ord = spark.read.parquet(s"$src/orders.parquet")
-      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val cust = spark.read.parquet(s"$bsrc/customer.parquet")
+      val ord = spark.read.parquet(s"$bsrc/orders.parquet")
+      val li = spark.read.parquet(s"$bsrc/lineitem.parquet")
       val custOff = cust.agg(max("c_custkey")).head().getLong(0) + 1
       val ordOff = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-      (0 until rep).map(i => cust.select(
+      (0 until brep).map(i => cust.select(
           (col("c_custkey") + lit(i * custOff)).as("c_custkey"),
           col("c_name"), col("c_nationkey"), col("c_acctbal"),
           col("c_mktsegment")))
         .reduce(_ unionByName _).coalesce(4)
         .write.mode("overwrite").parquet(s"$dir/customer.parquet")
-      (0 until rep).map(i => ord.select(
+      (0 until brep).map(i => ord.select(
           (col("o_orderkey") + lit(i * ordOff)).as("o_orderkey"),
           (col("o_custkey") + lit(i * custOff)).as("o_custkey"),
           col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
           col("o_orderpriority")))
         .reduce(_ unionByName _).repartition(math.min(32 * rep, 128))
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-      (0 until rep).map(i => li.withColumn("l_orderkey",
+      (0 until brep).map(i => li.withColumn("l_orderkey",
           col("l_orderkey") + lit(i * ordOff)))
         .reduce(_ unionByName _).repartition(math.min(64 * rep, 256))
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
@@ -686,8 +720,13 @@ object ScaleProbe {
     } else println(s"[probe] reusing ${rep}x tpch star at $dir")
     // events replicated with the CUSTOMER stride (user_id keys into
     // c_custkey) — added separately so pre-existing stars upgrade in
-    // place; needed by the cross-table queries (q_fk_orphans)
-    if (!new java.io.File(s"$dir/events.parquet").exists()) {
+    // place; needed by the cross-table queries (q_fk_orphans).
+    // The 1000x star omits events (1B rows / ~20 GB for queries the
+    // graph/MV probes never touch; the cross-table event queries are
+    // probed at <= 100x)
+    if (rep > 100)
+      println(s"[probe] ${rep}x star: events leg skipped by policy")
+    else if (!new java.io.File(s"$dir/events.parquet").exists()) {
       val custOff = spark.read.parquet(s"$src/customer.parquet")
         .agg(max("c_custkey")).head().getLong(0) + 1
       // the nanos upgrade is scoped to THIS read: leaving it set on
@@ -1014,23 +1053,44 @@ object ScaleProbe {
     }
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_phraseidx_probe").toString
-    val tB0 = System.nanoTime()
-    graft.ext.Retrieval.buildPhraseIndex(base, idxDir)
-    println(f"[probe] index build (once)     " +
-      f"${(System.nanoTime() - tB0) / 1e9}%7.2fs")
-    val probeTimes = (0 until reps).map { _ =>
-      val t0 = System.nanoTime()
-      graft.ext.Retrieval.phraseIndexProbe(spark, idxDir, top)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    println(f"[probe] index probe (pruned)   min ${probeTimes.min}%7.2fs  " +
-      f"(runs ${probeTimes.map(t => f"$t%.2f").mkString("/")})")
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(idxDir))
+    try {
+      val tB0 = System.nanoTime()
+      graft.ext.Retrieval.buildPhraseIndex(base, idxDir)
+      println(f"[probe] index build (once)     " +
+        f"${(System.nanoTime() - tB0) / 1e9}%7.2fs")
+      val probeTimes = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ext.Retrieval.phraseIndexProbe(spark, idxDir, top)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] index probe (pruned)   min ${probeTimes.min}%7.2fs  " +
+        f"(runs ${probeTimes.map(t => f"$t%.2f").mkString("/")})")
+      // derivation legs at this scale: the catalog's text-sample
+      // aggregate at the auto mod vs the sampled postings-pair
+      // aggregate over the index just built (verdict #5: keep the
+      // cheaper; both must agree with the shared phrase set)
+      val autoMod = graft.queries.TrainingData.autoSampleMod(
+        base.count())
+      val tTxt = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.queries.TrainingData.topBigrams(base, autoMod)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] derive text (mod=$autoMod%d)   min " +
+        f"${tTxt.min}%7.2fs  " +
+        f"(runs ${tTxt.map(t => f"$t%.2f").mkString("/")})")
+      val tIdx = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ext.Retrieval.topBigramsFromIndex(spark, idxDir, autoMod)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] derive index (mod=$autoMod%d)  min " +
+        f"${tIdx.min}%7.2fs  " +
+        f"(runs ${tIdx.map(t => f"$t%.2f").mkString("/")})")
+    } finally graft.queries.QueryUtil.deleteRecursively(idxDir)
   }
 
   /** MV-refresh production split (`ScaleProbe <reps> <scale>
@@ -1049,6 +1109,7 @@ object ScaleProbe {
       .createTempDirectory("graft_mv_probe").toString
     val factDir = java.nio.file.Files
       .createTempDirectory("graft_mvfact_probe").toString
+    try {
     val tB0 = System.nanoTime()
     graft.ext.MvRefresh.buildStore(orders, mvDir, factDir)
     println(f"[probe] mv store build (once)  " +
@@ -1080,11 +1141,9 @@ object ScaleProbe {
     }
     println(f"[probe] full recompute leg     min ${recomputeTimes.min}%7.2fs  " +
       f"(runs ${recomputeTimes.map(t => f"$t%.2f").mkString("/")})")
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-      f.delete(): Unit
+    } finally {
+      graft.queries.QueryUtil.deleteRecursively(mvDir)
+      graft.queries.QueryUtil.deleteRecursively(factDir)
     }
-    rm(new java.io.File(mvDir))
-    rm(new java.io.File(factDir))
   }
 }

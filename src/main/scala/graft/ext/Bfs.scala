@@ -111,7 +111,17 @@ object Bfs {
     *
     * Semantics are [[distances]]' exactly — GraphOpsSpec proves
     * equality; the table and its directory are reclaimed before
-    * returning (the result is checkpointed first). */
+    * returning (the result is checkpointed first).
+    *
+    * LOCAL-MODE assumption on the reclamation: after the directory is
+    * deleted the returned frame is backed only by its (non-replicated)
+    * `localCheckpoint` blocks — fine in a single-JVM session, but on a
+    * real cluster a lost executor after return would make the result
+    * unrecomputable (its source is gone). A cluster deployment keeps
+    * the adjacency table as the persistent artifact it is (that is the
+    * point of the layout) or writes the result out before reclaiming;
+    * the eager delete here exists so repeated catalog runs on one
+    * machine do not accumulate corpus-sized layouts. */
   def distancesIndexed(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20, nBuckets: Int = 32): DataFrame = {
     val spark = edges.sparkSession
@@ -157,6 +167,9 @@ object Bfs {
     val out = labels // every round is already checkpointed
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     deleteRec(new java.io.File(dir))
+    // the in-call delete succeeded: drop the shutdown-hook fallback
+    // entry too, or a long-lived session re-walks dead paths at exit
+    adjDirs.remove(dir)
     out
   }
 }

@@ -86,22 +86,21 @@ object MvRefresh {
 
   /** Catalog composition: build the store into run-scoped temp dirs,
     * execute the production refresh plan, reclaim the layouts (the
-    * zorderScan treatment). */
+    * zorderScan treatment — in a `finally` so a failed run cannot
+    * leak corpus-sized directories). */
   def refreshEntry(spark: SparkSession, orders: DataFrame): DataFrame = {
     val mvDir = java.nio.file.Files
       .createTempDirectory("graft_mv").toString
     val factDir = java.nio.file.Files
       .createTempDirectory("graft_mvfact").toString
-    buildStore(orders, mvDir, factDir)
-    val out = refresh(spark, mvDir, factDir)
-      .orderBy("o_custkey")
-      .localCheckpoint()
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-      f.delete(): Unit
+    try {
+      buildStore(orders, mvDir, factDir)
+      refresh(spark, mvDir, factDir)
+        .orderBy("o_custkey")
+        .localCheckpoint()
+    } finally {
+      graft.queries.QueryUtil.deleteRecursively(mvDir)
+      graft.queries.QueryUtil.deleteRecursively(factDir)
     }
-    rm(new java.io.File(mvDir))
-    rm(new java.io.File(factDir))
-    out
   }
 }

@@ -443,16 +443,19 @@ object Pca {
     * output dim i = Σ_j rot(i)(j)·emb[j] as a LEFT-FOLD sum, the one
     * summation order Spark's expression tree and a SQL `a + b + c`
     * chain share, so both engines produce bit-identical rotated
-    * doubles. No shuffle — pure per-row projection. */
+    * doubles. No shuffle — pure per-row projection. `keep` lists the
+    * id columns carried through (the IVF compositions need `label`
+    * next to `vec_id` — the variancePermuted convention). */
   private[graft] def applyRotation(embeddings: DataFrame,
-      rot: Array[Array[Double]]): DataFrame = {
+      rot: Array[Array[Double]],
+      keep: Seq[String] = Seq("vec_id")): DataFrame = {
     val dim = rot.length
     val embD = Similarity.toDouble(col("embedding"))
     embeddings.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), array((0 until dim).map(i =>
+      .select(keep.map(col) :+ array((0 until dim).map(i =>
         (0 until dim).map(j =>
           lit(rot(i)(j)) * element_at(embD, j + 1))
-          .reduceLeft(_ + _)): _*).as("embedding"))
+          .reduceLeft(_ + _)): _*).as("embedding"): _*)
   }
 
   /** The trained OPQ rotation (Ge et al. 2013, the PARAMETRIC form

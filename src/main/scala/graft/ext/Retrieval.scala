@@ -244,6 +244,62 @@ object Retrieval {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Rank a bigram-count frame to the shared 5-phrase (pid, w1, w2)
+    * frame — the ONE ranking definition used by both derivation
+    * physical shapes (the text-sample aggregate and
+    * [[topBigramsFromIndex]]), so the two can never order-drift: the
+    * top-5 compiles to TakeOrderedAndProject (per-partition top-n) and
+    * the pid window then runs over 5 rows. The tiny result is
+    * checkpointed so the derivation aggregate never re-runs per
+    * downstream use of the phrase frame. */
+  private[graft] def rankTopBigrams(bi: DataFrame): DataFrame =
+    bi.orderBy(desc("n_bg"), asc("w1"), asc("w2")).limit(5)
+      .withColumn("pid", row_number().over(
+        Window.orderBy(desc("n_bg"), asc("w1"), asc("w2"))).cast("long"))
+      .select(col("pid"), col("w1"), col("w2"))
+      .localCheckpoint()
+
+  /** DERIVATION FROM THE INDEX (the r11 carry-forward): the 5 hottest
+    * bigrams computed from a [[buildPhraseIndex]] layout instead of a
+    * second tokenizing pass over the text — once the postings index
+    * exists, adjacent-position pairs ARE bigram occurrences, so the
+    * derivation becomes a sampled self-join of the postings on
+    * (doc_id, pos+1 = pos) followed by the same count/rank.
+    *
+    * Scale shape vs the text-sample derivation: the index scan is
+    * projection-only (term, doc_id, pos — no string tokenization, no
+    * posexplode), the `doc_id % sampleMod` residual drops all but the
+    * sampled docs at the scan, and everything that SHUFFLES —
+    * the adjacency self-join and the bigram count — is bounded by the
+    * SAMPLE's token count, not the corpus's. The one
+    * corpus-proportional cost left is the columnar read of the
+    * postings rows themselves (a modulus residual cannot prune parquet
+    * row groups), which is the same at-linear class as the text
+    * sample's scan leg; the 1000× probe times both and the catalog
+    * keeps the cheaper.
+    *
+    * Counts are EXACTLY [[graft.queries.TrainingData.topBigrams]]'s on
+    * the same sample (postings are `posexplode` of the same tokens;
+    * RetrievalSpec pins frame equality), so the two derivations share
+    * one oracle. */
+  def topBigramsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, sampleMod: Long): DataFrame = {
+    require(sampleMod >= 1L, "sampleMod must be >= 1")
+    val post0 = spark.read.parquet(dir)
+    val post =
+      (if (sampleMod > 1L)
+        post0.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      else post0)
+        .select(col("doc_id"), col("pos"), col("term"))
+    val a = post.select(col("doc_id"), col("pos"), col("term").as("w1"))
+    val b = post.select(col("doc_id"), (col("pos") - 1).as("pos"),
+      col("term").as("w2"))
+    rankTopBigrams(
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_bg")))
+  }
+
   private def phraseSearchImpl(docs: DataFrame, phrases: DataFrame,
       materialize: Boolean): DataFrame =
     phraseSearchWith(docs, phrases,

@@ -968,8 +968,20 @@ object Similarity {
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val subBase = pqSubExplode(base, m, subDim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The corpus-sized subspace frame is the 1000×-measured storage
+    // cliff of the build path (r11: ~2.4× above linear at 2M vectors
+    // = 32M deserialized rows round-tripping executor storage), so:
+    // with a FULL fit it feeds two Lloyd passes + the encode and is
+    // persisted SERIALIZED (columnar batches stored as bytes — the
+    // deserialized object graph was the pressure, not the data); with
+    // a SAMPLED fit it is consumed exactly once by the encode, and
+    // persisting a single-use corpus frame is pure overhead — skip it
+    // (the sampled fit re-explodes only the mod-sized sample).
+    val subBaseLazy = pqSubExplode(base, m, subDim)
+    val subBase =
+      if (fitSampleMod > 1L) subBaseLazy
+      else subBaseLazy.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val (fitBase, fitSub) =
       if (fitSampleMod > 1L) {
         val fb = base.filter(col("vec_id") % fitSampleMod === 0)
@@ -1124,9 +1136,22 @@ object Similarity {
     * vectors that frame's MEMORY_AND_DISK footprint round-trips to
     * disk; sampling bounds the two fit passes, the corpus pays
     * exactly one encode). SQL-mirrorable, so hash-verified. */
+  /** `candidateFilter` composes the metadata-filtered search
+    * ([[ivfTopKFiltered]]'s pre-filter form) with the CODED index —
+    * what a filtered query actually runs on a 100 TB corpus, where
+    * fine ranking must stay on the m-byte codes, never raw vectors:
+    * the index (codes + label + vec_id, carrying whatever metadata
+    * the deployment stores beside the codes) is filtered BEFORE the
+    * probed-partition join, i.e. a pushed column predicate on the
+    * partition-pruned index read — candidates are restricted, the
+    * stored index and the codebooks are filter-agnostic (centroids
+    * and fits always derive from the full corpus; a per-filter refit
+    * would be absurd at production churn). Callers widen nprobe ∝
+    * 1/selectivity, the documented filtered-search recall lever. */
   def ivfTopKPq(embeddings: DataFrame, queryIds: DataFrame, k: Int,
       nprobe: Int, m: Int, kSub: Int, iters: Int, dim: Int = 64,
-      fitSampleMod: Long = 1L)
+      fitSampleMod: Long = 1L,
+      candidateFilter: Option[Column] = None)
       : DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
     require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
@@ -1151,8 +1176,16 @@ object Similarity {
     // one Lloyd job chain for all m subspaces), label attached via
     // one (vec_id)-keyed join of two narrow frames, materialized once
     // as "the stored index"
-    val subBase = pqSubExplode(base, m, subDim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same storage rule as pqTopK: SERIALIZED for the 3-pass full-fit
+    // subspace frame, NO persist when the sampled fit leaves it
+    // single-use; the code index (corpus-sized, m small codes + a
+    // label per vector) checkpoints SERIALIZED too — both were the
+    // r11-measured 1000× build-path storage constant
+    val subBaseLazy = pqSubExplode(base, m, subDim)
+    val subBase =
+      if (fitSampleMod > 1L) subBaseLazy
+      else subBaseLazy.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val (fitBase, fitSub) =
       if (fitSampleMod > 1L) {
         val fb = base.filter(col("vec_id") % fitSampleMod === 0)
@@ -1162,7 +1195,8 @@ object Similarity {
     val index = pqAssign(subBase, cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(cent))
@@ -1181,7 +1215,10 @@ object Similarity {
           slice(col("q_emb"), col("sub") * lit(subDim) + lit(1),
             lit(subDim)),
           col("centroid")).as("pdot"))
-    val scored = index.join(broadcast(probed), Seq("label"))
+    // pre-filter ON THE CODE INDEX, before the probed-partition join:
+    // candidates shrink at the index scan, scores stay pure ADC
+    val cand = candidateFilter.map(index.filter).getOrElse(index)
+    val scored = cand.join(broadcast(probed), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "sub", "cid"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -1244,17 +1281,20 @@ object Similarity {
       .localCheckpoint() // feeds residuals AND probes — compute once
     // residual pass: one broadcast join + element-wise subtraction
     // (raw doubles; a-b is IEEE-exact so Spark and DuckDB agree)
+    // corpus-sized residual frames persist SERIALIZED (the pqTopK
+    // full-fit storage rule — the residual fit is always full here)
     val rbase = base.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"),
         zip_with(col("emb"), col("centroid"), (a, b) => a - b).as("emb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val subRes = pqSubExplode(rbase, m, subDim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cents = pqFitCodebooks(rbase, subRes, m, subDim, kSub, iters)
     val index = pqAssign(subRes, cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     // probes carry BOTH the ranking cosine and the raw coarse dot

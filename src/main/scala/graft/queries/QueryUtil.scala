@@ -35,6 +35,18 @@ object QueryUtil {
   def sqlAvgDec(e: String): String =
     s"round(${sqlSumDec(e)} / count(*), 6)"
 
+  /** Recursive temp-layout reclamation — the ONE definition shared by
+    * every entry/probe that materializes a run-scoped directory
+    * (MV stores, phrase indexes, z-order layouts). Call sites wrap it
+    * in `finally` so a failed run cannot leak corpus-sized temp dirs. */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
   /** DuckDB fragment: polynomial hash of string expression `e` —
     * mirrors [[graft.functions.RollingHash]]/[[graft.functions.ArrayPolyHash]]
     * (h = (h·mult + codepoint) mod 2^31−1). The ONE definition of the

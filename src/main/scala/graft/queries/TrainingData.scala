@@ -1846,7 +1846,7 @@ object TrainingData {
     val e = embs(s, d)
     val (_, c) = graft.ext.Pca.covMeans(e, 64)
     val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
-    opqRotationUsed.set(rot)
+    opqRotationUsed.put(d, rot)
     // sever the 64×64-literal projection from the plan: without the
     // checkpoint the ~4k-node rotation expression rides through every
     // downstream Catalyst transform of the PQ chain (measured 17.9 →
@@ -1861,38 +1861,63 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Rotations derived at query time, KEYED BY DATASET DIR (r11
+    * advice: a bare global would yield a plausible-but-wrong oracle
+    * if one JVM ever ran queries on one dataset and dumped for
+    * another). [[rotationSqlNow]] only emits literals when exactly
+    * one dataset has run; zero or several → a marker statement that
+    * fails the compare loudly instead of passing wrongly. */
   private val opqRotationUsed =
-    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[Array[Double]]]()
+  private val opqResRotationUsed =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[Array[Double]]]()
 
-  /** [[sAnnPqOpq]]'s oracle, built at DUMP time from the rotation the
-    * query actually derived (Verify runs every query before dumping
-    * oracle_sql.json, so the driver's correctness gate always sees
-    * the real literals; a restricted dev dump that skipped the query
-    * gets a marker statement instead). The rotated base reproduces
-    * the plan's left-fold double sums term by term; the rest is the
-    * shared ADC body. */
-  private def sAnnPqOpqSqlNow: String =
-    Option(opqRotationUsed.get) match {
-      case None =>
-        "SELECT 'run s_ann_pq_opq before dumping its oracle' AS err"
-      case Some(rot) =>
+  /** Plan-literal rotation oracle builder, shared by the OPQ entries:
+    * built at DUMP time from the rotation the query actually derived
+    * (Verify runs every query before dumping oracle_sql.json, so the
+    * driver's correctness gate always sees the real literals; a
+    * restricted dev dump that skipped the query — or a JVM that ran
+    * several datasets — gets a marker statement instead). The rotated
+    * base reproduces the plan's left-fold double sums term by term;
+    * `mkBody` supplies everything downstream of the rotated base. */
+  private def rotationSqlNow(name: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String,
+        Array[Array[Double]]],
+      keep: String, mkBody: String => String): String = {
+    import scala.jdk.CollectionConverters._
+    cache.asScala.toSeq match {
+      case Seq() =>
+        s"SELECT 'run $name before dumping its oracle' AS err"
+      case Seq((_, rot)) =>
         val rows = (0 until 64).map { i =>
           (0 until 64).map(j => s"(${rot(i)(j)}) * emb[${j + 1}]")
             .mkString(" + ")
         }.mkString(",\n      ")
-        s"""WITH rawb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        mkBody(s"""rawb AS (SELECT vec_id,$keep
+           |    embedding::DOUBLE[] AS emb
            |  FROM embeddings WHERE embedding IS NOT NULL),
-           |base AS (SELECT vec_id, list_value(
+           |base AS (SELECT vec_id,$keep list_value(
            |      $rows) AS emb
-           |  FROM rawb),
-           |${pqAdcBodySql(pqFitsSql)}""".stripMargin
+           |  FROM rawb)""".stripMargin)
+      case many =>
+        s"SELECT '$name ran against ${many.size} datasets in this " +
+          "JVM - rotation ambiguous, rerun a single-dataset dump' AS err"
     }
+  }
+
+  private def sAnnPqOpqSqlNow: String =
+    rotationSqlNow("s_ann_pq_opq", opqRotationUsed, keep = "",
+      rotated => s"""WITH $rotated,
+         |${pqAdcBodySql(pqFitsSql)}""".stripMargin)
 
   /** Oracle statements that depend on state a query derives at run
     * time (plan-literal rotations). [[graft.SparkEntry.oracleSql]]
     * splices these in at dump time. */
   def dynamicOracle: Map[String, String] =
-    Map("s_ann_pq_opq" -> sAnnPqOpqSqlNow)
+    Map("s_ann_pq_opq" -> sAnnPqOpqSqlNow,
+      "s_ann_ivf_pq_opq_res" -> sAnnIvfPqOpqResSqlNow)
 
   private val dEmbedCovSql = graft.ext.Pca.covSql(64)
 
@@ -1912,7 +1937,8 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
-  private def ivfPqSqlWith(fits: String) =
+  private def ivfPqSqlWith(fits: String, nprobe: Int = 3,
+      candWhere: String = "") =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |dims AS (SELECT label, i,
@@ -1932,7 +1958,7 @@ object TrainingData {
        |probed AS (SELECT query_id, label FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
-       |  WHERE prn <= 3),
+       |  WHERE prn <= $nprobe),
        |codes AS ($pqCodesUnionSql),
        |codesl AS (SELECT c.vec_id, b.label, c.sub, c.cid
        |  FROM codes c JOIN base b ON c.vec_id = b.vec_id),
@@ -1943,7 +1969,7 @@ object TrainingData {
        |  JOIN probed p ON k.label = p.label
        |  JOIN lut l ON l.query_id = p.query_id
        |    AND l.sub = k.sub AND l.cid = k.cid
-       |  WHERE k.vec_id <> l.query_id
+       |  WHERE k.vec_id <> l.query_id$candWhere
        |  GROUP BY l.query_id, k.vec_id),
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
@@ -1976,6 +2002,31 @@ object TrainingData {
   }
 
   private val sAnnIvfPqSampledSql = ivfPqSqlWith(pqFitsSqlWith(Some(4)))
+
+  /** Metadata-FILTERED IVF-PQ ([[Similarity.ivfTopKPq]] with
+    * `candidateFilter`) — [[sAnnFiltered]]'s pre-filter semantics
+    * composed with the CODED index: at 100 TB a filtered vector query
+    * runs on the stored PQ codes, not raw-vector partitions, so the
+    * predicate must restrict the ADC fine-rank scan (a pushed column
+    * predicate on the partition-pruned index read), never the index
+    * or the fits. Same stand-in predicate (`vec_id % 3 = 0`) and the
+    * same nprobe 3 → 5 selectivity widening as the raw-vector
+    * filtered entry; SimilaritySpec proves the all-probes form ≡ the
+    * exhaustive filtered ADC ranking and that every result satisfies
+    * the predicate. Hash-verified via the shared IVF-PQ oracle body
+    * with the candidate WHERE in the scored fragment. */
+  def sAnnFilteredPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKPq(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 5, m = 16, kSub = 32, iters = 2,
+        candidateFilter = Some(pmod(col("vec_id"), lit(3)) === 0))
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnFilteredPqSql = ivfPqSqlWith(pqFitsSql, nprobe = 5,
+    candWhere = " AND ((k.vec_id % 3) + 3) % 3 = 0")
 
   /** RESIDUAL IVF-PQ ([[Similarity.ivfTopKPqResidual]]) — the FAISS
     * production form: codebooks fitted on `v − c(v)` residuals
@@ -2089,6 +2140,45 @@ object TrainingData {
        |    list_transform(range(1, 65), p -> emb[pm[p]]) AS emb
        |  FROM rawb CROSS JOIN pm),
        |$ivfPqResBodySql""".stripMargin
+
+  /** OPQ × RESIDUAL IVF-PQ ([[graft.ext.Pca.opqRotation]] before
+    * [[Similarity.ivfTopKPqResidual]]) — the actual FAISS production
+    * string (`OPQ16,IVF…,PQ16`): the trained rotation is applied
+    * FIRST as a plan-literal 64×64 projection (so the coarse
+    * quantizer, the residuals, and all 16 codebook fits run in the
+    * rotated frame — rotation-before-residual-fit, Ge et al. 2013
+    * composed with Jégou et al. 2011), then the unmodified coupled
+    * two-level residual machinery runs on the rotated corpus. The
+    * true inner product is rotation-invariant up to summation order,
+    * so ground truth is unchanged — only the quantization error
+    * moves; SimilaritySpec pins recall ≥ the unrotated residual form
+    * AND ≥ the exhaustive rotated form on the fixtures where each
+    * lever binds. Verification chain = [[sAnnPqOpq]]'s (covariance
+    * hash-verified by `d_embed_cov`, rotation a pure local function
+    * of it, oracle embeds the derived literals at dump time) feeding
+    * the SHARED residual body ([[ivfPqResBodySql]]), so rotation +
+    * coarse fit + residuals + 16 fits + ADC verify end to end. */
+  def sAnnIvfPqOpqRes(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val (_, c) = graft.ext.Pca.covMeans(e, 64)
+    val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
+    opqResRotationUsed.put(d, rot)
+    // checkpoint severs the 4k-literal rotation subtree from the PQ
+    // chain's Catalyst transforms (the sAnnPqOpq measurement)
+    val rotated = graft.ext.Pca.applyRotation(e, rot,
+      keep = Seq("vec_id", "label")).localCheckpoint()
+    Similarity.ivfTopKPqResidual(rotated,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3, m = PqM, kSub = PqKSub, iters = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private def sAnnIvfPqOpqResSqlNow: String =
+    rotationSqlNow("s_ann_ivf_pq_opq_res", opqResRotationUsed,
+      keep = " label,",
+      rotated => s"""WITH $rotated,
+         |$ivfPqResBodySql""".stripMargin)
 
   /** ANN quality evaluation: recall@k of the LSH path against the
     * brute-force ground truth — the number that decides whether an
@@ -3017,7 +3107,11 @@ object TrainingData {
   def dQualityCalibration(s: SparkSession, d: String): DataFrame =
     qualityCalibration(docs(s, d))
 
-  private[queries] def qualityCalibration(dd: DataFrame): DataFrame = {
+  /** The shared (doc_id, score_milli, label, bin) frame — histogram
+    * deciles of the hashing-trick score with the TTR label; ONE
+    * definition feeding both the reliability table and the
+    * threshold-selection decision, so the two can never bin-drift. */
+  private def qualityBinned(dd: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksCol = TextStats.tokens(col("text"))
     val base = dd.select(col("doc_id"),
@@ -3034,11 +3128,14 @@ object TrainingData {
         explode(sequence(lit(1), lit(9))).as("k"))
       .filter(col("cum") * 10 >= col("n") * col("k"))
       .groupBy(col("k")).agg(min(col("score_milli")).as("cut"))
-    val binned = base
+    base
       .join(broadcast(cuts), col("score_milli") <= col("cut"), "left")
       .groupBy(col("doc_id"), col("score_milli"), col("label"))
       .agg(coalesce(min(col("k")), lit(10)).cast("long").as("bin"))
-    binned.groupBy(col("bin"))
+  }
+
+  private[queries] def qualityCalibration(dd: DataFrame): DataFrame = {
+    qualityBinned(dd).groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
         sum(col("score_milli")).as("_sum_score"))
@@ -3050,8 +3147,11 @@ object TrainingData {
       .orderBy("bin")
   }
 
-  private val dQualityCalibrationSql =
-    s"""WITH $lrScoreCtes,
+  /** Oracle CTE chain of [[qualityBinned]] (`t`,`w`,`b`,`h`,`cum`,
+    * `n`,`cuts`,`bn`) — ONE SQL definition of the decile binning,
+    * shared by the reliability table and the threshold decision. */
+  private def qualityBinCtes =
+    s"""$lrScoreCtes,
        |b AS (SELECT doc_id, score_milli,
        |    len(list_distinct(toks)) * 2 >= len(toks) AS label
        |  FROM t JOIN w USING (doc_id)),
@@ -3067,7 +3167,10 @@ object TrainingData {
        |bn AS (SELECT b.doc_id, b.score_milli, b.label,
        |    CAST(coalesce(min(c.k), 10) AS BIGINT) AS bin
        |  FROM b LEFT JOIN cuts c ON b.score_milli <= c.cut
-       |  GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private val dQualityCalibrationSql =
+    s"""WITH $qualityBinCtes
        |SELECT bin, count(*) AS n,
        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_pos,
@@ -3076,6 +3179,63 @@ object TrainingData {
        |  round(CAST(sum(score_milli) AS DOUBLE) / count(*), 6)
        |    AS avg_score_milli
        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** The DECISION step on [[dQualityCalibration]]'s reliability bins
+    * — what a curation pass actually runs after reading the table:
+    * pick the operating point as the SMALLEST decile whose observed
+    * positive rate meets the target (1/2 here — integer-exact as
+    * `n_pos·2 ≥ n`, no doubles in the decision), keep every document
+    * at or above that bin, and emit the kept/dropped accounting
+    * (docs, positives, observed rate per side, plus the chosen bin)
+    * that goes in the run report. Thresholding on the CALIBRATED bin
+    * rather than a raw score magnitude is the point of the
+    * reliability table: the decision stays valid even when the score
+    * ranks but its magnitude means nothing. Shares [[qualityBinned]]
+    * / [[qualityBinCtes]] with the reliability entry, so the decision
+    * can never bin-drift from the table it reads; everything through
+    * the decision is exact BIGINT arithmetic (hash-verified), the two
+    * observed rates are one rounded division each. No new corpus
+    * pass: same scan/shuffle shape as the calibration entry plus a
+    * 10-row aggregate and a broadcast of one scalar. */
+  def dQualityThreshold(s: SparkSession, d: String): DataFrame =
+    qualityThreshold(docs(s, d))
+
+  private[queries] def qualityThreshold(dd: DataFrame): DataFrame = {
+    val binned = qualityBinned(dd)
+    val binStats = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+    // smallest qualifying decile; 11 = "no bin qualifies" → keep none
+    val thr = binStats.filter(col("n_pos") * 2 >= col("n"))
+      .agg(coalesce(min(col("bin")), lit(11L)).as("thr_bin"))
+    binned.crossJoin(broadcast(thr))
+      .groupBy((col("bin") >= col("thr_bin")).as("kept"),
+        col("thr_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("kept"), col("thr_bin"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6)
+          .as("obs_pos_rate"))
+      .orderBy("kept")
+  }
+
+  private val dQualityThresholdSql =
+    s"""WITH $qualityBinCtes,
+       |bs AS (SELECT bin, count(*) AS n,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos
+       |  FROM bn GROUP BY bin),
+       |thr AS (SELECT CAST(coalesce(min(bin), 11) AS BIGINT)
+       |    AS thr_bin
+       |  FROM bs WHERE n_pos * 2 >= n)
+       |SELECT bn.bin >= thr.thr_bin AS kept, thr.thr_bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pos,
+       |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS obs_pos_rate
+       |FROM bn CROSS JOIN thr
+       |GROUP BY 1, 2 ORDER BY kept""".stripMargin
 
   /** Repetition breaking: the longest run of consecutively repeated
     * tokens per document (the "aaaa…" / looped-generation failure mode
@@ -3583,24 +3743,36 @@ object TrainingData {
         base.filter(pmod(col("doc_id"), lit(deriveSampleMod)) === 0)
       else base
     val toks = TextStats.tokens(col("text"))
-    val bi = deriveSrc.filter(size(toks) >= 2)
-      .select(explode(transform(
-        sequence(lit(0), size(toks) - 2),
-        i => struct(element_at(toks, i + 1).as("w1"),
-          element_at(toks, i + 2).as("w2")))).as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("n_bg"))
-    // top-5 compiles to TakeOrderedAndProject (per-partition top-n);
-    // the rank window then runs over 5 rows
-    bi.orderBy(desc("n_bg"), asc("w1"), asc("w2")).limit(5)
-      .withColumn("pid", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("n_bg"), asc("w1"), asc("w2"))).cast("long"))
-      .select(col("pid"), col("w1"), col("w2"))
-      // 5 rows; materialize so the bigram aggregate doesn't re-run
-      // for each downstream use of the phrase frame
-      .localCheckpoint()
+    // ranking/pid assignment is the shared rankTopBigrams — ONE
+    // definition with the index-served derivation, so the two
+    // physical shapes can never order-drift
+    graft.ext.Retrieval.rankTopBigrams(
+      deriveSrc.filter(size(toks) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2")))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("n_bg")))
   }
+
+  /** SCALE-PROPORTIONAL derivation sample rate (the production lever
+    * BASELINE.md's probe policy names for the one measured
+    * super-linear phrase step — the bigram-derivation aggregate over
+    * corpus-cardinality string keys, ~18.7× for 10× data at the 1000×
+    * tier): mod = max(1, N/1250), exact integer arithmetic, so the
+    * SAMPLED doc count stays ~1250 as the corpus grows and the
+    * derivation aggregate's shuffle is corpus-independent. 1250 is
+    * calibrated to the proven fixed-rate entry: at the sf0.1 bench
+    * corpus (5000 docs) the rule yields exactly the mod-4
+    * quarter-sample `d_phrase_search_sampled` pins, and top-5 bigrams
+    * are heavy hitters (corpus-constant frequencies), which a
+    * ~1250-doc uniform sample identifies stably. SQL-mirrorable as a
+    * scalar subquery (`greatest(1, count(*) // 1250)` — the
+    * `d_containment_auto` pattern), so the auto entry stays
+    * hash-verified. */
+  private[graft] def autoSampleMod(nDocs: Long): Long =
+    math.max(1L, nDocs / 1250L)
 
   /** The PRODUCTION phrase-search shape ([[graft.ext.Retrieval
     * .buildPhraseIndex]] / [[graft.ext.Retrieval.phraseIndexProbe]]):
@@ -3623,15 +3795,39 @@ object TrainingData {
     val top = topBigrams(base, deriveSampleMod = 4L)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_phraseidx").toString
-    graft.ext.Retrieval.buildPhraseIndex(base, dir)
-    val out = graft.ext.Retrieval.phraseIndexProbe(s, dir, top)
-      .orderBy("pid").localCheckpoint()
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(dir))
-    out
+    try {
+      graft.ext.Retrieval.buildPhraseIndex(base, dir)
+      graft.ext.Retrieval.phraseIndexProbe(s, dir, top)
+        .orderBy("pid").localCheckpoint()
+    } finally QueryUtil.deleteRecursively(dir)
+  }
+
+  /** The FULLY index-served phrase pipeline at the scale-proportional
+    * sample rate — the production composition that retires the one
+    * measured super-linear phrase step (r11 weak #1): the postings
+    * index is built once (the only corpus pass), the top-bigram
+    * DERIVATION is served from it at `mod = autoSampleMod(N)`
+    * ([[graft.ext.Retrieval.topBigramsFromIndex]] — a sampled
+    * adjacency self-join whose shuffle is bounded by the ~1250-doc
+    * sample, never the corpus; 1000× measurements for both derivation
+    * shapes in BASELINE.md's phrase section), and the probe is the
+    * partition-pruned [[graft.ext.Retrieval.phraseIndexProbe]]. So
+    * the text is tokenized EXACTLY once end to end. The oracle
+    * mirrors the corpus-derived mod as a scalar subquery (the
+    * `d_containment_auto` pattern) over the shared phrase-search
+    * SQL — derivation equality with the text shape is pinned in
+    * RetrievalSpec, the layout must never change results. */
+  def dPhraseIndexAuto(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val mod = autoSampleMod(base.count())
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phraseidx_auto").toString
+    try {
+      graft.ext.Retrieval.buildPhraseIndex(base, dir)
+      val top = graft.ext.Retrieval.topBigramsFromIndex(s, dir, mod)
+      graft.ext.Retrieval.phraseIndexProbe(s, dir, top)
+        .orderBy("pid").localCheckpoint()
+    } finally QueryUtil.deleteRecursively(dir)
   }
 
   /** Shared phrase-search oracle: `sampleWhere` restricts the
@@ -3658,6 +3854,12 @@ object TrainingData {
   private val dPhraseSearchSql = dPhraseSearchSqlWith("")
   private val dPhraseSearchSampledSql =
     dPhraseSearchSqlWith("WHERE ((doc_id % 4) + 4) % 4 = 0")
+  // the corpus-derived mod as a scalar subquery — mirrors
+  // autoSampleMod's exact integer arithmetic (doc_id ≥ 0 by schema,
+  // so the plain % needs no sign normalization)
+  private val dPhraseIndexAutoSql = dPhraseSearchSqlWith(
+    "WHERE doc_id % (SELECT greatest(1, count(*) // 1250) " +
+      "FROM documents) = 0")
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion
     * ([[graft.ext.Retrieval.rrfFuse]], Cormack et al. 2009): each
@@ -5019,6 +5221,7 @@ object TrainingData {
     "d_phrase_search" -> (dPhraseSearch _),
     "d_phrase_search_sampled" -> (dPhraseSearchSampled _),
     "d_phrase_index_scan" -> (dPhraseIndexScan _),
+    "d_phrase_index_auto" -> (dPhraseIndexAuto _),
     "s_hybrid_rrf" -> (sHybridRrf _),
     "s_hybrid_rrf_ivf" -> (sHybridRrfIvf _),
     "d_dedup_recall" -> (dDedupRecall _),
@@ -5052,6 +5255,8 @@ object TrainingData {
     "s_ann_ivf_pq_sampled" -> (sAnnIvfPqSampled _),
     "s_ann_ivf_pq_res" -> (sAnnIvfPqRes _),
     "s_ann_ivf_pq_resbal" -> (sAnnIvfPqResBal _),
+    "s_ann_ivf_pq_opq_res" -> (sAnnIvfPqOpqRes _),
+    "s_ann_filtered_pq" -> (sAnnFilteredPq _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_decontaminate" -> (dEmbedDecontaminate _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
@@ -5064,6 +5269,7 @@ object TrainingData {
     "d_filter_stack" -> (dFilterStack _),
     "d_quality_lr" -> (dQualityLr _),
     "d_quality_calibration" -> (dQualityCalibration _),
+    "d_quality_threshold" -> (dQualityThreshold _),
     "d_repetition_break" -> (dRepetitionBreak _),
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_priority_sample" -> (dPrioritySample _),
@@ -5126,6 +5332,7 @@ object TrainingData {
     // the persisted-index probe answers the sampled entry's question
     // from a different physical layout — same oracle by design
     "d_phrase_index_scan" -> dPhraseSearchSampledSql,
+    "d_phrase_index_auto" -> dPhraseIndexAutoSql,
     "s_hybrid_rrf" -> sHybridRrfSql,
     "s_hybrid_rrf_ivf" -> sHybridRrfIvfSql,
     "d_dedup_recall" -> dDedupRecallSql,
@@ -5147,6 +5354,7 @@ object TrainingData {
     "d_filter_stack" -> dFilterStackSql,
     "d_quality_lr" -> dQualityLrSql,
     "d_quality_calibration" -> dQualityCalibrationSql,
+    "d_quality_threshold" -> dQualityThresholdSql,
     "d_repetition_break" -> dRepetitionBreakSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_priority_sample" -> dPrioritySampleSql,
@@ -5205,6 +5413,9 @@ object TrainingData {
     "s_ann_ivf_pq_sampled" -> sAnnIvfPqSampledSql,
     "s_ann_ivf_pq_res" -> sAnnIvfPqResSql,
     "s_ann_ivf_pq_resbal" -> sAnnIvfPqResBalSql,
+    // s_ann_ivf_pq_opq_res's oracle lives in dynamicOracle
+    // (plan-literal rotation, dumped after the query runs)
+    "s_ann_filtered_pq" -> sAnnFilteredPqSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "d_embed_dups_auto" -> dEmbedDupsAutoSql,
     "d_embed_decontaminate" -> dEmbedDecontaminateSql,

@@ -177,4 +177,34 @@ class RetrievalSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("topBigramsFromIndex: identical phrase frame to the text-sample " +
+      "derivation at every mod, on real data") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("phraseidx_derive_spec").toString
+    try {
+      Retrieval.buildPhraseIndex(docs, dir)
+      for (mod <- Seq(1L, 4L)) {
+        val fromText = graft.queries.TrainingData.topBigrams(docs, mod)
+          .orderBy("pid").collect().toSeq
+        val fromIdx = Retrieval.topBigramsFromIndex(spark, dir, mod)
+          .orderBy("pid").collect().toSeq
+        assert(fromText == fromIdx,
+          s"mod=$mod derivation drift: $fromText vs $fromIdx")
+        assert(fromText.size == 5)
+      }
+    } finally graft.queries.QueryUtil.deleteRecursively(dir)
+  }
+
+  test("autoSampleMod: exact integer rule — full derivation below the " +
+      "floor, mod-4 at the 5000-doc bench corpus, corpus-independent " +
+      "sample size beyond") {
+    import graft.queries.TrainingData.autoSampleMod
+    assert(autoSampleMod(500L) == 1L)   // sf0.01: full derivation
+    assert(autoSampleMod(1249L) == 1L)
+    assert(autoSampleMod(5000L) == 4L)  // sf0.1: the proven mod-4 pin
+    assert(autoSampleMod(5000000L) == 4000L) // 1000x: ~1250-doc sample
+  }
 }

@@ -648,6 +648,107 @@ class SimilaritySpec extends SparkSpec {
       s"composition recall $resbalC collapsed vs residual $resC")
   }
 
+  test("OPQ x residual composition: trained rotation before the " +
+      "coupled residual fit — recall >= the unrotated residual parent " +
+      "and >= the exhaustive rotated parent on the clustered fixture, " +
+      "no collapse on the uniform corpus") {
+    // the residual test's 4-blob fixture: kSub=2 starves raw
+    // codebooks, the coarse term restores between-blob separation —
+    // and the blobs' axis-aligned spread gives the eigenbasis real
+    // structure to allocate
+    def v(b: Int, j: Double): Seq[Float] =
+      (0 until 8).map(i => (if (i == b) 10.0 else 0.0) +
+        (if (i == (b + 4) % 8) j else 0.0)).map(_.toFloat)
+    val vecs = (0 until 24).map(i =>
+      (i.toLong, (i % 4).toLong, v(i % 4, 0.02 * (i / 4 + 1))))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val qids = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
+    val truth = Similarity.bruteForceTopK(df, qids, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    def recallOf(r: org.apache.spark.sql.DataFrame): Double =
+      r.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(truth.contains).toDouble / truth.size
+    val (_, cov) = Pca.covMeans(df, 8)
+    val rot = Pca.opqRotation(cov, 8, m = 2)
+    // rotation preserves ground truth: the rotated brute-force top-k
+    // pairs are the raw ones (inner products rotation-invariant up to
+    // the 6-decimal literal rounding — identical on this fixture)
+    val rotated = Pca.applyRotation(df, rot,
+      keep = Seq("vec_id", "label"))
+    val truthRot = Similarity.bruteForceTopK(rotated, qids, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    assert(truthRot == truth, "rotation moved the exact ground truth")
+    val res = recallOf(Similarity.ivfTopKPqResidual(df, qids, 3,
+      nprobe = 2, m = 2, kSub = 2, iters = 2, dim = 8))
+    val opqExh = recallOf(Similarity.pqTopK(
+      Pca.applyRotation(df, rot), qids, 3,
+      m = 2, kSub = 2, iters = 2, dim = 8))
+    val opqRes = recallOf(Similarity.ivfTopKPqResidual(rotated, qids,
+      3, nprobe = 2, m = 2, kSub = 2, iters = 2, dim = 8))
+    assert(opqRes >= res,
+      s"OPQ x residual $opqRes < residual parent $res")
+    assert(opqRes >= opqExh,
+      s"OPQ x residual $opqRes < exhaustive OPQ parent $opqExh")
+    // uniform corpus: no coarse/anisotropic structure — the composed
+    // form must stay in the residual variant's band (no collapse)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val truthC = Similarity.bruteForceTopK(emb, q16, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    def recallC(r: org.apache.spark.sql.DataFrame): Double =
+      r.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(truthC.contains).toDouble / truthC.size
+    val (_, covC) = Pca.covMeans(emb, 64)
+    val rotC = Pca.opqRotation(covC, 64, m = 16)
+    val resC = recallC(Similarity.ivfTopKPqResidual(emb, q16, 5,
+      nprobe = 3, m = 16, kSub = 32, iters = 2))
+    val opqResC = recallC(Similarity.ivfTopKPqResidual(
+      Pca.applyRotation(emb, rotC, keep = Seq("vec_id", "label"))
+        .localCheckpoint(),
+      q16, 5, nprobe = 3, m = 16, kSub = 32, iters = 2))
+    assert(opqResC >= resC - 0.1,
+      s"OPQ x residual recall $opqResC collapsed vs residual $resC")
+  }
+
+  test("filtered IVF-PQ: every result satisfies the predicate, and " +
+      "the all-probes form equals the exhaustive filtered ADC ranking") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val pred = pmod(col("vec_id"), lit(3)) === 0
+    // catalog shape: nprobe widened 3 → 5 for ~1/3 selectivity
+    val got = Similarity.ivfTopKPq(emb, q16, 5, nprobe = 5, m = 16,
+      kSub = 32, iters = 2, candidateFilter = Some(pred))
+    assert(got.filter(pmod(col("neighbor_id"), lit(3)) =!= 0).isEmpty,
+      "a result violated the candidate predicate")
+    // all-probes: the filtered composition must equal the exhaustive
+    // ADC ranking restricted to predicate-passing candidates (fits
+    // and codes are filter-agnostic, so adc_dot values are identical
+    // row-for-row)
+    val nLabels = nn.select("label").distinct().count().toInt
+    val all = Similarity.ivfTopKPq(emb, q16, 5, nprobe = nLabels,
+        m = 16, kSub = 32, iters = 2, candidateFilter = Some(pred))
+      .orderBy("query_id", "rank").collect().toSeq
+    val nCorpus = nn.count().toInt
+    val exhaustive = Similarity.ivfTopKPq(emb, q16, nCorpus,
+        nprobe = nLabels, m = 16, kSub = 32, iters = 2)
+      .filter(pmod(col("neighbor_id"), lit(3)) === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("adc_dot"), asc("neighbor_id"))
+    val want = exhaustive
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(all == want,
+      "all-probes filtered IVF-PQ diverged from the exhaustive " +
+        "filtered ADC ranking")
+  }
+
   test("variance-balanced PQ beats contiguous slicing on anisotropic " +
       "data and stays within noise on the uniform corpus") {
     // Anisotropic fixture: ALL identity signal lives in dims 0 (a ∈

@@ -788,6 +788,28 @@ class TrainingDataSpec extends SparkSpec {
     // the low family fills the low bins at rate 0, the high family
     // the top bins at rate 1
     assert(rates.head == 0.0 && rates.last == 1.0, bins.toString)
+
+    // threshold decision on the SAME planted fixture: rate-0 low bins
+    // must be dropped entirely, rate-1 high bins kept entirely, and
+    // the chosen bin is exactly the first one whose n_pos·2 ≥ n
+    val decided = TrainingData.qualityThreshold(docs)
+      .orderBy("kept")
+      .select("kept", "thr_bin", "n_docs", "n_pos", "obs_pos_rate")
+      .as[(Boolean, Long, Long, Long, Double)].collect().toSeq
+    assert(decided.map(_._1) == Seq(false, true), decided.toString)
+    val expectThr = bins.filter(b => b._3 * 2 >= b._2).map(_._1).min
+    assert(decided.forall(_._2 == expectThr),
+      s"threshold bin ${decided.map(_._2)} != smallest qualifying " +
+        s"$expectThr")
+    val kept = decided.find(_._1).get
+    val dropped = decided.find(!_._1).get
+    assert(kept._3 + dropped._3 == 40L, "accounting must cover all docs")
+    assert(kept._4 + dropped._4 == 20L, "positives must total 20")
+    // kept side is all positives on this fixture, dropped all negative
+    assert(kept._5 == 1.0 && dropped._5 == 0.0, decided.toString)
+    // kept rows are exactly the bins at/above the threshold
+    val keptBins = bins.filter(_._1 >= expectThr)
+    assert(kept._3 == keptBins.map(_._2).sum, decided.toString)
   }
 
   test("hybrid RRF: swapping the dense leg brute -> IVF perturbs, " +
