@@ -869,23 +869,52 @@ object Similarity {
           slice(col("emb"), si * subDim + 1, subDim)): _*))
       .as(Seq("sub", "semb")))
 
-  /** Batched nearest-centroid assignment for all m subspaces at once:
-    * the broadcast codebook frame (sub, cid, centroid) equi-joins on
-    * `sub` (kSub candidate rows per input row — identical work to the
-    * per-subspace cross join, one job instead of m) and the argmin is
-    * the same struct-min aggregate as [[assignClustersL2]], keyed
-    * (vec_id, sub). Semantics are EXACTLY the per-subspace fit's —
-    * SimilaritySpec asserts the equivalence — so the unrolled
-    * per-subspace DuckDB oracle verifies this batched physical
-    * shape. */
-  private def pqAssign(subBase: DataFrame, cents: DataFrame): DataFrame =
-    subBase.join(broadcast(cents), Seq("sub"))
-      .withColumn("a_d2", l2sq(col("semb"), col("centroid")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(first(col("semb")).as("semb"), // constant within the group
-        min(struct(col("a_d2"), col("cid"))).as("_best"))
-      .select(col("vec_id"), col("sub"), col("semb"),
-        col("_best.cid").as("cid"))
+  /** Batched nearest-centroid assignment for all m subspaces at once,
+    * as a PURE PROJECTION: the codebook frame is m·kSub rows (≤512 at
+    * the catalog parameterization — the k-center-argmax bound), so it
+    * collects to the driver and embeds as two plan-literal lookup
+    * arrays indexed by `sub`; each subspace row computes its argmin
+    * over the ≤kSub (distance, cid) candidates with `zip_with` +
+    * `array_min` — whole-stage-codegen, NO join explosion and NO
+    * corpus-sized aggregate.
+    *
+    * This shape replaced the r11 broadcast-join + struct-min
+    * aggregate after the 1000× diagnosis: at 2M vectors the join
+    * expanded 32M subspace rows × kSub=32 into a ~1B-row argmin hash
+    * aggregate over 32M groups — in-memory at 100×, SPILLING at
+    * 1000× (the measured ~2.4× super-linear build constant that the
+    * storage-level matrix could not move). As a projection the
+    * encode is embarrassingly parallel and scan-bound at any scale.
+    *
+    * Semantics are EXACTLY the aggregate form's, bit for bit: the
+    * collected centroid doubles re-embed unchanged, [[l2sq]] is the
+    * same expression tree, and `array_min` over struct(a_d2, cid)
+    * orders lexicographically — the identical distance-then-cid tie
+    * break as `min(struct(a_d2, cid))` — so the unrolled per-subspace
+    * DuckDB oracle verifies this physical shape unchanged. Missing
+    * (sub, cid) slots (an empty Lloyd cluster drops out of the mean
+    * update) simply shorten that sub's candidate array, exactly as
+    * they were absent from the broadcast join. */
+  private def pqAssign(subBase: DataFrame, cents: DataFrame): DataFrame = {
+    // bounded collect: m·kSub codebook rows (the fit contract)
+    val rows = cents.select(col("sub"), col("cid"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toIndexedSeq))
+    val m = rows.map(_._1).max + 1
+    val bySub: Seq[Seq[(Int, Int, IndexedSeq[Double])]] =
+      (0 until m).map(s => rows.filter(_._1 == s).sortBy(_._2).toSeq)
+    val centLut: Column =
+      typedLit(bySub.map(_.map(_._3.toSeq)))
+    val cidLut: Column = typedLit(bySub.map(_.map(_._2)))
+    val cands = zip_with(
+      element_at(centLut, col("sub") + 1),
+      element_at(cidLut, col("sub") + 1),
+      (c, id) => struct(l2sq(col("semb"), c).as("a_d2"),
+        id.as("cid")))
+    subBase.select(col("vec_id"), col("sub"), col("semb"),
+      array_min(cands).getField("cid").as("cid"))
+  }
 
   /** All m PQ codebooks fitted in one batched Lloyd loop. Seeds are
     * the kSub smallest vec_ids — the SAME rows for every subspace, so
@@ -968,15 +997,17 @@ object Similarity {
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The corpus-sized subspace frame is the 1000×-measured storage
-    // cliff of the build path (r11: ~2.4× above linear at 2M vectors
-    // = 32M deserialized rows round-tripping executor storage), so:
-    // with a FULL fit it feeds two Lloyd passes + the encode and is
-    // persisted SERIALIZED (columnar batches stored as bytes — the
-    // deserialized object graph was the pressure, not the data); with
-    // a SAMPLED fit it is consumed exactly once by the encode, and
-    // persisting a single-use corpus frame is pure overhead — skip it
-    // (the sampled fit re-explodes only the mod-sized sample).
+    // Corpus-sized subspace frame storage — every option was MEASURED
+    // at the 1000× tier (2M vectors / 32M subspace rows, one session,
+    // BASELINE.md r12 ANN section):
+    //  - FULL fit (3 passes: 2 Lloyd + encode): persist wins — SER
+    //    cache 706s < no-persist re-explode 847s; SER vs the r11
+    //    deserialized cache is ~neutral (the pressure is round-trip
+    //    volume, not object overhead). Keep MEMORY_AND_DISK_SER.
+    //  - SAMPLED fit: the frame is consumed exactly ONCE (the
+    //    encode); persisting a single-use corpus frame is pure
+    //    overhead — removing it cut the 1000× build ~2.2×
+    //    host-adjusted (294s vs the r11 ~395s on a faster host).
     val subBaseLazy = pqSubExplode(base, m, subDim)
     val subBase =
       if (fitSampleMod > 1L) subBaseLazy
@@ -1017,7 +1048,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_dot"), col("rank"))
     val out = topk.localCheckpoint()
-    subBase.unpersist()
+    subBase.unpersist() // no-op under a sampled fit (never persisted)
     base.unpersist()
     out
   }
@@ -1176,11 +1207,14 @@ object Similarity {
     // one Lloyd job chain for all m subspaces), label attached via
     // one (vec_id)-keyed join of two narrow frames, materialized once
     // as "the stored index"
-    // same storage rule as pqTopK: SERIALIZED for the 3-pass full-fit
-    // subspace frame, NO persist when the sampled fit leaves it
-    // single-use; the code index (corpus-sized, m small codes + a
-    // label per vector) checkpoints SERIALIZED too — both were the
-    // r11-measured 1000× build-path storage constant
+    // same storage rule as pqTopK: SER-persist the subspace frame
+    // for the 3-pass full fit, skip the persist when the sampled fit
+    // leaves it single-use (both measured, see pqTopK). The coded
+    // frame itself STREAMS into the probed join — in this query path
+    // it is consumed exactly once, so the r11 eager localCheckpoint
+    // materialized 32M rows to executor storage for nothing (in
+    // production the deployment writes it out as the stored index;
+    // that is a sink decision, not a query-path cost).
     val subBaseLazy = pqSubExplode(base, m, subDim)
     val subBase =
       if (fitSampleMod > 1L) subBaseLazy
@@ -1195,8 +1229,6 @@ object Similarity {
     val index = pqAssign(subBase, cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes = q.crossJoin(broadcast(cent))
@@ -1231,7 +1263,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_dot"), col("rank"))
     val out = topk.localCheckpoint()
-    subBase.unpersist()
+    subBase.unpersist() // no-op under a sampled fit (never persisted)
     base.unpersist()
     out
   }
@@ -1281,20 +1313,24 @@ object Similarity {
       .localCheckpoint() // feeds residuals AND probes — compute once
     // residual pass: one broadcast join + element-wise subtraction
     // (raw doubles; a-b is IEEE-exact so Spark and DuckDB agree)
-    // corpus-sized residual frames persist SERIALIZED (the pqTopK
-    // full-fit storage rule — the residual fit is always full here)
+    // the residual BASE (corpus-sized vectors, same footprint class
+    // as `base`) persists — it feeds the seeds and every subspace
+    // re-explode; the 16×-larger SUBSPACE frame does not (re-explode
+    // from the cached rbase per pass — the r12 1000× finding, see
+    // pqTopK)
     val rbase = base.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"),
         zip_with(col("emb"), col("centroid"), (a, b) => a - b).as("emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // always a full 3-pass fit here → the subspace frame persists SER;
+    // the coded frame streams into the probed join (single-use — the
+    // pqTopK/ivfTopKPq storage rule, both measured at 1000×)
     val subRes = pqSubExplode(rbase, m, subDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cents = pqFitCodebooks(rbase, subRes, m, subDim, kSub, iters)
     val index = pqAssign(subRes, cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     // probes carry BOTH the ranking cosine and the raw coarse dot

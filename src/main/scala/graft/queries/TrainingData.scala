@@ -3802,29 +3802,32 @@ object TrainingData {
     } finally QueryUtil.deleteRecursively(dir)
   }
 
-  /** The FULLY index-served phrase pipeline at the scale-proportional
-    * sample rate — the production composition that retires the one
-    * measured super-linear phrase step (r11 weak #1): the postings
-    * index is built once (the only corpus pass), the top-bigram
-    * DERIVATION is served from it at `mod = autoSampleMod(N)`
-    * ([[graft.ext.Retrieval.topBigramsFromIndex]] — a sampled
-    * adjacency self-join whose shuffle is bounded by the ~1250-doc
-    * sample, never the corpus; 1000× measurements for both derivation
-    * shapes in BASELINE.md's phrase section), and the probe is the
-    * partition-pruned [[graft.ext.Retrieval.phraseIndexProbe]]. So
-    * the text is tokenized EXACTLY once end to end. The oracle
-    * mirrors the corpus-derived mod as a scalar subquery (the
+  /** The phrase pipeline at the SCALE-PROPORTIONAL sample rate — the
+    * production composition that retires the one measured
+    * super-linear phrase step (r11 weak #1): top-bigram derivation at
+    * `mod = autoSampleMod(N)` (its aggregate shuffle bounded by the
+    * ~1250-doc sample, never the corpus — 1000× measured 1.41 s vs
+    * 265.9 s for the fixed mod-4 full-rate step in the same session),
+    * the postings index built once, and the partition-pruned
+    * [[graft.ext.Retrieval.phraseIndexProbe]]. The derivation leg is
+    * the TEXT-sample aggregate, not
+    * [[graft.ext.Retrieval.topBigramsFromIndex]]: both shapes were
+    * measured at 1000× (1.41 s vs 2.72 s — the index shape pays the
+    * full postings columnar read, a modulus residual cannot prune
+    * parquet row groups) and the catalog keeps the cheaper; the
+    * index-served shape stays as the spec-pinned alternative for
+    * corpora whose raw text is cold or archived. The oracle mirrors
+    * the corpus-derived mod as a scalar subquery (the
     * `d_containment_auto` pattern) over the shared phrase-search
-    * SQL — derivation equality with the text shape is pinned in
-    * RetrievalSpec, the layout must never change results. */
+    * SQL — the layout must never change results. */
   def dPhraseIndexAuto(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
     val mod = autoSampleMod(base.count())
+    val top = topBigrams(base, mod)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_phraseidx_auto").toString
     try {
       graft.ext.Retrieval.buildPhraseIndex(base, dir)
-      val top = graft.ext.Retrieval.topBigramsFromIndex(s, dir, mod)
       graft.ext.Retrieval.phraseIndexProbe(s, dir, top)
         .orderBy("pid").localCheckpoint()
     } finally QueryUtil.deleteRecursively(dir)
