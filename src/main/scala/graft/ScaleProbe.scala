@@ -161,6 +161,8 @@ object ScaleProbe {
         probePhrase(spark, scale, reps); spark.stop(); return
       case Some("mvrefresh") =>
         probeMvRefresh(spark, scale, reps); spark.stop(); return
+      case Some("annindex") =>
+        probeAnnIndex(spark, scale, reps); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -1090,6 +1092,38 @@ object ScaleProbe {
       println(f"[probe] derive index (mod=$autoMod%d)  min " +
         f"${tIdx.min}%7.2fs  " +
         f"(runs ${tIdx.map(t => f"$t%.2f").mkString("/")})")
+    } finally graft.queries.QueryUtil.deleteRecursively(idxDir)
+  }
+
+  /** Stored-ANN-index production split (`ScaleProbe <reps> <scale>
+    * annindex`): the coded IVF-PQ layout — label-partitioned codes +
+    * codebooks + coarse centroids — is built ONCE (timed), then the
+    * partition-pruned probe is timed alone, the split the
+    * s_ann_index_scan entry amortizes (the d_phrase_index_scan
+    * treatment for the ANN family). */
+  def probeAnnIndex(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = ensureDeepCorpus(spark, scale)
+    val emb = Tables.embeddings(spark, dir)
+    val qids = graft.ext.Similarity.sampleQueryIds(
+      emb.filter(col("embedding").isNotNull), 16)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_probe").toString
+    try {
+      val tB0 = System.nanoTime()
+      graft.ext.Similarity.buildPqIndex(emb, idxDir, m = 16,
+        kSub = 32, iters = 2, fitSampleMod = 4L)
+      println(f"[probe] pq index build (once)  " +
+        f"${(System.nanoTime() - tB0) / 1e9}%7.2fs")
+      val probeTimes = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ext.Similarity.pqIndexProbe(spark, idxDir, emb, qids,
+            k = 5, nprobe = 3)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] pq index probe (pruned) min " +
+        f"${probeTimes.min}%7.2fs  " +
+        f"(runs ${probeTimes.map(t => f"$t%.2f").mkString("/")})")
     } finally graft.queries.QueryUtil.deleteRecursively(idxDir)
   }
 

@@ -1194,15 +1194,7 @@ object Similarity {
     // coarse level: exact decimal-mean per-label centroids (the
     // ivfTopK frame, unrounded — see kmeansCentroids' portability
     // note), probed with raw-double cosine
-    val cent = base
-      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg((graft.queries.QueryUtil.sumDec(col("v")) /
-        count(lit(1))).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("cv")))),
-        x => x("cv")).as("centroid"))
+    val cent = labelCentroids(base)
     // fine level: the pqTopK codebooks + code index (batched fit —
     // one Lloyd job chain for all m subspaces), label attached via
     // one (vec_id)-keyed join of two narrow frames, materialized once
@@ -1268,6 +1260,149 @@ object Similarity {
     out
   }
 
+  /** Materialize the STORED IVF-PQ index — the ANN sibling of
+    * [[graft.ext.Retrieval.buildPhraseIndex]], closing the persisted-
+    * layout family (phrase postings, BFS adjacency, MV store, z-order
+    * all have one; the coded ANN index is what a 100 TB deployment
+    * actually keeps between corpus snapshots). Three artifacts:
+    *
+    *  - `$dir/codes`   — (vec_id, sub, cid) PARTITIONED BY label: m
+    *    small codes per vector, laid out so a probe's label set is a
+    *    planning-time partition filter (the phrase-index bucket rule
+    *    with the coarse quantizer's own key — probes are label
+    *    lookups, there is no range to cluster);
+    *  - `$dir/coarse`  — the per-label exact decimal-mean centroids
+    *    (O(labels) rows);
+    *  - `$dir/codebooks` — all m fitted sub-codebooks (m·kSub rows).
+    *
+    * Fit/encode are EXACTLY [[ivfTopKPq]]'s (shared helpers), with
+    * the production `fitSampleMod` lever; parquet round-trips doubles
+    * bit-exactly, so serving from the layout can never change
+    * results — SimilaritySpec pins probe ≡ ivfTopKPq equality and the
+    * partition pruning. Build cost is the index-build price, one
+    * corpus scan + one encode projection, amortized across every
+    * probe on the snapshot. */
+  def buildPqIndex(embeddings: DataFrame, dir: String, m: Int,
+      kSub: Int, iters: Int, dim: Int = 64,
+      fitSampleMod: Long = 1L): Unit = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
+    val subDim = dim / m
+    val base = embeddings.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labelCentroids(base).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    // the ivfTopKPq storage rule: SER-persist the subspace frame only
+    // when the full fit makes it multi-pass (it then also serves the
+    // encode); a sampled fit leaves the corpus explode single-use
+    val subBase = pqSubExplode(base, m, subDim)
+    val (fitBase, fitSub, persisted) =
+      if (fitSampleMod > 1L) {
+        val fb = base.filter(col("vec_id") % fitSampleMod === 0)
+        (fb, pqSubExplode(fb, m, subDim), None)
+      } else {
+        val sb = subBase.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        (base, sb, Some(sb))
+      }
+    val cents = pqFitCodebooks(fitBase, fitSub, m, subDim, kSub, iters)
+    cents.coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqAssign(persisted.getOrElse(subBase), cents)
+      .select(col("vec_id"), col("sub"), col("cid"))
+      .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .repartition(col("label")) // one writer task per partition dir
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$dir/codes")
+    persisted.foreach(_.unpersist())
+    base.unpersist(): Unit
+  }
+
+  /** Probe served from a [[buildPqIndex]] layout: the query vectors
+    * score the O(labels) stored coarse centroids, the |Q|·nprobe
+    * probed set collects driver-side (bounded by the fixed-|Q|
+    * contract — the phraseIndexProbe rule), its label set becomes a
+    * PLANNING-time partition filter on the codes read, and fine
+    * ranking is the usual broadcast-LUT ADC sum over the pruned
+    * partitions — no raw corpus vectors, no fit, no
+    * corpus-proportional probe state. `embeddings` supplies only the
+    * |Q| query rows (queries are never quantized — the asymmetric-ADC
+    * contract). Results are bit-identical to [[ivfTopKPq]] at the
+    * same parameters: parquet preserves the fit's doubles exactly and
+    * every downstream expression is shared. */
+  def pqIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, embeddings: DataFrame, queryIds: DataFrame, k: Int,
+      nprobe: Int, dim: Int = 64): DataFrame = {
+    val m = spark.read.parquet(s"$dir/codebooks")
+      .agg(max(col("sub"))).head().getInt(0) + 1
+    val subDim = dim / m
+    val cent = spark.read.parquet(s"$dir/coarse")
+    val cents = spark.read.parquet(s"$dir/codebooks")
+    val q = embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+      .join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    // label normalized to LONG inside the probe: the source schema
+    // may carry int labels and the partition directory re-infers its
+    // own numeric type — one explicit width everywhere keeps the
+    // joins exact regardless
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("label").cast("long").as("label"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("c_sim"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("c_sim"), asc("label"))
+    // |Q|·nprobe rows by contract → driver-side, labels become the
+    // partition filter (the phraseIndexProbe planning-time prune)
+    val probedRows = probes.withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("label"))
+      .collect()
+    val labels = probedRows.map(_.getLong(1)).distinct.toSeq
+    import spark.implicits._
+    val probed = probedRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("query_id", "label")
+    // filter BEFORE the cast so the isin stays a partition filter;
+    // the directory-inferred partition type then normalizes to long
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("label").isin(labels: _*))
+      .withColumn("label", col("label").cast("long"))
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("cid"),
+        graft.functions.ArrayOps.dot_product(
+          slice(col("q_emb"), col("sub") * lit(subDim) + lit(1),
+            lit(subDim)),
+          col("centroid")).as("pdot"))
+    val scored = codes.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(graft.queries.QueryUtil.sumDec(col("pdot")), 6)
+        .as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("adc_dot"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dot"), col("rank"))
+  }
+
+  /** The per-label exact decimal-mean coarse centroid frame — ONE
+    * definition shared by [[ivfTopKPq]], [[ivfTopKPqResidual]] and
+    * [[buildPqIndex]] (the three were identical inline copies before
+    * r12; a drift here would desynchronize the stored index from the
+    * inline composition). */
+  private def labelCentroids(base: DataFrame): DataFrame = base
+    .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+    .groupBy(col("label"), col("dim"))
+    .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+      count(lit(1))).as("cv"))
+    .groupBy(col("label"))
+    .agg(transform(
+      array_sort(collect_list(struct(col("dim"), col("cv")))),
+      x => x("cv")).as("centroid"))
+
   /** RESIDUAL IVF-PQ — the production FAISS form of [[ivfTopKPq]]:
     * each vector is PQ-encoded not on its raw coordinates but on its
     * residual `r = v − c(v)` against its assigned coarse centroid.
@@ -1299,17 +1434,9 @@ object Similarity {
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // coarse level: identical frame to ivfTopKPq (per-label exact
-    // decimal-mean centroids, unrounded)
-    val cent = base
-      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg((graft.queries.QueryUtil.sumDec(col("v")) /
-        count(lit(1))).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("cv")))),
-        x => x("cv")).as("centroid"))
+    // coarse level: identical frame to ivfTopKPq (the shared
+    // labelCentroids helper)
+    val cent = labelCentroids(base)
       .localCheckpoint() // feeds residuals AND probes — compute once
     // residual pass: one broadcast join + element-wise subtraction
     // (raw doubles; a-b is IEEE-exact so Spark and DuckDB agree)

@@ -2003,6 +2003,38 @@ object TrainingData {
 
   private val sAnnIvfPqSampledSql = ivfPqSqlWith(pqFitsSqlWith(Some(4)))
 
+  /** The STORED ANN index served end to end
+    * ([[Similarity.buildPqIndex]] / [[Similarity.pqIndexProbe]]) —
+    * the IVF-PQ sibling of `d_phrase_index_scan`, completing the
+    * persisted-layout family: codes (m bytes + a label per vector)
+    * are materialized ONCE partitioned by the coarse label, the
+    * codebooks and coarse centroids beside them, and the probe is a
+    * planning-time partition-pruned read of the probed labels' codes
+    * + the broadcast-LUT ADC sum — no raw corpus vectors, no fit, no
+    * corpus-proportional probe state. Fit is the production sampled
+    * parameterization (`fitSampleMod = 4`); parquet round-trips the
+    * fit's doubles bit-exactly, so the layout can never change
+    * results — the oracle IS the inline sampled composition's
+    * (hash-equality against it is the correctness claim), and
+    * SimilaritySpec pins probe ≡ [[Similarity.ivfTopKPq]] plus the
+    * pruned numFiles. The temp layout is reclaimed after the probe
+    * (the zorderScan treatment); in production the build amortizes
+    * across every probe on the snapshot. */
+  def sAnnIndexScan(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqidx").toString
+    try {
+      Similarity.buildPqIndex(e, dir, m = 16, kSub = 32, iters = 2,
+        fitSampleMod = 4L)
+      Similarity.pqIndexProbe(s, dir, e,
+          Similarity.sampleQueryIds(
+            e.filter(col("embedding").isNotNull), n = 16),
+          k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").localCheckpoint()
+    } finally QueryUtil.deleteRecursively(dir)
+  }
+
   /** Metadata-FILTERED IVF-PQ ([[Similarity.ivfTopKPq]] with
     * `candidateFilter`) — [[sAnnFiltered]]'s pre-filter semantics
     * composed with the CODED index: at 100 TB a filtered vector query
@@ -5260,6 +5292,7 @@ object TrainingData {
     "s_ann_ivf_pq_resbal" -> (sAnnIvfPqResBal _),
     "s_ann_ivf_pq_opq_res" -> (sAnnIvfPqOpqRes _),
     "s_ann_filtered_pq" -> (sAnnFilteredPq _),
+    "s_ann_index_scan" -> (sAnnIndexScan _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_decontaminate" -> (dEmbedDecontaminate _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
@@ -5419,6 +5452,9 @@ object TrainingData {
     // s_ann_ivf_pq_opq_res's oracle lives in dynamicOracle
     // (plan-literal rotation, dumped after the query runs)
     "s_ann_filtered_pq" -> sAnnFilteredPqSql,
+    // the stored-index probe must equal the inline sampled
+    // composition — the layout can never change results
+    "s_ann_index_scan" -> sAnnIvfPqSampledSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "d_embed_dups_auto" -> dEmbedDupsAutoSql,
     "d_embed_decontaminate" -> dEmbedDecontaminateSql,

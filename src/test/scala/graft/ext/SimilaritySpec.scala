@@ -749,6 +749,61 @@ class SimilaritySpec extends SparkSpec {
         "filtered ADC ranking")
   }
 
+  test("stored PQ index: probe equals the inline sampled composition " +
+      "from the persisted layout, partition-pruned codes read, no " +
+      "state left behind") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqidx_spec").toString
+    try {
+      spark.sharedState.cacheManager.clearCache()
+      Similarity.buildPqIndex(emb, dir, m = 16, kSub = 32, iters = 2,
+        fitSampleMod = 4L)
+      val nLabelDirs = Option(new java.io.File(s"$dir/codes")
+        .listFiles()).toSeq.flatten.count(_.getName.startsWith("label="))
+      assert(nLabelDirs > 3,
+        s"layout too small to prove pruning: $nLabelDirs label dirs")
+      val probe = Similarity.pqIndexProbe(spark, dir, emb, q16,
+        k = 5, nprobe = 3)
+      val got = probe.orderBy("query_id", "rank").collect().toSeq
+      val want = Similarity.ivfTopKPq(emb, q16, 5, nprobe = 3, m = 16,
+          kSub = 32, iters = 2, fitSampleMod = 4L)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(got == want, "stored layout changed results")
+      // the executed codes scan reads ONLY the probed labels'
+      // partitions — pinned with a 1-query/nprobe=1 probe (the
+      // catalog's 16 queries × 3 probes legitimately cover all 10
+      // sf0.001 labels; at corpus scale the label count grows and
+      // the same planning-time filter prunes proportionally)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(allScans)
+      }
+      val one = Similarity.pqIndexProbe(spark, dir, emb,
+        q16.limit(1), k = 5, nprobe = 1)
+      one.collect()
+      val codeScans = allScans(one.queryExecution.executedPlan)
+        .filter(_.toString.contains("codes"))
+      assert(codeScans.nonEmpty)
+      assert(codeScans.exists(_.toString.contains("PartitionFilters: [")))
+      val parts = codeScans.map(s =>
+        s.metrics.get("numPartitions").map(_.value).getOrElse(0L)).max
+      assert(parts == 1L,
+        s"expected a 1-label pruned read: $parts of $nLabelDirs dirs")
+      // probe path carries no corpus-proportional state
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "pqIndexProbe cached a frame — the probe must be stateless")
+    } finally graft.queries.QueryUtil.deleteRecursively(dir)
+  }
+
   test("variance-balanced PQ beats contiguous slicing on anisotropic " +
       "data and stays within noise on the uniform corpus") {
     // Anisotropic fixture: ALL identity signal lives in dims 0 (a ∈
