@@ -678,21 +678,60 @@ object Similarity {
     centroids
   }
 
+  /** Centroid-count gate for the projection-form assignment: up to
+    * this many centroids the codebook collects driver-side and embeds
+    * as plan-literal lookup arrays (two `typedLit`s — one Literal
+    * node each, no codegen blowup); beyond it the literal itself
+    * becomes task-binary weight (k·dim doubles) and the assignment
+    * falls back to the broadcast-join + struct-min/max aggregate.
+    * Every catalog k (8–80) and the PQ fits (m·kSub ≤ 512) sit far
+    * under the gate; the k ∝ N paths (auto-k semdedup, the ingest
+    * gate's coarse quantizer) cross it at large corpora and keep the
+    * join form. */
+  private val AssignLutMaxCentroids = 1024
+
   /** Nearest-centroid assignment by rounded cosine, ties broken by
-    * cluster id — deterministic and SQL-mirrorable. Argmax is a
-    * struct-max hash aggregate (partial combine, no sort shuffle the
-    * way a row_number window would): max orders by a_sim first, then
-    * by −cid, so equal similarities resolve to the smallest cid —
-    * identical semantics to `row_number() OVER (ORDER BY a_sim DESC,
-    * cid ASC) = 1`. */
-  def assignClusters(base: DataFrame, centroids: DataFrame): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .withColumn("a_sim", round(cosine(col("emb"), col("centroid")), 6))
-      .groupBy(col("vec_id"))
-      .agg(first(col("emb")).as("emb"), // constant within the group
-        max(struct(col("a_sim"), (-col("cid")).as("neg_cid"),
-          col("cid"))).as("_best"))
-      .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
+    * cluster id — deterministic and SQL-mirrorable: equal
+    * similarities resolve to the smallest cid, identical semantics to
+    * `row_number() OVER (ORDER BY a_sim DESC, cid ASC) = 1`.
+    *
+    * Physical shape (the r12 pqAssign finding, measured at the 1000×
+    * tier): for bounded k the assignment is a pure PROJECTION — the
+    * collected centroids embed as lookup arrays and each row takes
+    * `array_max` over its (a_sim, −cid, cid) struct candidates —
+    * whole-stage codegen, no N·k join expansion and no N-group argmax
+    * hash aggregate (the aggregate is what SPILLS once N·k outgrows
+    * executor memory; it cost the PQ build ~1.7× at 2M vectors).
+    * Above [[AssignLutMaxCentroids]] the broadcast-join + struct-max
+    * aggregate form is kept. Both forms are bit-identical: same
+    * rounded-cosine tree on the same doubles, same
+    * similarity-then-cid tie break — the DuckDB oracles verify either
+    * physical shape unchanged. */
+  def assignClusters(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val local = centroids.select(col("cid"), col("centroid"))
+      .limit(AssignLutMaxCentroids + 1).collect()
+    if (local.length > AssignLutMaxCentroids)
+      base.crossJoin(broadcast(centroids))
+        .withColumn("a_sim",
+          round(cosine(col("emb"), col("centroid")), 6))
+        .groupBy(col("vec_id"))
+        .agg(first(col("emb")).as("emb"), // constant within the group
+          max(struct(col("a_sim"), (-col("cid")).as("neg_cid"),
+            col("cid"))).as("_best"))
+        .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
+    else {
+      val sorted = local
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val centLut: Column = typedLit(sorted.map(_._2))
+      val cidLut: Column = typedLit(sorted.map(_._1))
+      val cands = zip_with(centLut, cidLut, (c, id) =>
+        struct(round(cosine(col("emb"), c), 6).as("a_sim"),
+          (-id).as("neg_cid"), id.as("cid")))
+      base.select(col("vec_id"), col("emb"),
+        array_max(cands).getField("cid").as("cid"))
+    }
+  }
 
   /** Rounded squared-L2 distance between two double arrays, in the
     * algebraic form `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩` — three [[cosine]]-style
@@ -709,18 +748,33 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment under rounded squared-L2 — the
-    * [[assignClusters]] sibling for the PQ codebook fit. Argmin is a
-    * struct-min hash aggregate (partial combine, no sort shuffle):
-    * min orders by distance first, then cid, so ties resolve to the
-    * smallest cluster id — identical semantics to `row_number() OVER
-    * (ORDER BY d2 ASC, cid ASC) = 1` in the oracle. */
-  def assignClustersL2(base: DataFrame, centroids: DataFrame): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .withColumn("a_d2", l2sq(col("emb"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("emb")).as("emb"), // constant within the group
-        min(struct(col("a_d2"), col("cid"))).as("_best"))
-      .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
+    * [[assignClusters]] sibling for L2 fits, with the same
+    * projection-vs-join physical gate and the same bit parity
+    * argument: ties resolve by distance then smallest cid, identical
+    * semantics to `row_number() OVER (ORDER BY d2 ASC, cid ASC) = 1`
+    * in the oracle, in either physical form. */
+  def assignClustersL2(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val local = centroids.select(col("cid"), col("centroid"))
+      .limit(AssignLutMaxCentroids + 1).collect()
+    if (local.length > AssignLutMaxCentroids)
+      base.crossJoin(broadcast(centroids))
+        .withColumn("a_d2", l2sq(col("emb"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("emb")).as("emb"), // constant within the group
+          min(struct(col("a_d2"), col("cid"))).as("_best"))
+        .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
+    else {
+      val sorted = local
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val centLut: Column = typedLit(sorted.map(_._2))
+      val cidLut: Column = typedLit(sorted.map(_._1))
+      val cands = zip_with(centLut, cidLut, (c, id) =>
+        struct(l2sq(col("emb"), c).as("a_d2"), id.as("cid")))
+      base.select(col("vec_id"), col("emb"),
+        array_min(cands).getField("cid").as("cid"))
+    }
+  }
 
   /** [[kmeansCentroids]] under squared-L2 assignment (the textbook
     * k-means objective and the metric PQ codebooks are trained with):
