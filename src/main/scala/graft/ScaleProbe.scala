@@ -153,6 +153,9 @@ object ScaleProbe {
         probeStream(spark, scale); spark.stop(); return
       case Some("ingest") =>
         probeAnnIngest(spark, scale, reps); spark.stop(); return
+      case Some("ingestsqrt") =>
+        probeAnnIngest(spark, scale, reps, sqrtK = true)
+        spark.stop(); return
       case Some("realmedia") =>
         probeMediaReal(spark, scale); spark.stop(); return
       case Some("tpch") =>
@@ -640,9 +643,8 @@ object ScaleProbe {
     *    18k → 198k manifests at the same 2k batch). Reuses the
     *    corpora built by the 10×/100× document probes. */
   def probeAnnIngest(spark: SparkSession, scale: Int,
-      reps: Int): Unit = {
-    val dir =
-      if (scale > 10) s"/tmp/sf${scale / 10}probe" else ProbeDir
+      reps: Int, sqrtK: Boolean = false): Unit = {
+    val dir = ensureDeepCorpus(spark, scale)
     val emb = Tables.embeddings(spark, dir)
     val mx = emb.agg(max("vec_id")).head().getLong(0)
     val mod = math.max(1L, (mx + 1) / 2000L)
@@ -655,8 +657,11 @@ object ScaleProbe {
     // the sample bound the way production applies it)
     val fitMod = if (scale >= 100) 10L else 1L
     val tB0 = System.nanoTime()
-    val built = graft.ext.Similarity.ivfIndexBuild(manifest,
-      targetPartitionSize = 64, iters = 2, fitSampleMod = fitMod)
+    val built =
+      if (sqrtK) graft.ext.Similarity.ivfIndexBuildSqrt(manifest,
+        iters = 2, fitSampleMod = fitMod)
+      else graft.ext.Similarity.ivfIndexBuild(manifest,
+        targetPartitionSize = 64, iters = 2, fitSampleMod = fitMod)
     val index = built.copy(
       centroids = built.centroids.localCheckpoint(),
       members = built.members.localCheckpoint())
@@ -667,7 +672,8 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"[probe] ann_ingest(batch=$nB, manifest=$nM, " +
+    val tag = if (sqrtK) "ann_ingest_sqrt" else "ann_ingest"
+    println(f"[probe] $tag(batch=$nB, manifest=$nM, " +
       f"k=${index.kClusters}, fitMod=$fitMod) build $tBuild%7.2fs  " +
       f"probe min ${times.min}%7.2fs  " +
       f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")

@@ -678,17 +678,63 @@ object Similarity {
     centroids
   }
 
-  /** Centroid-count gate for the projection-form assignment: up to
-    * this many centroids the codebook collects driver-side and embeds
-    * as plan-literal lookup arrays (two `typedLit`s — one Literal
-    * node each, no codegen blowup); beyond it the literal itself
-    * becomes task-binary weight (k·dim doubles) and the assignment
-    * falls back to the broadcast-join + struct-min/max aggregate.
-    * Every catalog k (8–80) and the PQ fits (m·kSub ≤ 512) sit far
-    * under the gate; the k ∝ N paths (auto-k semdedup, the ingest
-    * gate's coarse quantizer) cross it at large corpora and keep the
-    * join form. */
+  /** Centroid-count gate for the plan-LITERAL projection assignment:
+    * up to this many centroids the codebook collects driver-side and
+    * embeds as plan-literal lookup arrays (two `typedLit`s — one
+    * Literal node each, whole-stage codegen, no join node at all);
+    * beyond it the literal itself becomes task-binary weight (k·dim
+    * doubles serialized into every task) and the assignment switches
+    * to the broadcast one-row LUT form — still a per-row projection
+    * over the same candidate array (no N·k row expansion, no N-group
+    * argmin/argmax aggregate), but the arrays arrive via a broadcast
+    * single-row cross join instead of the plan. Every catalog k
+    * (8–80) and the PQ fits (m·kSub ≤ 512) sit far under the gate;
+    * the k ∝ N paths (auto-k semdedup, the ingest gate's coarse
+    * quantizer) cross it at large corpora and take the broadcast-row
+    * form. */
   private val AssignLutMaxCentroids = 1024
+
+  /** The (a_sim, −cid, cid) candidate struct both cosine-assignment
+    * forms rank with — ONE definition so the two physical shapes can
+    * never drift. `array_max` over it orders by similarity then
+    * smallest cid: identical semantics to `row_number() OVER (ORDER
+    * BY a_sim DESC, cid ASC) = 1`. */
+  private def cosCand(emb: Column)(c: Column, id: Column): Column =
+    struct(round(cosine(emb, c), 6).as("a_sim"),
+      (-id).as("neg_cid"), id.as("cid"))
+
+  /** Plan-literal projection form of [[assignClusters]] — centroids
+    * already collected and sorted by cid. */
+  private[graft] def assignClustersLut(base: DataFrame,
+      sorted: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centLut: Column = typedLit(sorted.map(_._2))
+    val cidLut: Column = typedLit(sorted.map(_._1))
+    base.select(col("vec_id"), col("emb"),
+      array_max(zip_with(centLut, cidLut, cosCand(col("emb"))))
+        .getField("cid").as("cid"))
+  }
+
+  /** Broadcast one-row LUT form of [[assignClusters]] — the k ∝ N
+    * shape. The codebook aggregates to a SINGLE row of two arrays
+    * (sorted by cid, so candidate order matches the literal form),
+    * broadcast and cross-joined: every base row sees the same arrays
+    * and runs the IDENTICAL `array_max(zip_with(…))` projection as
+    * the literal form — no N·k row expansion, no N-group argmax
+    * aggregate (the shape that spilled at the 1000× tier, r12
+    * pqAssign finding), no k·dim plan literal. The only moving data
+    * is one k·dim-double broadcast row. */
+  private[graft] def assignClustersBcast(base: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val lutRow = broadcast(centroids
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+        .as("_lut"))
+      .select(transform(col("_lut"), e => e("centroid")).as("_cent_lut"),
+        transform(col("_lut"), e => e("cid")).as("_cid_lut")))
+    base.crossJoin(lutRow)
+      .select(col("vec_id"), col("emb"),
+        array_max(zip_with(col("_cent_lut"), col("_cid_lut"),
+          cosCand(col("emb")))).getField("cid").as("cid"))
+  }
 
   /** Nearest-centroid assignment by rounded cosine, ties broken by
     * cluster id — deterministic and SQL-mirrorable: equal
@@ -696,41 +742,27 @@ object Similarity {
     * `row_number() OVER (ORDER BY a_sim DESC, cid ASC) = 1`.
     *
     * Physical shape (the r12 pqAssign finding, measured at the 1000×
-    * tier): for bounded k the assignment is a pure PROJECTION — the
-    * collected centroids embed as lookup arrays and each row takes
-    * `array_max` over its (a_sim, −cid, cid) struct candidates —
-    * whole-stage codegen, no N·k join expansion and no N-group argmax
-    * hash aggregate (the aggregate is what SPILLS once N·k outgrows
-    * executor memory; it cost the PQ build ~1.7× at 2M vectors).
-    * Above [[AssignLutMaxCentroids]] the broadcast-join + struct-max
-    * aggregate form is kept. Both forms are bit-identical: same
-    * rounded-cosine tree on the same doubles, same
-    * similarity-then-cid tie break — the DuckDB oracles verify either
-    * physical shape unchanged. */
+    * tier): ALWAYS a per-row projection over the candidate array —
+    * never the broadcast-join + N-group argmax aggregate, which is
+    * what SPILLS once N·k outgrows executor memory (it cost the PQ
+    * build ~1.7× at 2M vectors). For bounded k
+    * (≤ [[AssignLutMaxCentroids]]) the codebook embeds as plan
+    * literals ([[assignClustersLut]], whole-stage codegen); above the
+    * gate it arrives as one broadcast row ([[assignClustersBcast]]),
+    * keeping tasks and plans small at k ∝ N. Both forms rank with the
+    * SHARED [[cosCand]] struct on the same collected doubles in the
+    * same cid order — bit-identical, AssignFormSpec pins frame
+    * equality — so the DuckDB oracles verify either physical shape
+    * unchanged. */
   def assignClusters(base: DataFrame, centroids: DataFrame): DataFrame = {
     val local = centroids.select(col("cid"), col("centroid"))
       .limit(AssignLutMaxCentroids + 1).collect()
     if (local.length > AssignLutMaxCentroids)
-      base.crossJoin(broadcast(centroids))
-        .withColumn("a_sim",
-          round(cosine(col("emb"), col("centroid")), 6))
-        .groupBy(col("vec_id"))
-        .agg(first(col("emb")).as("emb"), // constant within the group
-          max(struct(col("a_sim"), (-col("cid")).as("neg_cid"),
-            col("cid"))).as("_best"))
-        .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
-    else {
-      val sorted = local
+      assignClustersBcast(base, centroids)
+    else
+      assignClustersLut(base, local
         .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
-        .sortBy(_._1).toSeq
-      val centLut: Column = typedLit(sorted.map(_._2))
-      val cidLut: Column = typedLit(sorted.map(_._1))
-      val cands = zip_with(centLut, cidLut, (c, id) =>
-        struct(round(cosine(col("emb"), c), 6).as("a_sim"),
-          (-id).as("neg_cid"), id.as("cid")))
-      base.select(col("vec_id"), col("emb"),
-        array_max(cands).getField("cid").as("cid"))
-    }
+        .sortBy(_._1).toSeq)
   }
 
   /** Rounded squared-L2 distance between two double arrays, in the
@@ -749,7 +781,7 @@ object Similarity {
 
   /** Nearest-centroid assignment under rounded squared-L2 — the
     * [[assignClusters]] sibling for L2 fits, with the same
-    * projection-vs-join physical gate and the same bit parity
+    * literal-vs-broadcast-row projection gate and the same bit parity
     * argument: ties resolve by distance then smallest cid, identical
     * semantics to `row_number() OVER (ORDER BY d2 ASC, cid ASC) = 1`
     * in the oracle, in either physical form. */
@@ -757,23 +789,41 @@ object Similarity {
     val local = centroids.select(col("cid"), col("centroid"))
       .limit(AssignLutMaxCentroids + 1).collect()
     if (local.length > AssignLutMaxCentroids)
-      base.crossJoin(broadcast(centroids))
-        .withColumn("a_d2", l2sq(col("emb"), col("centroid")))
-        .groupBy(col("vec_id"))
-        .agg(first(col("emb")).as("emb"), // constant within the group
-          min(struct(col("a_d2"), col("cid"))).as("_best"))
-        .select(col("vec_id"), col("emb"), col("_best.cid").as("cid"))
-    else {
-      val sorted = local
+      assignClustersL2Bcast(base, centroids)
+    else
+      assignClustersL2Lut(base, local
         .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
-        .sortBy(_._1).toSeq
-      val centLut: Column = typedLit(sorted.map(_._2))
-      val cidLut: Column = typedLit(sorted.map(_._1))
-      val cands = zip_with(centLut, cidLut, (c, id) =>
-        struct(l2sq(col("emb"), c).as("a_d2"), id.as("cid")))
-      base.select(col("vec_id"), col("emb"),
-        array_min(cands).getField("cid").as("cid"))
-    }
+        .sortBy(_._1).toSeq)
+  }
+
+  /** The (a_d2, cid) candidate struct both L2-assignment forms rank
+    * with — `array_min` over it = distance-then-smallest-cid. */
+  private def l2Cand(emb: Column)(c: Column, id: Column): Column =
+    struct(l2sq(emb, c).as("a_d2"), id.as("cid"))
+
+  /** Plan-literal projection form of [[assignClustersL2]]. */
+  private[graft] def assignClustersL2Lut(base: DataFrame,
+      sorted: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centLut: Column = typedLit(sorted.map(_._2))
+    val cidLut: Column = typedLit(sorted.map(_._1))
+    base.select(col("vec_id"), col("emb"),
+      array_min(zip_with(centLut, cidLut, l2Cand(col("emb"))))
+        .getField("cid").as("cid"))
+  }
+
+  /** Broadcast one-row LUT form of [[assignClustersL2]] — see
+    * [[assignClustersBcast]] for the shape argument. */
+  private[graft] def assignClustersL2Bcast(base: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val lutRow = broadcast(centroids
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+        .as("_lut"))
+      .select(transform(col("_lut"), e => e("centroid")).as("_cent_lut"),
+        transform(col("_lut"), e => e("cid")).as("_cid_lut")))
+    base.crossJoin(lutRow)
+      .select(col("vec_id"), col("emb"),
+        array_min(zip_with(col("_cent_lut"), col("_cid_lut"),
+          l2Cand(col("emb")))).getField("cid").as("cid"))
   }
 
   /** [[kmeansCentroids]] under squared-L2 assignment (the textbook
@@ -1658,12 +1708,37 @@ object Similarity {
     * to a √N-cluster or HNSW coarse quantizer (bounding k itself
     * rather than just the fit corpus). */
   def ivfIndexBuild(manifest: DataFrame, targetPartitionSize: Int,
-      iters: Int, fitSampleMod: Long = 1L): IvfIndex = {
+      iters: Int, fitSampleMod: Long = 1L): IvfIndex =
+    ivfIndexBuildWithK(manifest,
+      n => math.ceil(n.toDouble / targetPartitionSize).toInt,
+      iters, fitSampleMod)
+
+  /** [[ivfIndexBuild]] with k = ⌈√N⌉ — the BOUNDED-k coarse quantizer
+    * the k ∝ N scaladoc points to beyond ~10M vectors. √N is not an
+    * arbitrary bound: per-query probe cost is `k + nprobe·N/k`
+    * (centroid scoring + fine ranking in the probed partitions),
+    * minimized at k = √(nprobe·N) — the classical IVF operating
+    * point (FAISS's own guideline is k between √N and 16√N). The
+    * trade vs k ∝ N: build drops from O(N²/target) to O(N^1.5)
+    * (it stops being the refit-cadence wall), per-batch probe grows
+    * as √N instead of staying flat — and at today's corpus sizes the
+    * √N probe is CHEAPER anyway, because k ∝ N's k already exceeds
+    * the √-optimum (198k manifest: k=3094 vs 446 — centroid scoring
+    * dominates its probe). Same deterministic fit, same
+    * `fitSampleMod` bound, oracle-mirrorable with
+    * `ceil(sqrt(count(*)))` (IEEE sqrt is correctly rounded —
+    * engine-portable). */
+  def ivfIndexBuildSqrt(manifest: DataFrame, iters: Int,
+      fitSampleMod: Long = 1L): IvfIndex =
+    ivfIndexBuildWithK(manifest,
+      n => math.ceil(math.sqrt(n.toDouble)).toInt, iters, fitSampleMod)
+
+  private def ivfIndexBuildWithK(manifest: DataFrame,
+      kOf: Long => Int, iters: Int, fitSampleMod: Long): IvfIndex = {
     require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
     val base = ivfBase(manifest).select(col("vec_id"), col("emb"))
     val n = base.count()
-    val kClusters = math.max(1,
-      math.ceil(n.toDouble / targetPartitionSize).toInt)
+    val kClusters = math.max(1, kOf(n))
     val fitBase =
       if (fitSampleMod > 1L) base.filter(col("vec_id") % fitSampleMod === 0)
       else base
@@ -1729,6 +1804,15 @@ object Similarity {
     ivfProbe(ivfIndexBuild(manifest, targetPartitionSize, iters),
       incoming, k, nprobe)
 
+  /** [[ivfIncremental]] on the √N-cluster index
+    * ([[ivfIndexBuildSqrt]]) — the bounded-k ingest gate for corpora
+    * where the k ∝ N build cost (O(N²/target)) outruns the refit
+    * cadence. Identical probe machinery; only the coarse quantizer's
+    * k rule changes. */
+  def ivfIncrementalSqrt(manifest: DataFrame, incoming: DataFrame,
+      k: Int, nprobe: Int, iters: Int = 2): DataFrame =
+    ivfProbe(ivfIndexBuildSqrt(manifest, iters), incoming, k, nprobe)
+
   // NULL embeddings drop on the Spark side too (the oracle filters
   // `embedding IS NOT NULL`): a NULL row kept here would enter fine
   // ranking with a NULL cos_sim and surface whenever a probed label
@@ -1768,6 +1852,41 @@ object Similarity {
   def ivfTopKFiltered(embeddings: DataFrame, queryIds: DataFrame,
       k: Int, nprobe: Int, candidateFilter: Column): DataFrame = {
     val base = ivfBase(embeddings)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfCore(base, q, k, nprobe,
+      candidates = Some(base.filter(candidateFilter)))
+  }
+
+  /** [[ivfTopKFiltered]] with nprobe DERIVED from the predicate's
+    * measured selectivity — the `_auto` production sibling of the
+    * hand-widened form, closing the one knob `s_ann_filtered` left
+    * hand-set. Rule (exact integer arithmetic, oracle-mirrorable as a
+    * scalar subquery): `nprobe = min(n_labels, ⌈baseNprobe · N /
+    * N_match⌉)` — widen the unfiltered default by the inverse
+    * selectivity so the EXPECTED number of matching candidates inside
+    * the probed partitions stays what `baseNprobe` partitions yield
+    * unfiltered (the standard filtered-search recall lever, here tied
+    * to a corpus statistic instead of a guess; FAISS documents the
+    * same 1/selectivity widening for metadata-filtered IVF search).
+    * Clamped at the label count: past that, filtered search IS the
+    * exact filtered scan.
+    *
+    * Cost of the derivation: one O(1)-row aggregate over the base
+    * scan (count, match count, label count) — the same bounded
+    * driver-side statistic the other `_auto` entries collect. The
+    * coarse quantizer stays filter-agnostic ([[ivfCore]]'s contract:
+    * centroids always derive from the FULL base — the stored index is
+    * shared across predicates). */
+  def ivfTopKFilteredAuto(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, baseNprobe: Int, candidateFilter: Column): DataFrame = {
+    val base = ivfBase(embeddings)
+    val st = base.agg(count(lit(1)).as("n"),
+      count(when(candidateFilter, lit(1))).as("m"),
+      countDistinct(col("label")).as("l")).head()
+    val (n, m, l) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    require(m > 0, "candidateFilter matches no rows — nothing to rank")
+    val nprobe = math.min(l, (baseNprobe.toLong * n + m - 1) / m).toInt
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     ivfCore(base, q, k, nprobe,

@@ -1430,6 +1430,61 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** [[sAnnFiltered]] with nprobe DERIVED from the predicate's
+    * measured selectivity ([[Similarity.ivfTopKFilteredAuto]]):
+    * `nprobe = min(n_labels, ⌈3·N/N_match⌉)`, exact integer
+    * arithmetic, oracle-mirrored as a scalar subquery over the same
+    * base CTE — the production form of the filtered-search recall
+    * lever (the one knob the r11/r12 filtered entries left hand-set).
+    * Predicate here is `vec_id % 2 = 0` (~1/2 selectivity → nprobe 6
+    * of the fixture's 10 labels — non-degenerate on BOTH sides: wider
+    * than the unfiltered 3, narrower than the exact filtered scan). */
+  def sAnnFilteredAuto(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKFilteredAuto(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, baseNprobe = 3,
+        candidateFilter = pmod(col("vec_id"), lit(2)) === 0)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnFilteredAutoSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |np AS (SELECT least(count(DISTINCT label),
+       |    (3 * count(*) + sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0
+       |      THEN 1 ELSE 0 END) - 1)
+       |    // sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0
+       |      THEN 1 ELSE 0 END)) AS nprobe FROM base),
+       |dims AS (SELECT label, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |probes AS (SELECT query_id, q_emb, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN cent),
+       |probed AS (SELECT query_id, q_emb, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= (SELECT nprobe FROM np)),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${sqlCosine("p.q_emb", "b.emb")} AS cos_sim
+       |  FROM base b JOIN probed p ON b.label = p.label
+       |  WHERE b.vec_id <> p.query_id
+       |    AND ((b.vec_id % 2) + 2) % 2 = 0),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val sAnnFilteredSql =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -1528,6 +1583,53 @@ object TrainingData {
        |  WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
        |${kmUnrolledCoreSql("man",
           "SELECT CAST(ceil(count(*) / 64.0) AS INT) FROM man")},
+       |probes AS (SELECT n.vec_id AS new_id, n.emb AS q_emb, c.cid,
+       |    ${sqlCosine("n.emb", "c.centroid")} AS c_sim
+       |  FROM newb n CROSS JOIN c2 c),
+       |probed AS (SELECT new_id, q_emb, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY new_id
+       |      ORDER BY c_sim DESC, cid ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |scored AS (SELECT p.new_id, m.vec_id AS match_id,
+       |    ${sqlCosine("p.q_emb", "m.emb")} AS cos_sim
+       |  FROM members m JOIN probed p ON m.cid = p.cid
+       |  WHERE m.vec_id <> p.new_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY new_id
+       |    ORDER BY cos_sim DESC, match_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT new_id, match_id, cos_sim, rank
+       |FROM ranked WHERE rank <= 3 ORDER BY new_id, rank""".stripMargin
+
+  /** [[sAnnIncremental]] on the √N-cluster coarse quantizer
+    * ([[Similarity.ivfIncrementalSqrt]]) — the BOUNDED-k ingest gate
+    * the k ∝ N entry's scale story points to beyond ~10M vectors.
+    * k = ⌈√N⌉ is the classical IVF operating point (per-query probe
+    * cost `k + nprobe·N/k` is minimized at k = √(nprobe·N); FAISS's
+    * guideline is √N…16√N clusters): build drops from O(N²/target)
+    * to O(N^1.5), probe grows as √N instead of flat — and at
+    * measured corpus sizes the √N probe is cheaper outright because
+    * k ∝ N already over-shoots the √-optimum (198k manifest: k=3094
+    * vs 446). Oracle: the same unrolled 2-iteration fit with
+    * k = ceil(sqrt(count(*))) as a scalar subquery — IEEE sqrt is
+    * correctly rounded, so the k derivation is engine-portable. */
+  def sAnnIncrementalSqrt(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfIncrementalSqrt(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0),
+        k = 3, nprobe = 3, iters = 2)
+      .orderBy("new_id", "rank")
+  }
+
+  private val sAnnIncrementalSqrtSql =
+    s"""WITH man AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 10 <> 0),
+       |newb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
+       |${kmUnrolledCoreSql("man",
+          "SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM man")},
        |probes AS (SELECT n.vec_id AS new_id, n.emb AS q_emb, c.cid,
        |    ${sqlCosine("n.emb", "c.centroid")} AS c_sim
        |  FROM newb n CROSS JOIN c2 c),
@@ -5277,7 +5379,9 @@ object TrainingData {
     "s_ann_lsh_mp" -> (sAnnLshMp _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_filtered" -> (sAnnFiltered _),
+    "s_ann_filtered_auto" -> (sAnnFilteredAuto _),
     "s_ann_incremental" -> (sAnnIncremental _),
+    "s_ann_incremental_sqrt" -> (sAnnIncrementalSqrt _),
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
     "s_ann_rerank" -> (sAnnRerank _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
@@ -5435,7 +5539,9 @@ object TrainingData {
     "s_ann_lsh_mp" -> sAnnLshMpSql,
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_filtered" -> sAnnFilteredSql,
+    "s_ann_filtered_auto" -> sAnnFilteredAutoSql,
     "s_ann_incremental" -> sAnnIncrementalSql,
+    "s_ann_incremental_sqrt" -> sAnnIncrementalSqrtSql,
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
     "s_ann_rerank" -> sAnnRerankSql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,

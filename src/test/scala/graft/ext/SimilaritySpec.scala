@@ -146,6 +146,52 @@ class SimilaritySpec extends SparkSpec {
       s"widening nprobe lost recall: $recall < $narrow")
   }
 
+  test("auto-widened filtered ANN: derived nprobe equals the hand-" +
+      "computed rule, rare predicates clamp to the exact filtered " +
+      "scan, every result satisfies the predicate") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val qids = Similarity.sampleQueryIds(nn, 16)
+    val pred = pmod(col("vec_id"), lit(2)) === 0
+    // hand-compute the rule: nprobe = min(l, ceil(3n/m))
+    val n = nn.count()
+    val m = nn.filter(pred).count()
+    val l = nn.select("label").distinct().count()
+    val expected = math.min(l, (3L * n + m - 1) / m).toInt
+    val auto = Similarity.ivfTopKFilteredAuto(emb, qids, 5,
+      baseNprobe = 3, candidateFilter = pred)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // behavioral pin: auto ≡ the hand-widened form at the derived
+    // nprobe (the rule is the ONLY thing the auto variant adds)
+    val hand = Similarity.ivfTopKFiltered(emb, qids, 5,
+      nprobe = expected, candidateFilter = pred)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(auto == hand,
+      s"auto nprobe drifted from the rule (expected nprobe=$expected)")
+    assert(auto.forall(_._2 % 2 == 0),
+      "a neighbor violates the candidate predicate")
+    // the widening must be real on this fixture: ~1/2 selectivity →
+    // nprobe strictly between the base (3) and the label count
+    assert(expected > 3 && expected < l,
+      s"fixture no longer exercises a non-degenerate widening " +
+        s"(nprobe=$expected, labels=$l)")
+    // rare predicate → inverse selectivity exceeds the label count →
+    // clamp: auto IS the exact filtered scan (all partitions probed)
+    val rare = pmod(col("vec_id"), lit(50)) === 0
+    val clamped = Similarity.ivfTopKFilteredAuto(emb, qids, 5,
+      baseNprobe = 3, candidateFilter = rare)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.ivfTopKFiltered(emb, qids, 5,
+      nprobe = l.toInt, candidateFilter = rare)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(clamped == exact,
+      "rare-predicate auto search must clamp to the exact filtered scan")
+  }
+
   test("k-means fit is deterministic and clusters tight groups together") {
     // two obvious clusters around orthogonal axes (dim 64)
     def v(axis: Int, jitter: Float): Seq[Float] =
@@ -1141,6 +1187,40 @@ class SimilaritySpec extends SparkSpec {
       members = sampled.members.localCheckpoint())
     val top = Similarity.ivfProbe(idx, planted, k = 3, nprobe = 3)
       .filter($"new_id" === 1000000L && $"rank" === 1)
+      .select($"match_id", $"cos_sim").collect().head
+    assert(top.getLong(0) == donor.getLong(0))
+    assert(top.getDouble(1) == 1.0)
+  }
+
+  test("ivfIndexBuildSqrt: k = ceil(sqrt(N)), the full manifest is " +
+      "assigned, and the sqrt ingest gate attaches an identical " +
+      "vector at rank 1 from the manifest only") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val manifest = emb.filter($"vec_id" % 10 =!= 0)
+      .filter($"embedding".isNotNull)
+    val n = manifest.count()
+    val idx = Similarity.ivfIndexBuildSqrt(manifest, iters = 2)
+    assert(idx.kClusters == math.ceil(math.sqrt(n.toDouble)).toInt,
+      s"sqrt rule drifted: k=${idx.kClusters} for n=$n")
+    assert(idx.members.count() == n)
+    // same k under the sampled fit (the rule binds to the MANIFEST
+    // size, not the fit sample — the index must cover the corpus)
+    val sampled = Similarity.ivfIndexBuildSqrt(manifest, iters = 2,
+      fitSampleMod = 3L)
+    assert(sampled.kClusters == idx.kClusters)
+    assert(sampled.members.count() == n)
+    // the gate end-to-end: manifest-only matches, planted exact
+    // duplicate attaches at rank 1 / cos 1.0
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val donor = manifest.orderBy("vec_id").limit(1)
+      .select($"vec_id", $"embedding", $"label").collect().head
+    val planted = Seq(
+        (1000000L, donor.getSeq[Float](1), donor.getInt(2)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfIncrementalSqrt(manifest,
+      batch.unionByName(planted), k = 3, nprobe = 3).cache()
+    assert(got.filter($"match_id" % 10 === 0).isEmpty)
+    val top = got.filter($"new_id" === 1000000L && $"rank" === 1)
       .select($"match_id", $"cos_sim").collect().head
     assert(top.getLong(0) == donor.getLong(0))
     assert(top.getDouble(1) == 1.0)
