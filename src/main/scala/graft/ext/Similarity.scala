@@ -1423,6 +1423,37 @@ object Similarity {
     base.unpersist(): Unit
   }
 
+  /** Append a batch to a [[buildPqIndex]] layout WITHOUT refit — the
+    * FAISS `add` path on the stored index, the coded sibling of
+    * [[ivfIncremental]]'s no-refit contract: the batch is encoded
+    * with the STORED codebooks ([[pqAssign]]'s projection over the
+    * collected ≤ m·kSub rows) and its codes land as an APPEND into
+    * the label-partitioned codes layout — existing code files are
+    * never rewritten, the coarse centroids and codebooks never move,
+    * and a probe sees old and new vectors through the identical ADC
+    * machinery. Encode cost is one narrow projection pass over the
+    * batch (m·kSub candidate l2s per row); the append writes only the
+    * batch's partitions. Production appends bounded batches between
+    * refit cycles exactly like this; quantizer drift across many
+    * appends is the documented trigger for the next [[buildPqIndex]]
+    * refit. AppendSpec pins: manifest codes bit-identical pre/post
+    * append, and split-appends compose to the one-shot append. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, dim: Int = 64): Unit = {
+    val cents = spark.read.parquet(s"$dir/codebooks")
+    val m = cents.agg(max(col("sub"))).head().getInt(0) + 1
+    val subDim = dim / m
+    val base = batch.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("emb"))
+      .filter(col("emb").isNotNull)
+    pqAssign(pqSubExplode(base, m, subDim), cents)
+      .select(col("vec_id"), col("sub"), col("cid"))
+      .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .repartition(col("label"))
+      .write.mode("append").partitionBy("label")
+      .parquet(s"$dir/codes")
+  }
+
   /** Probe served from a [[buildPqIndex]] layout: the query vectors
     * score the O(labels) stored coarse centroids, the |Q|·nprobe
     * probed set collects driver-side (bounded by the fixed-|Q|
@@ -1881,16 +1912,25 @@ object Similarity {
   def ivfTopKFilteredAuto(embeddings: DataFrame, queryIds: DataFrame,
       k: Int, baseNprobe: Int, candidateFilter: Column): DataFrame = {
     val base = ivfBase(embeddings)
+    val nprobe = autoNprobe(base, baseNprobe, candidateFilter)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    ivfCore(base, q, k, nprobe,
+      candidates = Some(base.filter(candidateFilter)))
+  }
+
+  /** The selectivity-derived nprobe rule shared by the filtered
+    * `_auto` entries: `min(n_labels, ⌈baseNprobe · N / N_match⌉)`,
+    * exact integer arithmetic over one O(1)-row aggregate of the
+    * (vec_id, label, …) base frame. */
+  private[graft] def autoNprobe(base: DataFrame, baseNprobe: Int,
+      candidateFilter: Column): Int = {
     val st = base.agg(count(lit(1)).as("n"),
       count(when(candidateFilter, lit(1))).as("m"),
       countDistinct(col("label")).as("l")).head()
     val (n, m, l) = (st.getLong(0), st.getLong(1), st.getLong(2))
     require(m > 0, "candidateFilter matches no rows — nothing to rank")
-    val nprobe = math.min(l, (baseNprobe.toLong * n + m - 1) / m).toInt
-    val q = base.join(broadcast(queryIds), Seq("vec_id"))
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    ivfCore(base, q, k, nprobe,
-      candidates = Some(base.filter(candidateFilter)))
+    math.min(l, (baseNprobe.toLong * n + m - 1) / m).toInt
   }
 
   /** Shared IVF probe + fine-rank core: centroids from `base`'s

@@ -1771,7 +1771,7 @@ object TrainingData {
     * (vec_id, emb) CTE the subspaces slice — `base` for raw-vector
     * PQ, `rbase` for the residual variant. */
   private def pqFitsSqlWith(sampleMod: Option[Int],
-      src: String = "base"): String = {
+      src: String = "base", encodeSrc: Option[String] = None): String = {
     // identical float expression tree to Similarity.l2sq
     def l2(a: String, b: String) =
       s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
@@ -1796,16 +1796,23 @@ object TrainingData {
       val fbCte = sampleMod.map(n =>
         s"fb$s AS (SELECT vec_id, emb FROM b$s WHERE vec_id % $n = 0),\n")
         .getOrElse("")
+      // encodeSrc splits the FIT corpus from the ENCODE corpus (the
+      // stored-index append path: codebooks fitted on the manifest,
+      // membership codes for every row); default = encode what you fit
+      val encCte = encodeSrc.map(es =>
+        s"e$s AS (SELECT vec_id, emb[${pqLo(s)}:${pqHi(s)}] AS emb" +
+          s" FROM $es),\n").getOrElse("")
+      val encName = if (encodeSrc.isDefined) s"e$s" else s"b$s"
       s"""b$s AS (SELECT vec_id, emb[${pqLo(s)}:${pqHi(s)}] AS emb
          |  FROM $src),
-         |${fbCte}i$s AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
+         |$encCte${fbCte}i$s AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
          |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
          |    FROM $fitSrc) WHERE rn <= $PqKSub),
          |${assignSql(fitSrc, s"i$s", s"a${s}1")},
          |${updateSql(s"a${s}1", s"c${s}1")},
          |${assignSql(fitSrc, s"c${s}1", s"a${s}2")},
          |${updateSql(s"a${s}2", s"c${s}2")},
-         |${assignSql(s"b$s", s"c${s}2", s"m$s")}""".stripMargin
+         |${assignSql(encName, s"c${s}2", s"m$s")}""".stripMargin
     }.mkString(",\n")
   }
   private def pqCodesUnionSql: String = (0 until PqM)
@@ -2039,7 +2046,7 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
-  private def ivfPqSqlWith(fits: String, nprobe: Int = 3,
+  private def ivfPqSqlWith(fits: String, nprobe: String = "3",
       candWhere: String = "") =
     s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -2122,6 +2129,80 @@ object TrainingData {
     * pruned numFiles. The temp layout is reclaimed after the probe
     * (the zorderScan treatment); in production the build amortizes
     * across every probe on the snapshot. */
+  /** Stored-index MAINTENANCE ([[Similarity.appendToPqIndex]]) — the
+    * FAISS `add` path on the [[Similarity.buildPqIndex]] layout,
+    * completing the no-refit family (`s_ann_incremental` for the raw
+    * IVF gate, this for the coded index): the index is built from the
+    * MANIFEST only (vec_id % 10 ≠ 0, sampled fit), the batch
+    * (vec_id % 10 = 0) is encoded with the STORED codebooks and
+    * APPENDED into the label-partitioned codes — no refit, no
+    * re-encode, no rewrite of existing code files — then a probe
+    * serves old and new vectors through the identical partition-
+    * pruned ADC machinery. The oracle mirrors the split exactly:
+    * coarse centroids + codebook fits derive from the manifest CTE
+    * while membership codes cover every row (`pqFitsSqlWith`'s
+    * encodeSrc split), so fit-freeze semantics are hash-verified end
+    * to end. AppendSpec pins the layout claims (manifest codes
+    * bit-identical pre/post append; split-appends ≡ one-shot). */
+  def sAnnIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_app").toString
+    try {
+      Similarity.buildPqIndex(e.filter(col("vec_id") % 10 =!= 0), dir,
+        m = 16, kSub = 32, iters = 2, fitSampleMod = 4L)
+      Similarity.appendToPqIndex(s, dir,
+        e.filter(col("vec_id") % 10 === 0))
+      Similarity.pqIndexProbe(s, dir, e,
+          Similarity.sampleQueryIds(
+            e.filter(col("embedding").isNotNull), n = 16),
+          k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").localCheckpoint()
+    } finally QueryUtil.deleteRecursively(dir)
+  }
+
+  private val sAnnIndexAppendSql =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |man AS (SELECT vec_id, label, emb FROM base
+       |  WHERE vec_id % 10 <> 0),
+       |dims AS (SELECT label, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM man CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |${pqFitsSqlWith(Some(4), src = "man",
+          encodeSrc = Some("base"))},
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |probes AS (SELECT query_id, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN cent),
+       |probed AS (SELECT query_id, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM probes)
+       |  WHERE prn <= 3),
+       |codes AS ($pqCodesUnionSql),
+       |codesl AS (SELECT c.vec_id, b.label, c.sub, c.cid
+       |  FROM codes c JOIN base b ON c.vec_id = b.vec_id),
+       |lut AS ($pqLutUnionSql),
+       |scored AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+       |    round(${sqlSumDec("pdot")}, 6) AS adc_dot
+       |  FROM codesl k
+       |  JOIN probed p ON k.label = p.label
+       |  JOIN lut l ON l.query_id = p.query_id
+       |    AND l.sub = k.sub AND l.cid = k.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY l.query_id, k.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dot DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def sAnnIndexScan(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val dir = java.nio.file.Files
@@ -2159,8 +2240,36 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
-  private val sAnnFilteredPqSql = ivfPqSqlWith(pqFitsSql, nprobe = 5,
+  private val sAnnFilteredPqSql = ivfPqSqlWith(pqFitsSql, nprobe = "5",
     candWhere = " AND ((k.vec_id % 3) + 3) % 3 = 0")
+
+  /** [[sAnnFilteredPq]] with nprobe DERIVED from the predicate's
+    * measured selectivity — the `_auto` composition on the CODED
+    * index ([[Similarity.autoNprobe]] feeding
+    * [[Similarity.ivfTopKPq]]'s pre-filter): the same
+    * `min(n_labels, ⌈3·N/N_match⌉)` rule as `s_ann_filtered_auto`,
+    * oracle-mirrored as a scalar subquery feeding the shared IVF-PQ
+    * body. Predicate `vec_id % 2 = 0` → nprobe 6 of 10 on the
+    * fixture (non-degenerate both sides). */
+  def sAnnFilteredPqAuto(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val nn = e.filter(col("embedding").isNotNull)
+    val pred = pmod(col("vec_id"), lit(2)) === 0
+    Similarity.ivfTopKPq(e,
+        Similarity.sampleQueryIds(nn, n = 16),
+        k = 5, nprobe = Similarity.autoNprobe(nn, 3, pred),
+        m = 16, kSub = 32, iters = 2,
+        candidateFilter = Some(pred))
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnFilteredPqAutoSql = ivfPqSqlWith(pqFitsSql,
+    nprobe = ("(SELECT least(count(DISTINCT label), " +
+      "(3 * count(*) + sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0 " +
+      "THEN 1 ELSE 0 END) - 1) " +
+      "// sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0 " +
+      "THEN 1 ELSE 0 END)) FROM base)"),
+    candWhere = " AND ((k.vec_id % 2) + 2) % 2 = 0")
 
   /** RESIDUAL IVF-PQ ([[Similarity.ivfTopKPqResidual]]) — the FAISS
     * production form: codebooks fitted on `v − c(v)` residuals
@@ -5396,7 +5505,9 @@ object TrainingData {
     "s_ann_ivf_pq_resbal" -> (sAnnIvfPqResBal _),
     "s_ann_ivf_pq_opq_res" -> (sAnnIvfPqOpqRes _),
     "s_ann_filtered_pq" -> (sAnnFilteredPq _),
+    "s_ann_filtered_pq_auto" -> (sAnnFilteredPqAuto _),
     "s_ann_index_scan" -> (sAnnIndexScan _),
+    "s_ann_index_append" -> (sAnnIndexAppend _),
     "d_embed_dups" -> (dEmbedDups _),
     "d_embed_decontaminate" -> (dEmbedDecontaminate _),
     "d_embed_dups_auto" -> (dEmbedDupsAuto _),
@@ -5558,9 +5669,11 @@ object TrainingData {
     // s_ann_ivf_pq_opq_res's oracle lives in dynamicOracle
     // (plan-literal rotation, dumped after the query runs)
     "s_ann_filtered_pq" -> sAnnFilteredPqSql,
+    "s_ann_filtered_pq_auto" -> sAnnFilteredPqAutoSql,
     // the stored-index probe must equal the inline sampled
     // composition — the layout can never change results
     "s_ann_index_scan" -> sAnnIvfPqSampledSql,
+    "s_ann_index_append" -> sAnnIndexAppendSql,
     "d_embed_dups" -> dEmbedDupsSql,
     "d_embed_dups_auto" -> dEmbedDupsAutoSql,
     "d_embed_decontaminate" -> dEmbedDecontaminateSql,

@@ -795,6 +795,32 @@ class SimilaritySpec extends SparkSpec {
         "filtered ADC ranking")
   }
 
+  test("auto-widened filtered IVF-PQ: the derived nprobe matches the " +
+      "shared rule and the composition equals the hand-set form at " +
+      "that nprobe") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val pred = pmod(col("vec_id"), lit(2)) === 0
+    val n = nn.count()
+    val m = nn.filter(pred).count()
+    val l = nn.select("label").distinct().count()
+    val expected = math.min(l, (3L * n + m - 1) / m).toInt
+    assert(Similarity.autoNprobe(nn, 3, pred) == expected)
+    assert(expected > 3 && expected < l,
+      s"fixture widening degenerate (nprobe=$expected, labels=$l)")
+    val auto = Similarity.ivfTopKPq(emb, q16, 5,
+        nprobe = Similarity.autoNprobe(nn, 3, pred), m = 16,
+        kSub = 32, iters = 2, candidateFilter = Some(pred))
+      .orderBy("query_id", "rank").collect().toSeq
+    val hand = Similarity.ivfTopKPq(emb, q16, 5, nprobe = expected,
+        m = 16, kSub = 32, iters = 2, candidateFilter = Some(pred))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(auto == hand)
+    assert(auto.forall(_.getLong(1) % 2 == 0),
+      "a result violated the candidate predicate")
+  }
+
   test("stored PQ index: probe equals the inline sampled composition " +
       "from the persisted layout, partition-pruned codes read, no " +
       "state left behind") {
