@@ -1446,6 +1446,18 @@ object Similarity {
     val base = batch.select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
+    // a label the stored coarse centroids don't know would land in a
+    // partition NO probe ever selects — silently unreachable rows.
+    // New labels are the refit trigger, not an append; fail loudly.
+    val known = spark.read.parquet(s"$dir/coarse")
+      .select(col("label").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    val novel = base.select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filterNot(known)
+    require(novel.isEmpty,
+      s"batch carries labels absent from the stored coarse index " +
+        s"(${novel.mkString(",")}) — appending them would create " +
+        "unreachable partitions; rebuild the index instead")
     pqAssign(pqSubExplode(base, m, subDim), cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))

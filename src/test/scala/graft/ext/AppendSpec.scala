@@ -72,4 +72,23 @@ class AppendSpec extends SparkSpec {
       graft.queries.QueryUtil.deleteRecursively(dir2)
     }
   }
+
+  test("append refuses a batch whose label is absent from the stored " +
+      "coarse index (it would be unreachable to every probe)") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_append3").toString
+    try {
+      Similarity.buildPqIndex(emb.filter($"vec_id" % 10 =!= 0), dir,
+        m = 16, kSub = 32, iters = 2, fitSampleMod = 4L)
+      val donor = emb.filter($"embedding".isNotNull)
+        .orderBy("vec_id").limit(1).collect().head
+      val novel = Seq((999999L, donor.getSeq[Float](1), 424242))
+        .toDF("vec_id", "embedding", "label")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendToPqIndex(spark, dir, novel)
+      }
+      assert(e.getMessage.contains("424242"))
+    } finally graft.queries.QueryUtil.deleteRecursively(dir)
+  }
 }
