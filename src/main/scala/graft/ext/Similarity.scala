@@ -1931,6 +1931,114 @@ object Similarity {
       candidates = Some(base.filter(candidateFilter)))
   }
 
+  /** TWO-LEVEL coarse quantizer ANN (IMI-style hierarchy, Babenko &
+    * Lempitsky's inverted multi-index argument specialized to a
+    * label×sub-cluster grid): level 1 is the exact per-label centroid
+    * index the IVF family stores; level 2 fits an INDEPENDENT
+    * deterministic k-means of `k2` sub-clusters INSIDE each label
+    * (seeds = the k2 smallest vec_ids per label, same rounded-cosine
+    * assignment and decimal-mean updates as [[kmeansCentroids]], so
+    * the whole grid is engine-portable and the DuckDB oracle unrolls
+    * it with `label` added to every GROUP BY / PARTITION BY).
+    *
+    * WHY a hierarchy — the assignment-cost wall this retires: a flat
+    * quantizer with C cells pays N·C candidate evaluations to assign
+    * the corpus (the measured k ∝ N quadratic wall; √N bounds it at
+    * O(N^1.5)). Two levels pay N·(k1 + k2) for k1·k2 cells — at 2M
+    * vectors and a 31k-cell grid that is ~7×10⁸ evaluations instead
+    * of 6×10¹⁰. Probe cost factors the same way: k1 coarse dots +
+    * nprobe1·k2 sub-cluster dots + fine ranking inside
+    * nprobe1·nprobe2 cells of ~N/(k1·k2) vectors each — finer
+    * pruning granularity than one-level IVF at equal per-query
+    * centroid work. This is the production regime FAISS reaches with
+    * IMI/HNSW coarse quantizers once a flat coarse index stops
+    * amortizing.
+    *
+    * Per-probed-label sub-cluster selection (`nprobe2` best cells per
+    * probed label, not a global cell top-n) keeps the window
+    * SQL-mirrorable and the probed-cell count exactly
+    * nprobe1·nprobe2. Ties: rounded cosine then smallest id at both
+    * levels, the family rule. */
+  def ivfTopKTwoLevel(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, nprobe1: Int, nprobe2: Int, k2: Int,
+      iters: Int): DataFrame = {
+    val base = ivfBase(embeddings)
+    val cent1 = labelCentroids(base)
+    val seedW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    var cents2 = base
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= k2)
+      .select(col("label"), (col("rn") - 1).cast("int").as("scid"),
+        col("emb").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignSubClusters(base, cents2)
+      cents2 = assigned
+        .select(col("label"), col("scid"),
+          posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("scid"), col("dim"))
+        .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+          count(lit(1))).as("cv"))
+        .groupBy(col("label"), col("scid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x("cv")).as("centroid"))
+        .localCheckpoint()
+    }
+    val members = assignSubClusters(base, cents2)
+    val q = base.join(broadcast(queryIds), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes1 = q.crossJoin(broadcast(cent1))
+      .select(col("query_id"), col("q_emb"), col("label"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("c_sim"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("c_sim"), asc("label"))
+    val probed1 = probes1.withColumn("prn", row_number().over(w1))
+      .filter(col("prn") <= nprobe1)
+      .select(col("query_id"), col("q_emb"), col("label"))
+    val probes2 = probed1.join(broadcast(cents2), Seq("label"))
+      .select(col("query_id"), col("q_emb"), col("label"), col("scid"),
+        round(cosine(col("q_emb"), col("centroid")), 6).as("s_sim"))
+    val w2 = Window.partitionBy(col("query_id"), col("label"))
+      .orderBy(desc("s_sim"), asc("scid"))
+    val probed2 = probes2.withColumn("srn", row_number().over(w2))
+      .filter(col("srn") <= nprobe2)
+      .select(col("query_id"), col("q_emb"), col("label"), col("scid"))
+    val scored = members.join(broadcast(probed2), Seq("label", "scid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Sub-cluster assignment for the two-level grid: the per-label
+    * codebooks collapse to ONE LUT row per label (scid-sorted
+    * centroid + id arrays), broadcast-hash-joined on `label` — no row
+    * expansion (1 LUT row per label), no N-group aggregate, no plan
+    * literal — and each row takes `array_max` over its OWN label's k2
+    * candidates as a projection. Per-row candidate count is k2
+    * regardless of how many labels exist; the broadcast is k1 rows of
+    * k2·dim doubles (the grid contract). A map-literal variant of
+    * this projection measured ~10× slower end-to-end at sf0.01: the
+    * k1·k2·dim literal re-enters analysis + Janino per assign, the
+    * exact cold-cost pathology the [[lshBucket]] kernel note
+    * documents — the broadcast row keeps plans small instead. */
+  private def assignSubClusters(base: DataFrame,
+      cents2: DataFrame): DataFrame = {
+    val lut = broadcast(cents2
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("scid"), col("centroid"))))
+        .as("_sl"))
+      .select(col("label"),
+        transform(col("_sl"), e => e("centroid")).as("_cents"),
+        transform(col("_sl"), e => e("scid")).as("_scids")))
+    val cands = zip_with(col("_cents"), col("_scids"),
+      (c, id) => struct(round(cosine(col("emb"), c), 6).as("a_sim"),
+        (-id).as("neg_scid"), id.as("scid")))
+    base.join(lut, Seq("label"))
+      .select(col("vec_id"), col("label"), col("emb"),
+        array_max(cands).getField("scid").as("scid"))
+  }
+
   /** The selectivity-derived nprobe rule shared by the filtered
     * `_auto` entries: `min(n_labels, ⌈baseNprobe · N / N_match⌉)`,
     * exact integer arithmetic over one O(1)-row aggregate of the

@@ -1662,6 +1662,92 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** TWO-LEVEL quantizer ANN ([[Similarity.ivfTopKTwoLevel]]) — the
+    * hierarchical production regime: level 1 = the exact per-label
+    * centroids, level 2 = an independent deterministic k-means of 4
+    * sub-clusters INSIDE each label (k1·k2 = 40 cells). Assignment
+    * cost is N·(k1 + k2) instead of a flat quantizer's N·k1·k2 — the
+    * scaling answer to the measured k ∝ N assignment wall (at 2M
+    * vectors a 31k-cell flat grid costs 6×10¹⁰ candidate evals, the
+    * hierarchy ~7×10⁸). Probe: nprobe1 labels, then nprobe2
+    * sub-clusters per probed label, fine rank inside the
+    * nprobe1·nprobe2 cells. The oracle unrolls the per-label fit —
+    * the shared k-means machinery with `label` added to every GROUP
+    * BY / PARTITION BY — so the grid is hash-verified end to end. */
+  def sAnnIvfTwoLevel(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopKTwoLevel(e,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe1 = 3, nprobe2 = 2, k2 = 4, iters = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sAnnIvfTwoLevelSql = {
+    def assign(src: String, cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, label, emb, scid FROM (
+         |  SELECT b.vec_id, b.label, b.emb, c.scid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC,
+         |        c.scid) AS rn
+         |  FROM base b JOIN $cent c ON b.label = c.label)
+         |  WHERE rn = 1)""".stripMargin
+    def update(assigned: String, out: String) =
+      s"""${out}d AS (SELECT label, scid, i,
+         |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) AS cv
+         |  FROM $assigned CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY label, scid, i),
+         |$out AS (SELECT label, scid, list(cv ORDER BY i) AS centroid
+         |  FROM ${out}d GROUP BY label, scid)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dims AS (SELECT label, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM base CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cv ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label),
+       |init2 AS (SELECT label, CAST(rn - 1 AS INT) AS scid,
+       |    emb AS centroid
+       |  FROM (SELECT label, emb, row_number() OVER (
+       |      PARTITION BY label ORDER BY vec_id) AS rn FROM base)
+       |  WHERE rn <= 4),
+       |${assign("base", "init2", "sa1")},
+       |${update("sa1", "sc1")},
+       |${assign("base", "sc1", "sa2")},
+       |${update("sa2", "sc2")},
+       |${assign("base", "sc2", "members")},
+       |$qidsSql,
+       |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
+       |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
+       |p1 AS (SELECT query_id, q_emb, label,
+       |    ${sqlCosine("q_emb", "centroid")} AS c_sim
+       |  FROM q CROSS JOIN cent),
+       |pr1 AS (SELECT query_id, q_emb, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim DESC, label ASC) AS prn FROM p1)
+       |  WHERE prn <= 3),
+       |p2 AS (SELECT p.query_id, p.q_emb, p.label, c.scid,
+       |    ${sqlCosine("p.q_emb", "c.centroid")} AS s_sim
+       |  FROM pr1 p JOIN sc2 c ON p.label = c.label),
+       |pr2 AS (SELECT query_id, q_emb, label, scid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id, label
+       |      ORDER BY s_sim DESC, scid ASC) AS srn FROM p2)
+       |  WHERE srn <= 2),
+       |scored AS (SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    ${sqlCosine("p.q_emb", "m.emb")} AS cos_sim
+       |  FROM members m JOIN pr2 p
+       |    ON m.label = p.label AND m.scid = p.scid
+       |  WHERE m.vec_id <> p.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Shared oracle prefix: the unrolled deterministic k-means fit
     * (smallest-vec_id seeds → 2×(assign, update) → final membership)
     * as a WITH-clause body ending in CTEs `c2` (fitted centroids) and
@@ -5494,6 +5580,7 @@ object TrainingData {
     "s_ann_ivf_int8" -> (sAnnIvfInt8 _),
     "s_ann_rerank" -> (sAnnRerank _),
     "s_ann_ivf_kmeans" -> (sAnnIvfKmeans _),
+    "s_ann_ivf_two_level" -> (sAnnIvfTwoLevel _),
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_sampled" -> (sAnnPqSampled _),
     "s_ann_pq_balanced" -> (sAnnPqBalanced _),
@@ -5656,6 +5743,7 @@ object TrainingData {
     "s_ann_ivf_int8" -> sAnnIvfInt8Sql,
     "s_ann_rerank" -> sAnnRerankSql,
     "s_ann_ivf_kmeans" -> sAnnIvfKmeansSql,
+    "s_ann_ivf_two_level" -> sAnnIvfTwoLevelSql,
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_sampled" -> sAnnPqSampledSql,
     "s_ann_pq_balanced" -> sAnnPqBalancedSql,

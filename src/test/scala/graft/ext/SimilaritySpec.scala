@@ -146,6 +146,42 @@ class SimilaritySpec extends SparkSpec {
       s"widening nprobe lost recall: $recall < $narrow")
   }
 
+  test("two-level quantizer: all-cells probe equals the exact scan, " +
+      "recall is monotone in nprobe2, and the catalog shape keeps a " +
+      "recall floor") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val qids = Similarity.sampleQueryIds(nn, 16)
+    val nLabels = nn.select("label").distinct().count().toInt
+    // every label probed, every sub-cluster taken → candidates = the
+    // whole corpus → must equal the brute-force exact ranking
+    val all = Similarity.ivfTopKTwoLevel(emb, qids, 5,
+        nprobe1 = nLabels, nprobe2 = 4, k2 = 4, iters = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val qset = qids.as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(nn,
+        col("vec_id").isin(qset.toSeq: _*), 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(all == brute,
+      "all-cells two-level probe must equal the exact scan")
+    // catalog shape (3 labels × 2 sub-clusters of 4): sane results,
+    // recall floor vs exact, and widening nprobe2 never loses recall
+    val truthPairs = brute.map(t => (t._1, t._2))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet.count(truthPairs.contains).toDouble /
+        truthPairs.size
+    val narrow = recallOf(Similarity.ivfTopKTwoLevel(emb, qids, 5,
+      nprobe1 = 3, nprobe2 = 2, k2 = 4, iters = 2))
+    val wide = recallOf(Similarity.ivfTopKTwoLevel(emb, qids, 5,
+      nprobe1 = 3, nprobe2 = 4, k2 = 4, iters = 2))
+    assert(narrow >= 0.3, s"two-level recall floor broke: $narrow")
+    assert(wide >= narrow,
+      s"widening nprobe2 lost recall: $wide < $narrow")
+  }
+
   test("auto-widened filtered ANN: derived nprobe equals the hand-" +
       "computed rule, rare predicates clamp to the exact filtered " +
       "scan, every result satisfies the predicate") {
