@@ -216,7 +216,33 @@ object Streaming {
       |      ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Batch core of the STREAMING ANN ingest gate
+    * ([[graft.streaming.VectorStream]]): the IVF index is static
+    * state built from the manifest (vec_id % 5 ≠ 0, k ∝ N quantizer),
+    * and the incoming vector stream (vec_id % 5 = 0) is gated per
+    * micro-batch through the same [[graft.ext.Similarity.ivfProbe]] —
+    * top-2 attach points per arriving vector. The gate is STATELESS
+    * (each row's result depends only on itself + the static index),
+    * so stream ≡ batch for ANY batching — VectorStreamSpec pins the
+    * union of per-micro-batch outputs row-for-row against this batch
+    * core and the no-stateful-operator plan claim. Hash-verified via
+    * the shared unrolled-fit oracle builder
+    * ([[TrainingData.annGateOracleSql]]), the s_ann_incremental
+    * machinery at the streaming entry's own split. */
+  def stAnnGate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val index = graft.ext.Similarity.ivfIndexBuild(
+      e.filter(col("vec_id") % 5 =!= 0),
+      targetPartitionSize = 64, iters = 2)
+    graft.streaming.VectorStream.gateBatch(index, k = 2, nprobe = 2,
+        e.filter(col("vec_id") % 5 === 0))
+      .orderBy("new_id", "rank")
+  }
+
+  private val stAnnGateSql = TrainingData.annGateOracleSql(5, 2, 2)
+
   val queries: Map[String, Q] = Map(
+    "st_ann_gate" -> (stAnnGate _),
     "st_upsert_state" -> (stUpsertState _),
     "st_tumbling" -> (stTumbling _),
     "st_static_join" -> (stStaticJoin _),
@@ -230,6 +256,7 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_ann_gate" -> stAnnGateSql,
     "st_upsert_state" -> stUpsertStateSql,
     "st_tumbling" -> stTumblingSql,
     "st_static_join" -> stStaticJoinSql,

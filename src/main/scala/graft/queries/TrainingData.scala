@@ -1574,31 +1574,7 @@ object TrainingData {
       .orderBy("new_id", "rank")
   }
 
-  private val sAnnIncrementalSql =
-    s"""WITH man AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND vec_id % 10 <> 0),
-       |newb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
-       |${kmUnrolledCoreSql("man",
-          "SELECT CAST(ceil(count(*) / 64.0) AS INT) FROM man")},
-       |probes AS (SELECT n.vec_id AS new_id, n.emb AS q_emb, c.cid,
-       |    ${sqlCosine("n.emb", "c.centroid")} AS c_sim
-       |  FROM newb n CROSS JOIN c2 c),
-       |probed AS (SELECT new_id, q_emb, cid FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY new_id
-       |      ORDER BY c_sim DESC, cid ASC) AS prn FROM probes)
-       |  WHERE prn <= 3),
-       |scored AS (SELECT p.new_id, m.vec_id AS match_id,
-       |    ${sqlCosine("p.q_emb", "m.emb")} AS cos_sim
-       |  FROM members m JOIN probed p ON m.cid = p.cid
-       |  WHERE m.vec_id <> p.new_id),
-       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY new_id
-       |    ORDER BY cos_sim DESC, match_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |SELECT new_id, match_id, cos_sim, rank
-       |FROM ranked WHERE rank <= 3 ORDER BY new_id, rank""".stripMargin
+  private val sAnnIncrementalSql = annGateOracleSql(10, 3, 3)
 
   /** [[sAnnIncremental]] on the √N-cluster coarse quantizer
     * ([[Similarity.ivfIncrementalSqrt]]) — the BOUNDED-k ingest gate
@@ -1646,6 +1622,39 @@ object TrainingData {
        |  FROM scored)
        |SELECT new_id, match_id, cos_sim, rank
        |FROM ranked WHERE rank <= 3 ORDER BY new_id, rank""".stripMargin
+
+  /** Oracle builder for the ANN ingest gate shared with the streaming
+    * entry (`st_ann_gate`, queries/Streaming.scala): the same
+    * unrolled k ∝ N fit + probe as [[sAnnIncremental]]'s oracle,
+    * parameterized by the manifest/incoming modulus split and the
+    * probe knobs, so the stream-side gate can never drift from the
+    * batch family's hash-verified machinery. */
+  private[queries] def annGateOracleSql(mod: Int, k: Int,
+      nprobe: Int): String =
+    s"""WITH man AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % $mod <> 0),
+       |newb AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % $mod = 0),
+       |${kmUnrolledCoreSql("man",
+          "SELECT CAST(ceil(count(*) / 64.0) AS INT) FROM man")},
+       |probes AS (SELECT n.vec_id AS new_id, n.emb AS q_emb, c.cid,
+       |    ${sqlCosine("n.emb", "c.centroid")} AS c_sim
+       |  FROM newb n CROSS JOIN c2 c),
+       |probed AS (SELECT new_id, q_emb, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY new_id
+       |      ORDER BY c_sim DESC, cid ASC) AS prn FROM probes)
+       |  WHERE prn <= $nprobe),
+       |scored AS (SELECT p.new_id, m.vec_id AS match_id,
+       |    ${sqlCosine("p.q_emb", "m.emb")} AS cos_sim
+       |  FROM members m JOIN probed p ON m.cid = p.cid
+       |  WHERE m.vec_id <> p.new_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY new_id
+       |    ORDER BY cos_sim DESC, match_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT new_id, match_id, cos_sim, rank
+       |FROM ranked WHERE rank <= $k ORDER BY new_id, rank""".stripMargin
 
   /** IVF with a real deterministic k-means coarse quantizer (8
     * clusters, 2 Lloyd iterations, smallest-vec_id seeds). Every step
