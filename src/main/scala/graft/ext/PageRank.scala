@@ -37,10 +37,17 @@ object PageRank {
     * node per iteration). */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     // loop-invariant: checkpoint the edge list once; deg and the node
-    // count derive from the checkpoint, not the upstream pipeline
+    // count derive from the checkpoint, not the upstream pipeline.
+    // SERIALIZED storage for the one corpus-sized frame (the r12
+    // rule): the default deserialized blocks OOM'd the 1000× tpch
+    // graph (~1B symmetrized edges of two longs ballooning to object
+    // rows on an 80g heap, MemoryStore.putIteratorAsValues) — SER
+    // packs them columnar-tight and spills cleanly. Storage level
+    // never changes results.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val nodes = deg.select(col("src").as("node"))
