@@ -166,6 +166,8 @@ object ScaleProbe {
         probeMvRefresh(spark, scale, reps); spark.stop(); return
       case Some("annindex") =>
         probeAnnIndex(spark, scale, reps); spark.stop(); return
+      case Some("semdedup") =>
+        probeSemDedup(spark, scale, reps); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -677,6 +679,43 @@ object ScaleProbe {
       f"k=${index.kClusters}, fitMod=$fitMod) build $tBuild%7.2fs  " +
       f"probe min ${times.min}%7.2fs  " +
       f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+  }
+
+  /** SemDeDup family probe (`ScaleProbe <reps> <scale> semdedup`):
+    * the flat k ∝ N recipe (full and sampled fit — both still pay the
+    * final full-corpus assignment, the measured O(N²/64) wall)
+    * against the hierarchical two-level cells of `d_semdedup_hier`,
+    * whose every assignment pass is N·(k₁+k₂) = O(N^1.5/8). Flat legs
+    * are gated ≤100× by policy — their final assignment IS the wall
+    * this probe exists to show the hierarchy retiring. NOTE: the
+    * replica corpus's duplicate MULTIPLICITY grows with scale, and
+    * identical copies can never be split across cells, so the
+    * within-cell pair leg grows ~quadratically in the replica count
+    * for EVERY variant (a corpus artifact, honest for dup-heavy
+    * corpora); the assignment leg is what the variants differ on. */
+  def probeSemDedup(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = ensureDeepCorpus(spark, scale)
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    def leg(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] semdedup/$tag%-12s (n=$n) min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+    }
+    if (scale <= 100) {
+      leg("flat_full")(
+        graft.ext.Similarity.semDedupAuto(emb, 64L, 2, 0.45))
+      leg("flat_sampled")(
+        graft.ext.Similarity.semDedupAuto(emb, 64L, 2, 0.45,
+          fitSampleMod = 4L))
+    } else println("[probe] flat legs gated <=100x by policy " +
+      "(the O(N^2/64) full-corpus assignment)")
+    leg("hier")(
+      graft.ext.Similarity.semDedupHier(emb, 64L, 2, 0.45))
   }
 
   def probeTpch(spark: SparkSession, scale: Int, reps: Int): Unit = {

@@ -1971,7 +1971,7 @@ object Similarity {
       .select(col("label"), (col("rn") - 1).cast("int").as("scid"),
         col("emb").as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assignSubClusters(base, cents2)
+      val assigned = assignSubClusters(base, cents2, "label")
       cents2 = assigned
         .select(col("label"), col("scid"),
           posexplode(col("emb")).as(Seq("dim", "v")))
@@ -1984,7 +1984,7 @@ object Similarity {
           x => x("cv")).as("centroid"))
         .localCheckpoint()
     }
-    val members = assignSubClusters(base, cents2)
+    val members = assignSubClusters(base, cents2, "label")
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes1 = q.crossJoin(broadcast(cent1))
@@ -2010,32 +2010,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Sub-cluster assignment for the two-level grid: the per-label
-    * codebooks collapse to ONE LUT row per label (scid-sorted
-    * centroid + id arrays), broadcast-hash-joined on `label` — no row
-    * expansion (1 LUT row per label), no N-group aggregate, no plan
-    * literal — and each row takes `array_max` over its OWN label's k2
+  /** Sub-cluster assignment for the two-level grid: the per-group
+    * codebooks collapse to ONE LUT row per group key (scid-sorted
+    * centroid + id arrays), broadcast-hash-joined on `key` — no row
+    * expansion (1 LUT row per group), no N-group aggregate, no plan
+    * literal — and each row takes `array_max` over its OWN group's k2
     * candidates as a projection. Per-row candidate count is k2
-    * regardless of how many labels exist; the broadcast is k1 rows of
+    * regardless of how many groups exist; the broadcast is k1 rows of
     * k2·dim doubles (the grid contract). A map-literal variant of
     * this projection measured ~10× slower end-to-end at sf0.01: the
     * k1·k2·dim literal re-enters analysis + Janino per assign, the
     * exact cold-cost pathology the [[lshBucket]] kernel note
-    * documents — the broadcast row keeps plans small instead. */
+    * documents — the broadcast row keeps plans small instead. `key`
+    * is `label` for the ANN grid, `cid` for the hierarchical
+    * SemDeDup ([[semDedupHier]]). */
   private def assignSubClusters(base: DataFrame,
-      cents2: DataFrame): DataFrame = {
+      cents2: DataFrame, key: String): DataFrame = {
     val lut = broadcast(cents2
-      .groupBy(col("label"))
+      .groupBy(col(key))
       .agg(array_sort(collect_list(struct(col("scid"), col("centroid"))))
         .as("_sl"))
-      .select(col("label"),
+      .select(col(key),
         transform(col("_sl"), e => e("centroid")).as("_cents"),
         transform(col("_sl"), e => e("scid")).as("_scids")))
     val cands = zip_with(col("_cents"), col("_scids"),
       (c, id) => struct(round(cosine(col("emb"), c), 6).as("a_sim"),
         (-id).as("neg_scid"), id.as("scid")))
-    base.join(lut, Seq("label"))
-      .select(col("vec_id"), col("label"), col("emb"),
+    base.join(lut, Seq(key))
+      .select(col("vec_id"), col(key), col("emb"),
         array_max(cands).getField("scid").as("scid"))
   }
 
@@ -2226,32 +2228,66 @@ object Similarity {
     * at scale is raising k (cluster size is a tuning invariant, like
     * the Jaccard block cap). Only (vec_id, cid) rows shuffle into the
     * pair join; vectors reattach by id equi-join afterward — same
-    * ship-ids-not-payload shape as [[cosineDupPairs]]. */
+    * ship-ids-not-payload shape as [[cosineDupPairs]].
+    *
+    * `fitSampleMod` > 1 trains the k-means on the DETERMINISTIC
+    * `vec_id % fitSampleMod == 0` sample (seeds and every Lloyd pass
+    * — the [[pqTopK]]/[[ivfIndexBuild]] production bound; FAISS
+    * trains quantizers on a sample) while the FULL corpus is still
+    * assigned and pair-pruned: the fit drops from O(N·k·iters) to
+    * O(N·k·iters/mod) and the modulus stays SQL-mirrorable. Dedup
+    * SEMANTICS are unchanged — clusters are only the blocking
+    * structure; every vector still competes within its cell. */
   def semDedup(embeddings: DataFrame, kClusters: Int, iters: Int,
-      threshold: Double, dim: Int = 64): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      graft.functions.ArrayOps.dot_product(x, y)
-    // same input guard as cosineDupPairs/lshTopK: NULL embeddings drop
-    // (they can never pair), a dim mismatch fails fast — dot_product
-    // would otherwise NULL every cosine and the threshold filter would
-    // silently drop nothing (dedup no-op with bogus cids; a NULL seed
-    // would even NULL assignments corpus-wide)
-    val base = embeddings.select(col("vec_id"),
+      threshold: Double, dim: Int = 64,
+      fitSampleMod: Long = 1L): DataFrame = {
+    require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
+    val base = semDedupBase(embeddings, dim)
+    val fitBase =
+      if (fitSampleMod > 1L) base.filter(col("vec_id") % fitSampleMod === 0)
+      else base
+    val centroids = kmeansCentroids(fitBase, kClusters, iters)
+    val members = assignClusters(base, centroids)
+    val out = semDedupPrune(members, Seq("cid"), threshold)
+    base.unpersist()
+    out
+  }
+
+  /** Shared input guard of the SemDeDup family — same policy as
+    * cosineDupPairs/lshTopK: NULL embeddings drop (they can never
+    * pair), a dim mismatch fails fast — dot_product would otherwise
+    * NULL every cosine and the threshold filter would silently drop
+    * nothing (dedup no-op with bogus cids; a NULL seed would even
+    * NULL assignments corpus-wide). Persisted: the frame feeds the
+    * fit passes and the final assignment. */
+  private def semDedupBase(embeddings: DataFrame, dim: Int): DataFrame =
+    embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .filter(coalesce(assert_true(size(col("emb")) === dim,
         lit(s"semDedup: embedding dim != $dim")), lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = kmeansCentroids(base, kClusters, iters)
+
+  /** Shared pair-pruning tail of the SemDeDup family: exact pairwise
+    * cosine only WITHIN each cell (the `cellKeys` grouping of the
+    * assigned membership frame), greedy keep-smallest-id. Only
+    * (cellKeys, vec_id) rows shuffle into the pair join; vectors
+    * reattach by id equi-join afterward. Output: one row per input
+    * vector — (vec_id, cellKeys…, kept). */
+  private def semDedupPrune(members0: DataFrame, cellKeys: Seq[String],
+      threshold: Double): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
     // members feeds the pair join (twice) and the final output —
     // checkpoint so assignment runs once, not three times
-    val members = assignClusters(base, centroids)
+    val members = members0
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
       .localCheckpoint()
-    val ids = members.select(col("cid"), col("vec_id"))
+    val ids = members.select(cellKeys.map(col) :+ col("vec_id"): _*)
+    val cellEq = cellKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
     val cand = ids.alias("a").join(ids.alias("b"),
-        col("a.cid") === col("b.cid") &&
-        col("a.vec_id") < col("b.vec_id"))
+        cellEq && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val ea = members.select(col("vec_id").as("vec_a"),
       col("emb").as("emb_a"), col("norm").as("norm_a"))
@@ -2261,12 +2297,11 @@ object Similarity {
       .filter(round(dot(col("emb_a"), col("emb_b")) /
         (col("norm_a") * col("norm_b")), 6) >= threshold)
       .select(col("vec_b").as("vec_id")).distinct()
-    val out = members
+    members
       .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid"), col("_drop").isNull.as("kept"))
+      .select(col("vec_id") +: cellKeys.map(col) :+
+        col("_drop").isNull.as("kept"): _*)
       .localCheckpoint()
-    base.unpersist()
-    out
   }
 
   /** [[semDedup]] with the cluster count derived from the corpus:
@@ -2276,13 +2311,83 @@ object Similarity {
     * size) while scaled-k restores ~linear cost; see BASELINE.md.
     * Costs one count() job up front; the catalog query keeps an
     * explicit k because its unrolled-iteration SQL oracle needs a
-    * literal cluster count. */
+    * literal cluster count. `fitSampleMod` bounds the fit corpus as
+    * in [[semDedup]] — with k ∝ N the FULL fit pays O(N²/target) per
+    * Lloyd pass, the measured assignment wall of the k ∝ N family;
+    * the sampled fit divides it by `mod`, and [[semDedupHier]] is
+    * the structural answer beyond that. */
   def semDedupAuto(embeddings: DataFrame, targetClusterSize: Long,
-      iters: Int, threshold: Double, dim: Int = 64): DataFrame = {
+      iters: Int, threshold: Double, dim: Int = 64,
+      fitSampleMod: Long = 1L): DataFrame = {
     require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
     val n = embeddings.count()
     val k = math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)
       .min(Int.MaxValue).toInt
-    semDedup(embeddings, k, iters, threshold, dim)
+    semDedup(embeddings, k, iters, threshold, dim, fitSampleMod)
+  }
+
+  /** HIERARCHICAL SemDeDup — the two-level cell structure that
+    * retires the flat k ∝ N variant's assignment wall structurally
+    * (the [[ivfTopKTwoLevel]] argument applied to dedup blocking):
+    * level 1 is a deterministic k-means of k₁ = ⌈√⌈N/target⌉⌉
+    * clusters, level 2 an independent per-cluster k-means of the same
+    * k₂ = k₁ sub-clusters, so the k₁·k₂ ≥ N/target cells keep mean
+    * cell size ≤ ~target while EVERY assignment pass costs
+    * N·(k₁+k₂) = O(N·√(N/target)) candidate evaluations instead of
+    * the flat grid's N·k = O(N²/target) — at 2M vectors and
+    * target 64, ~7×10⁸ instead of 6×10¹⁰. Pair work stays linear
+    * (Σ|cell|² ≈ N·target for balanced cells). Dedup semantics are
+    * the family's: exact within-cell cosine, greedy keep-smallest-id;
+    * both fit levels and both assignments are deterministic
+    * (smallest-vec_id seeds, rounded cosine, decimal-mean updates) so
+    * the whole hierarchy unrolls into the DuckDB oracle with `cid`
+    * added to every level-2 GROUP BY / PARTITION BY.
+    *
+    * Distributed shape: level-1 assignment is the [[assignClusters]]
+    * projection (broadcast-row LUT above the literal gate); level-2
+    * sub-assignment is [[assignSubClusters]] keyed on `cid` — one
+    * broadcast LUT row per level-1 cluster, per-row candidate count
+    * k₂ regardless of cell count. The broadcast is k₁·k₂·dim doubles
+    * (~16 MB at 2M vectors / target 64); beyond ~100M vectors the
+    * LUT itself outgrows broadcast and the join would shuffle on
+    * `cid` — the same regime where production moves to an HNSW
+    * coarse quantizer. */
+  def semDedupHier(embeddings: DataFrame, targetCellSize: Long,
+      iters: Int, threshold: Double, dim: Int = 64): DataFrame = {
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    val base = semDedupBase(embeddings, dim)
+    val n = base.count()
+    // ⌈√⌈n/target⌉⌉: /2^6 and IEEE sqrt/ceil are exactly rounded, so
+    // the derivation is engine-portable as a scalar subquery
+    val k = math.max(2, math.ceil(math.sqrt(
+      math.ceil(n.toDouble / targetCellSize))).toInt)
+    val cent1 = kmeansCentroids(base, k, iters)
+    // m1 feeds every level-2 fit pass and the final sub-assignment —
+    // checkpoint so level-1 assignment runs once
+    val m1 = assignClusters(base, cent1).localCheckpoint()
+    val seedW = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+    var cents2 = m1
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= k)
+      .select(col("cid"), (col("rn") - 1).cast("int").as("scid"),
+        col("emb").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignSubClusters(m1, cents2, "cid")
+      cents2 = assigned
+        .select(col("cid"), col("scid"),
+          posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("scid"), col("dim"))
+        .agg((graft.queries.QueryUtil.sumDec(col("v")) /
+          count(lit(1))).as("cv"))
+        .groupBy(col("cid"), col("scid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x("cv")).as("centroid"))
+        .localCheckpoint()
+    }
+    val members = assignSubClusters(m1, cents2, "cid")
+    val out = semDedupPrune(members, Seq("cid", "scid"), threshold)
+    base.unpersist()
+    out
   }
 }

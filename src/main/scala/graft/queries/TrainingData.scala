@@ -1766,14 +1766,24 @@ object TrainingData {
     * (vec_id, emb) with k given as a SQL expression — a literal for
     * the fixed-k entries, a scalar subquery for the k ∝ N ingest
     * gate. Emits CTEs init → a1/c1 → a2/c2 → members. */
-  private def kmUnrolledCoreSql(b: String, kExpr: String): String = {
-    def assignSql(cent: String, out: String): String =
+  private def kmUnrolledCoreSql(b: String, kExpr: String): String =
+    kmUnrolledCoreSplitSql(b, b, kExpr)
+
+  /** [[kmUnrolledCoreSql]] with the FIT corpus split from the ASSIGN
+    * corpus — seeds and both Lloyd passes run over `fitB` while the
+    * final `members` assignment covers `assignB`: the oracle form of
+    * the family's `fitSampleMod` sampled-fit lever (`fitB` = the
+    * `vec_id % mod = 0` slice of `assignB`). With `fitB == assignB`
+    * this IS the shared full-fit fragment. */
+  private def kmUnrolledCoreSplitSql(fitB: String, assignB: String,
+      kExpr: String): String = {
+    def assignSql(src: String, cent: String, out: String): String =
       s"""$out AS (SELECT vec_id, emb, cid FROM (
          |  SELECT b.vec_id, b.emb, c.cid,
          |    row_number() OVER (PARTITION BY b.vec_id
          |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC, c.cid)
          |      AS rn
-         |  FROM $b b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+         |  FROM $src b CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
     def updateSql(assigned: String, out: String): String =
       s"""${out}d AS (SELECT cid, i,
          |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
@@ -1784,12 +1794,12 @@ object TrainingData {
          |  FROM ${out}d GROUP BY cid)""".stripMargin
     s"""init AS (SELECT CAST(rn - 1 AS INT) AS cid, emb AS centroid
        |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
-       |    FROM $b) WHERE rn <= ($kExpr)),
-       |${assignSql("init", "a1")},
+       |    FROM $fitB) WHERE rn <= ($kExpr)),
+       |${assignSql(fitB, "init", "a1")},
        |${updateSql("a1", "c1")},
-       |${assignSql("c1", "a2")},
+       |${assignSql(fitB, "c1", "a2")},
        |${updateSql("a2", "c2")},
-       |${assignSql("c2", "members")}""".stripMargin
+       |${assignSql(assignB, "c2", "members")}""".stripMargin
   }
 
   private def kmUnrolledSql(kClusters: Int): String =
@@ -2751,6 +2761,102 @@ object TrainingData {
        |SELECT m.vec_id, m.cid, (d.vid IS NULL) AS kept
        |FROM members m LEFT JOIN d ON m.vec_id = d.vid
        |ORDER BY vec_id""".stripMargin
+
+  /** [[dSemdedupAuto]] with the k-means trained on the deterministic
+    * `vec_id % 4 = 0` sample while the FULL corpus is still assigned
+    * and pair-pruned — the `fitSampleMod` production bound ported
+    * from the ANN family ([[sAnnIvfPqSampled]]'s recipe; FAISS trains
+    * quantizers on a sample). With k ∝ N the FULL fit pays O(N²/64)
+    * per Lloyd pass — the measured assignment wall — and the sampled
+    * fit divides every fit pass by the modulus while dedup SEMANTICS
+    * are unchanged (clusters are only blocking structure; every
+    * vector still competes within its cell). Hash-verified: the
+    * oracle runs the same split — seeds + both Lloyd passes over the
+    * sample CTE, final membership over the full base
+    * ([[kmUnrolledCoreSplitSql]]). */
+  def dSemdedupSampled(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedupAuto(embs(s, d), targetClusterSize = 64L,
+      iters = 2, threshold = 0.45, fitSampleMod = 4L)
+      .orderBy("vec_id")
+
+  private val dSemdedupSampledSql =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |fitb AS (SELECT vec_id, emb FROM base WHERE vec_id % 4 = 0),
+       |${kmUnrolledCoreSplitSql("fitb", "base",
+          "SELECT GREATEST(2, (count(*) + 63) // 64) FROM embeddings")},
+       |p AS (SELECT b.vec_id AS vid
+       |  FROM members a JOIN members b
+       |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCosine("a.emb", "b.emb")} >= 0.45),
+       |d AS (SELECT DISTINCT vid FROM p)
+       |SELECT m.vec_id, m.cid, (d.vid IS NULL) AS kept
+       |FROM members m LEFT JOIN d ON m.vec_id = d.vid
+       |ORDER BY vec_id""".stripMargin
+
+  /** HIERARCHICAL SemDeDup ([[Similarity.semDedupHier]]) — the
+    * structural retirement of the flat k ∝ N assignment wall, the
+    * [[sAnnIvfTwoLevel]] argument applied to dedup blocking: level 1
+    * is a √-sized k-means (k₁ = ⌈√⌈N/64⌉⌉ clusters), level 2 an
+    * independent per-cluster k-means of k₂ = k₁ sub-clusters, so the
+    * k₁·k₂ ≥ N/64 cells keep mean cell size ≤ ~64 (pair work stays
+    * linear) while every assignment pass costs N·(k₁+k₂) =
+    * O(N^1.5/8) candidate evaluations instead of the flat grid's
+    * O(N²/64) — at 2M vectors, ~7×10⁸ vs 6×10¹⁰. Same dedup
+    * semantics: exact within-cell cosine, greedy keep-smallest-id.
+    * The oracle derives k via one scalar subquery (integer-exact:
+    * /64 is a binary shift, IEEE sqrt/ceil are correctly rounded —
+    * engine-portable), unrolls the level-1 fit with the shared
+    * fragment and the level-2 fit with `cid` added to every GROUP BY
+    * / PARTITION BY — the [[sAnnIvfTwoLevelSql]] pattern with a
+    * derived grid. */
+  def dSemdedupHier(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedupHier(embs(s, d), targetCellSize = 64L,
+      iters = 2, threshold = 0.45)
+      .orderBy("vec_id")
+
+  private val dSemdedupHierSql = {
+    def assign2(src: String, cent: String, out: String): String =
+      s"""$out AS (SELECT vec_id, cid, emb, scid FROM (
+         |  SELECT b.vec_id, b.cid, b.emb, c.scid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC, c.scid)
+         |      AS srn
+         |  FROM $src b JOIN $cent c ON b.cid = c.cid) WHERE srn = 1)"""
+        .stripMargin
+    def update2(assigned: String, out: String): String =
+      s"""${out}d AS (SELECT cid, scid, i,
+         |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) AS cv
+         |  FROM $assigned CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY cid, scid, i),
+         |$out AS (SELECT cid, scid, list(cv ORDER BY i) AS centroid
+         |  FROM ${out}d GROUP BY cid, scid)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |kk AS (SELECT GREATEST(2,
+       |    CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS INT)) AS k
+       |  FROM base),
+       |${kmUnrolledCoreSql("base", "SELECT k FROM kk")},
+       |init2 AS (SELECT cid, CAST(rn - 1 AS INT) AS scid,
+       |    emb AS centroid
+       |  FROM (SELECT cid, emb, row_number() OVER (
+       |      PARTITION BY cid ORDER BY vec_id) AS rn FROM members)
+       |  WHERE rn <= (SELECT k FROM kk)),
+       |${assign2("members", "init2", "sb1")},
+       |${update2("sb1", "sd1")},
+       |${assign2("members", "sd1", "sb2")},
+       |${update2("sb2", "sd2")},
+       |${assign2("members", "sd2", "cells")},
+       |p AS (SELECT b.vec_id AS vid
+       |  FROM cells a JOIN cells b
+       |  ON a.cid = b.cid AND a.scid = b.scid AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCosine("a.emb", "b.emb")} >= 0.45),
+       |dr AS (SELECT DISTINCT vid FROM p)
+       |SELECT m.vec_id, m.cid, m.scid, (dr.vid IS NULL) AS kept
+       |FROM cells m LEFT JOIN dr ON m.vec_id = dr.vid
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
     * multi-table hyperplane LSH blocking + exact cosine verification.
@@ -5645,6 +5751,8 @@ object TrainingData {
     "d_dsir" -> (dDsir _),
     "d_semdedup" -> (dSemdedup _),
     "d_semdedup_auto" -> (dSemdedupAuto _),
+    "d_semdedup_sampled" -> (dSemdedupSampled _),
+    "d_semdedup_hier" -> (dSemdedupHier _),
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_kl_sources" -> (dKlSources _),
     "s_ann_recall" -> (sAnnRecall _),
@@ -5730,6 +5838,8 @@ object TrainingData {
     "d_dsir" -> dDsirSql,
     "d_semdedup" -> dSemdedupSql,
     "d_semdedup_auto" -> dSemdedupAutoSql,
+    "d_semdedup_sampled" -> dSemdedupSampledSql,
+    "d_semdedup_hier" -> dSemdedupHierSql,
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_kl_sources" -> dKlSourcesSql,
     "s_ann_recall" -> sAnnRecallSql,

@@ -314,6 +314,67 @@ class SimilaritySpec extends SparkSpec {
       explicit.exceptAll(auto).isEmpty)
   }
 
+  test("semDedup sampled fit changes only the blocking fit, never the " +
+      "dedup semantics: identical vectors still dedup to the smallest " +
+      "id, mod=1 reproduces the full fit exactly") {
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == (axis + 1) % 64) jitter else 0.0)).map(_.toFloat)
+    // dup groups are IDENTICAL vectors — they assign identically under
+    // ANY centroids, so the kept/dropped outcome is invariant to what
+    // the (sampled) fit converges to
+    val vecs = Seq(
+      (0L, v(0, 0.0)), (1L, v(0, 0.0)), (2L, v(0, 0.0)),
+      (3L, v(0, 0.9)),
+      (10L, v(32, 0.0)), (11L, v(32, 0.0)), (12L, v(32, 0.9)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.semDedupAuto(vecs, targetClusterSize = 4,
+        iters = 2, threshold = 0.999, fitSampleMod = 2L)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect()
+    assert(rows.length == 7, "one row per input vector")
+    val got = rows.toMap
+    assert(got(0L) && !got(1L) && !got(2L))
+    assert(got(10L) && !got(11L))
+    assert(got(3L) && got(12L), "distinct vectors survive")
+    // mod=1 IS the full fit — frame equality with the unsampled form
+    val m1 = Similarity.semDedupAuto(vecs, targetClusterSize = 4,
+      iters = 2, threshold = 0.999, fitSampleMod = 1L)
+    val full = Similarity.semDedupAuto(vecs, targetClusterSize = 4,
+      iters = 2, threshold = 0.999)
+    assert(m1.exceptAll(full).isEmpty && full.exceptAll(m1).isEmpty)
+  }
+
+  test("semDedupHier: two-level cells partition the corpus, identical " +
+      "vectors share a cell and dedup to the smallest id, distinct " +
+      "vectors survive") {
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == (axis + 1) % 64) jitter else 0.0)).map(_.toFloat)
+    val vecs = Seq(
+      (0L, v(0, 0.0)), (1L, v(0, 0.0)), (2L, v(0, 0.0)),
+      (3L, v(0, 0.9)),
+      (10L, v(32, 0.0)), (11L, v(32, 0.0)), (12L, v(32, 0.9)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupHier(vecs, targetCellSize = 2L,
+      iters = 2, threshold = 0.999)
+    val rows = out.select("vec_id", "kept")
+      .as[(Long, Boolean)].collect()
+    assert(rows.length == 7, "one row per input vector")
+    val got = rows.toMap
+    // identical vectors assign identically at BOTH levels → same cell
+    // → greedy keep-smallest-id inside it
+    assert(got(0L) && !got(1L) && !got(2L))
+    assert(got(10L) && !got(11L))
+    assert(got(3L) && got(12L), "distinct vectors survive")
+    // the cell key is the (cid, scid) grid and ids appear exactly once
+    assert(out.columns.toSeq == Seq("vec_id", "cid", "scid", "kept"))
+    assert(out.select("vec_id").distinct().count() == 7)
+    // threshold above 1 can drop nothing: blocking alone never dedups
+    val all = Similarity.semDedupHier(vecs, targetCellSize = 2L,
+      iters = 2, threshold = 1.1)
+    assert(all.filter(!col("kept")).isEmpty)
+  }
+
   test("NULL embeddings are dropped consistently by the k-means " +
       "family (engine and oracle share the filtered base)") {
     def v(i: Int, x: Double) =
