@@ -2270,37 +2270,53 @@ object Similarity {
 
   /** Shared pair-pruning tail of the SemDeDup family: exact pairwise
     * cosine only WITHIN each cell (the `cellKeys` grouping of the
-    * assigned membership frame), greedy keep-smallest-id. Only
-    * (cellKeys, vec_id) rows shuffle into the pair join; vectors
-    * reattach by id equi-join afterward. Output: one row per input
-    * vector — (vec_id, cellKeys…, kept). */
+    * assigned membership frame), greedy keep-smallest-id.
+    *
+    * Physical shape (the r12 multiplicity finding): identical vectors
+    * assign identically, so the pair join runs over DISTINCT
+    * (cell, value) GROUPS — each collapsed to its min-id
+    * representative — never over members. Member `b` is dropped iff
+    * some qualifying group's representative id < b's vec_id, where
+    * group A qualifies against b's group B when round(cos(A,B),6) ≥
+    * threshold — INCLUDING A = B: the self-cosine rounds to exactly
+    * 1.0 (x/(√x·√x) is within 1 ulp of 1), so own-group
+    * qualification is precisely the `threshold ≤ 1` test and
+    * non-representative members drop exactly as the member-level
+    * rule dictates (their rep is a smaller-id vector at cosine 1).
+    * An EXACT rewrite for every threshold — the DuckDB oracles
+    * verify it unchanged — that makes pair work quadratic in
+    * DISTINCT values per cell instead of in members: dedup corpora
+    * are dup-heavy BY DEFINITION, and the member-level form pays
+    * multiplicity² per value (the 1000× probe corpus, 2k distinct
+    * values × 1000 copies, filled 80 GB of shuffle spill in the
+    * member form; the group form's pair frame is 2k rows).
+    * Output: one row per input vector — (vec_id, cellKeys…, kept). */
   private def semDedupPrune(members0: DataFrame, cellKeys: Seq[String],
       threshold: Double): DataFrame = {
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
-    // members feeds the pair join (twice) and the final output —
-    // checkpoint so assignment runs once, not three times
-    val members = members0
+    // members feeds the group collapse and the final output —
+    // checkpoint so assignment runs once, not twice
+    val members = members0.localCheckpoint()
+    val keys = cellKeys.map(col)
+    val groups = members
+      .groupBy(keys :+ col("emb"): _*)
+      .agg(min(col("vec_id")).as("rep_id"))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-      .localCheckpoint()
-    val ids = members.select(cellKeys.map(col) :+ col("vec_id"): _*)
     val cellEq = cellKeys.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _)
-    val cand = ids.alias("a").join(ids.alias("b"),
-        cellEq && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val ea = members.select(col("vec_id").as("vec_a"),
-      col("emb").as("emb_a"), col("norm").as("norm_a"))
-    val eb = members.select(col("vec_id").as("vec_b"),
-      col("emb").as("emb_b"), col("norm").as("norm_b"))
-    val dropped = cand.join(ea, "vec_a").join(eb, "vec_b")
-      .filter(round(dot(col("emb_a"), col("emb_b")) /
-        (col("norm_a") * col("norm_b")), 6) >= threshold)
-      .select(col("vec_b").as("vec_id")).distinct()
+    // directed qualifying pairs a → b over groups (a = b included —
+    // self-cosine 1.0 makes own-group qualification ≡ threshold ≤ 1)
+    val minQual = groups.alias("a").join(groups.alias("b"), cellEq)
+      .filter(round(dot(col("a.emb"), col("b.emb")) /
+        (col("a.norm") * col("b.norm")), 6) >= threshold)
+      .groupBy(cellKeys.map(k => col(s"b.$k")) :+ col("b.emb"): _*)
+      .agg(min(col("a.rep_id")).as("min_rep"))
     members
-      .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id") +: cellKeys.map(col) :+
-        col("_drop").isNull.as("kept"): _*)
+      .join(minQual, cellKeys :+ "emb", "left")
+      .select(col("vec_id") +: keys :+
+        (col("min_rep").isNull || col("min_rep") >= col("vec_id"))
+          .as("kept"): _*)
       .localCheckpoint()
   }
 
@@ -2388,6 +2404,74 @@ object Similarity {
     val members = assignSubClusters(m1, cents2, "cid")
     val out = semDedupPrune(members, Seq("cid", "scid"), threshold)
     base.unpersist()
+    out
+  }
+
+  /** INCREMENTAL SemDeDup — the ingest gate of the dedup family (the
+    * [[ivfIncremental]] shape applied to semantic dedup, the sibling
+    * of the MinHash manifest gate): the cluster structure is fitted
+    * on the MANIFEST only (k = ⌈N_manifest/target⌉, the k ∝ N family
+    * rule — at scale this is the amortized index the batches reuse
+    * until the next refit), each incoming vector is assigned to its
+    * manifest cell, and it is dropped iff it is ≥ `threshold`-similar
+    * to ANY manifest vector in that cell or to a SMALLER-ID incoming
+    * vector in it (the family's one-pass greedy rule, so a batch that
+    * contains its own duplicates keeps exactly the smallest id).
+    * Output: one row per incoming vector — (vec_id, cid, kept); the
+    * manifest is never re-judged (it IS the kept corpus).
+    *
+    * Per-batch cost is bounded by the batch: |B| · k assignment plus
+    * the within-cell pair join, which runs over distinct (cell,
+    * value) GROUPS (the [[semDedupPrune]] multiplicity collapse —
+    * exact for every threshold): a dup-heavy batch, the regime an
+    * ingest gate exists for, pays distinct-values² per cell, never
+    * multiplicity². Deterministic end to end, so the whole gate
+    * hash-verifies via the split fit/assign oracle fragment. */
+  def semDedupIncremental(manifest: DataFrame, incoming: DataFrame,
+      targetClusterSize: Long, iters: Int, threshold: Double,
+      dim: Int = 64): DataFrame = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
+    val man = semDedupBase(manifest, dim)
+    val inc = semDedupBase(incoming, dim)
+    val nM = manifest.count()
+    val k = math.max(2L,
+        (nM + targetClusterSize - 1) / targetClusterSize)
+      .min(Int.MaxValue).toInt
+    val centroids = kmeansCentroids(man, k, iters)
+    val mMan = assignClusters(man, centroids)
+    val mInc = assignClusters(inc, centroids).localCheckpoint()
+    def groupsOf(m: DataFrame): DataFrame = m
+      .groupBy(col("cid"), col("emb"))
+      .agg(min(col("vec_id")).as("rep_id"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val gInc = groupsOf(mInc).localCheckpoint()
+    // qualifying source groups a for each incoming target group b
+    def qual(a: DataFrame): DataFrame = a.alias("a")
+      .join(gInc.alias("b"), col("a.cid") === col("b.cid"))
+      .filter(round(dot(col("a.emb"), col("b.emb")) /
+        (col("a.norm") * col("b.norm")), 6) >= threshold)
+    // manifest side: EXISTENCE — any qualifying manifest value in the
+    // cell drops every member of b's group (manifest ids are all
+    // "smaller" by contract: the manifest IS the kept corpus)
+    val manHit = qual(groupsOf(mMan))
+      .groupBy(col("b.cid"), col("b.emb"))
+      .agg(lit(true).as("man_hit"))
+    // incoming side: min qualifying incoming representative (own
+    // group included — the threshold ≤ 1 test of [[semDedupPrune]])
+    val minInc = qual(gInc)
+      .groupBy(col("b.cid"), col("b.emb"))
+      .agg(min(col("a.rep_id")).as("min_rep"))
+    val out = mInc
+      .join(manHit, Seq("cid", "emb"), "left")
+      .join(minInc, Seq("cid", "emb"), "left")
+      .select(col("vec_id"), col("cid"),
+        (!coalesce(col("man_hit"), lit(false)) &&
+         (col("min_rep").isNull || col("min_rep") >= col("vec_id")))
+          .as("kept"))
+      .localCheckpoint()
+    man.unpersist(); inc.unpersist()
     out
   }
 }

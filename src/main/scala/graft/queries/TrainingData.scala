@@ -2858,6 +2858,48 @@ object TrainingData {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** INCREMENTAL SemDeDup ([[Similarity.semDedupIncremental]]) — the
+    * ingest gate of the semantic-dedup family, completing the
+    * manifest-gate trio (MinHash `d_incremental_minhash`, ANN
+    * `s_ann_incremental`): the cluster structure is fitted on the
+    * MANIFEST only (k = ⌈N_man/64⌉ — the amortized index batches
+    * reuse until the next refit), each incoming vector (`vec_id % 10
+    * = 0`, the family's batch split) is assigned to its manifest cell
+    * and dropped iff ≥0.45-similar to any manifest vector there or to
+    * a smaller-id batch vector (one-pass greedy, so an internally
+    * duplicated batch keeps exactly its smallest id). Per-batch work
+    * is bounded by the batch — |B|·k assignment + within-cell pairs
+    * against ~64 manifest vectors per cell, never corpus × corpus.
+    * Hash-verified: the oracle fits on the manifest CTE and assigns
+    * the full base ([[kmUnrolledCoreSplitSql]]), then applies the
+    * same asymmetric pair rule with modulus predicates. */
+  def dSemdedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.semDedupIncremental(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0),
+        targetClusterSize = 64L, iters = 2, threshold = 0.45)
+      .orderBy("vec_id")
+  }
+
+  private val dSemdedupIncrementalSql =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |man AS (SELECT vec_id, emb FROM base WHERE vec_id % 10 <> 0),
+       |${kmUnrolledCoreSplitSql("man", "base",
+          "SELECT GREATEST(2, (count(*) + 63) // 64) FROM embeddings" +
+          " WHERE vec_id % 10 <> 0")},
+       |p AS (SELECT b.vec_id AS vid
+       |  FROM members a JOIN members b ON a.cid = b.cid
+       |  WHERE b.vec_id % 10 = 0
+       |    AND (a.vec_id % 10 <> 0 OR a.vec_id < b.vec_id)
+       |    AND ${sqlCosine("a.emb", "b.emb")} >= 0.45),
+       |dr AS (SELECT DISTINCT vid FROM p)
+       |SELECT m.vec_id, m.cid, (dr.vid IS NULL) AS kept
+       |FROM members m LEFT JOIN dr ON m.vec_id = dr.vid
+       |WHERE m.vec_id % 10 = 0
+       |ORDER BY vec_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
     * multi-table hyperplane LSH blocking + exact cosine verification.
     * Oracle-verified — plane literals are inlined into the SQL. */
@@ -5753,6 +5795,7 @@ object TrainingData {
     "d_semdedup_auto" -> (dSemdedupAuto _),
     "d_semdedup_sampled" -> (dSemdedupSampled _),
     "d_semdedup_hier" -> (dSemdedupHier _),
+    "d_semdedup_incremental" -> (dSemdedupIncremental _),
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_kl_sources" -> (dKlSources _),
     "s_ann_recall" -> (sAnnRecall _),
@@ -5840,6 +5883,7 @@ object TrainingData {
     "d_semdedup_auto" -> dSemdedupAutoSql,
     "d_semdedup_sampled" -> dSemdedupSampledSql,
     "d_semdedup_hier" -> dSemdedupHierSql,
+    "d_semdedup_incremental" -> dSemdedupIncrementalSql,
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_kl_sources" -> dKlSourcesSql,
     "s_ann_recall" -> sAnnRecallSql,

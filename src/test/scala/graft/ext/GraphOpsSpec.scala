@@ -145,6 +145,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) == 375833333333L, s"got $got")
     assert(got(2L) == 574166666666L, s"got $got")
   }
+  test("pagerank iteration shape: the dst-partitioned edge layout " +
+      "serves the contribution aggregate with NO shuffle exchange " +
+      "(broadcast rank join preserves partitioning through the alias)") {
+    // rebuild exactly the in-loop frame pagerank constructs so the
+    // physical plan is inspectable (inside pagerank the per-iteration
+    // localCheckpoint hides it)
+    val e0 = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = e0.join(deg, "src").repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    e.count() // partitioning is exposed once the cache materializes
+    val pr = deg.select(col("src").as("node"), lit(1000L).as("pr_pico"))
+    val contrib = e
+      .join(broadcast(pr.select(col("node").as("src"), col("pr_pico"))),
+        "src")
+      .select(col("dst").as("node"), expr("pr_pico div deg").as("c"))
+    val agg = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // everything ABOVE the cached layout scan (aggregate, project,
+    // join) must be exchange-free; the cached subtree itself prints
+    // its one-time build exchanges, which is the point of the layout
+    val aboveScan = plan.split("InMemoryTableScan")(0)
+    assert(plan.contains("InMemoryTableScan"), s"layout not cached:\n$plan")
+    assert(!aboveScan.contains("Exchange hashpartitioning"),
+      s"contribution aggregate must reuse the layout's partitioning:\n$plan")
+    assert(aboveScan.contains("BroadcastHashJoin"),
+      "rank side must broadcast, never shuffle the edge layout")
+  }
+
   test("triangle counts: K4-clique + hub star + chain — per-node " +
       "counts match hand enumeration; hub wedges close nothing") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3); hub 10 joined to

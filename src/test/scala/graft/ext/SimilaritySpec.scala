@@ -375,6 +375,44 @@ class SimilaritySpec extends SparkSpec {
     assert(all.filter(!col("kept")).isEmpty)
   }
 
+  test("semDedupIncremental: a batch duplicate of a manifest vector " +
+      "drops, a genuinely new vector survives, within-batch dups keep " +
+      "the smallest id, and the manifest is never re-judged") {
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == (axis + 1) % 64) jitter else 0.0)).map(_.toFloat)
+    val manifest = Seq(
+      (0L, v(0, 0.0)), (1L, v(0, 0.9)), (2L, v(32, 0.0)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, v(0, 0.0)),   // identical to manifest 0 → dropped
+      (11L, v(16, 0.0)),  // genuinely new direction → kept
+      (12L, v(16, 0.0)),  // batch-internal dup of 11 → dropped
+      (13L, v(32, 0.9)))  // same cell region as 2 but distinct → kept
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupIncremental(manifest, batch,
+      targetClusterSize = 2L, iters = 2, threshold = 0.999)
+    val rows = out.select("vec_id", "kept")
+      .as[(Long, Boolean)].collect()
+    assert(rows.length == 4, "one row per INCOMING vector only")
+    val got = rows.toMap
+    assert(!got(10L), "manifest duplicate must drop")
+    assert(got(11L) && !got(12L),
+      "within-batch dups keep the smallest id")
+    assert(got(13L), "distinct vector survives its cell")
+    assert(out.filter(col("vec_id") < 10L).isEmpty,
+      "manifest ids never appear in the gate output")
+    // the gate is one-pass greedy like the family: order of batch ids
+    // decides the survivor, so an identical pair reversed keeps the
+    // (new) smaller id
+    val rev = Similarity.semDedupIncremental(manifest,
+      Seq((20L, v(16, 0.0)), (19L, v(16, 0.0)))
+        .toDF("vec_id", "embedding"),
+      targetClusterSize = 2L, iters = 2, threshold = 0.999)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(rev(19L) && !rev(20L))
+  }
+
   test("NULL embeddings are dropped consistently by the k-means " +
       "family (engine and oracle share the filtered base)") {
     def v(i: Int, x: Double) =
