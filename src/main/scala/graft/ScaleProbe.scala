@@ -712,6 +712,14 @@ object ScaleProbe {
       leg("flat_sampled")(
         graft.ext.Similarity.semDedupAuto(emb, 64L, 2, 0.45,
           fitSampleMod = 4L))
+      // the ingest gate pays the manifest fit per probe run (in
+      // production it is the amortized index batches reuse) — same
+      // k ∝ N_manifest fit class as flat_sampled, so the same gate
+      leg("incremental")(
+        graft.ext.Similarity.semDedupIncremental(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          targetClusterSize = 64L, iters = 2, threshold = 0.45))
     } else println("[probe] flat legs gated <=100x by policy " +
       "(the O(N^2/64) full-corpus assignment)")
     leg("hier")(
