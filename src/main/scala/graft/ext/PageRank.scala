@@ -85,28 +85,34 @@ object PageRank {
     var pr = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), expr("1000000000000L div n").as("pr_pico"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      // broadcast the node-sized rank frame into the dst-partitioned
-      // layout: narrow join, partitioning preserved through the
-      // dst→node alias, dst aggregate exchange-free
-      val contrib = e
-        .join(broadcast(pr.select(col("node").as("src"),
-          col("pr_pico"))), "src")
-        .select(col("dst").as("node"),
-          expr("pr_pico div deg").as("c"))
-      // LEFT join from the full node set: a node with no in-edges
-      // keeps its 0.15/n baseline instead of silently vanishing (and
-      // with it, its out-edges' contributions in later iterations)
-      pr = nodes
-        .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("s")),
-          Seq("node"), "left")
-        .crossJoin(broadcast(nRow))
-        .select(col("node"),
-          expr("(150000000000L div n) + ((85 * coalesce(s, 0L)) div 100)")
-            .as("pr_pico"))
-        .localCheckpoint()
+    try {
+      for (_ <- 1 to iters) {
+        // broadcast the node-sized rank frame into the dst-partitioned
+        // layout: narrow join, partitioning preserved through the
+        // dst→node alias, dst aggregate exchange-free
+        val contrib = e
+          .join(broadcast(pr.select(col("node").as("src"),
+            col("pr_pico"))), "src")
+          .select(col("dst").as("node"),
+            expr("pr_pico div deg").as("c"))
+        // LEFT join from the full node set: a node with no in-edges
+        // keeps its 0.15/n baseline instead of silently vanishing (and
+        // with it, its out-edges' contributions in later iterations)
+        pr = nodes
+          .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("s")),
+            Seq("node"), "left")
+          .crossJoin(broadcast(nRow))
+          .select(col("node"),
+            expr("(150000000000L div n) + ((85 * coalesce(s, 0L)) div 100)")
+              .as("pr_pico"))
+          .localCheckpoint()
+      }
+    } finally {
+      // pr is checkpointed — the corpus-sized layout is reclaimed on
+      // every exit path (the MvRefresh/Bfs reclamation rule: a failed
+      // iteration must not strand edge-sized cache blocks)
+      e.unpersist()
     }
-    e.unpersist() // pr is checkpointed — the layout can be reclaimed
     pr
   }
 }

@@ -177,6 +177,7 @@ class GraphOpsSpec extends SparkSpec {
       s"contribution aggregate must reuse the layout's partitioning:\n$plan")
     assert(aboveScan.contains("BroadcastHashJoin"),
       "rank side must broadcast, never shuffle the edge layout")
+    e.unpersist()
   }
 
   test("triangle counts: K4-clique + hub star + chain — per-node " +
