@@ -7,7 +7,15 @@ shipped library is pure Scala). Usage:
 
 Loads each Spark result parquet, runs the paired oracle SQL in DuckDB
 over the same testdata parquet tables, sorts columns by name and rows
-by all columns, and compares values exactly."""
+by all columns, and compares values exactly.
+
+Besides the stdout report, writes a machine artifact
+CORRECTNESS_local.json (same per-query schema as the driver's gate:
+{name: {"status": "pass"|"fail-..."|"rows-only", "rows": N}}) next to
+this script's repo root, and exits NON-ZERO if the artifact would be
+empty — round 12's driver artifact was a 2-byte `{}` and nothing
+repo-side noticed; a gate this central must fail loudly when it
+measured nothing."""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
@@ -29,6 +37,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
     for name in sorted(os.listdir(out_dir)):
         qdir = f"{out_dir}/{name}"
         if not os.path.isdir(qdir):
@@ -37,23 +46,31 @@ def main(sf_dir, out_dir):
         got = pd.concat([pd.read_parquet(f) for f in files]) if files \
             else pd.DataFrame()
         if name not in oracle:
+            ok = len(got) > 0
             print(f"  [rows-only] {name}: {len(got)} rows "
-                  f"{'OK' if len(got) > 0 else 'EMPTY!'}")
+                  f"{'OK' if ok else 'EMPTY!'}")
+            results[name] = {"status": "rows-only" if ok
+                             else "fail-empty", "rows": len(got)}
+            if not ok:
+                n_fail += 1
             continue
         try:
             want = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"  [FAIL-oracle] {name}: {e}")
+            results[name] = {"status": "fail-oracle", "rows": len(got)}
             n_fail += 1
             continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"  [FAIL-schema] {name}: spark={list(g.columns)} "
                   f"duck={list(w.columns)}")
+            results[name] = {"status": "fail-schema", "rows": len(g)}
             n_fail += 1
             continue
         if len(g) != len(w):
             print(f"  [FAIL-rows] {name}: spark={len(g)} duck={len(w)}")
+            results[name] = {"status": "fail-rows", "rows": len(g)}
             n_fail += 1
             continue
         mismatch = []
@@ -75,6 +92,7 @@ def main(sf_dir, out_dir):
                                 f"duck={wc.iloc[i]!r}")
         if mismatch:
             print(f"  [FAIL-values] {name}: {'; '.join(mismatch[:3])}")
+            results[name] = {"status": "fail-values", "rows": len(g)}
             n_fail += 1
         else:
             dt = ""
@@ -82,8 +100,18 @@ def main(sf_dir, out_dir):
                 if str(g[c].dtype) != str(w[c].dtype):
                     dt += f" ({c}: {g[c].dtype} vs {w[c].dtype})"
             print(f"  [PASS] {name}: {len(g)} rows{dt}")
+            results[name] = {"status": "pass", "rows": len(g)}
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = os.path.join(repo_root, "CORRECTNESS_local.json")
+    with open(art, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {art} ({len(results)} entries)")
+    if not results:
+        print("FATAL: correctness artifact is EMPTY — the gate "
+              "measured nothing (missing verify output dir?)")
+        return 2
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
