@@ -123,7 +123,37 @@ object Bfs {
     * the eager delete here exists so repeated catalog runs on one
     * machine do not accumulate corpus-sized layouts. */
   def distancesIndexed(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 20, nBuckets: Int = 32): DataFrame = {
+      maxIter: Int = 20, nBuckets: Int = 32): DataFrame =
+    distancesIndexedImpl(edges, src, dst, maxIter, None, nBuckets)
+
+  /** Directed-edge rows per bucket the auto derivation targets: ~4M
+    * 16-byte (a, b) pairs ≈ the parquet file-size class of the other
+    * materialized layouts. */
+  val BfsEdgesPerBucket = 4000000L
+
+  /** Derived bucket count — the `_auto` rule for the adjacency
+    * layout's hand-set constant: ⌈|sym edges| / target⌉, floored at
+    * the proven catalog constant 32 (bench-SF layouts unchanged, and
+    * never below the local parallelism class) and capped at 2¹⁴
+    * buckets. Exact integer arithmetic. */
+  def autoBuckets(nEdges: Long): Int = {
+    // overflow-safe ⌈n/per⌉ (the additive form wraps at Long.MaxValue)
+    val per = BfsEdgesPerBucket
+    val ceilDiv = nEdges / per + (if (nEdges % per == 0) 0L else 1L)
+    math.min(16384L, math.max(32L, ceilDiv)).toInt
+  }
+
+  /** [[distancesIndexed]] with the bucket count derived from the
+    * symmetrized edge count ([[autoBuckets]]) — one extra narrow
+    * count over the frame the build writes anyway, so a 1000× graph
+    * gets file-sized buckets instead of 32 half-gigabyte ones. */
+  def distancesIndexedAuto(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame =
+    distancesIndexedImpl(edges, src, dst, maxIter, Some(autoBuckets), 0)
+
+  private def distancesIndexedImpl(edges: DataFrame, src: String,
+      dst: String, maxIter: Int, bucketsOf: Option[Long => Int],
+      fixedBuckets: Int): DataFrame = {
     val spark = edges.sparkSession
     val token =
       s"${ProcessHandle.current().pid()}_${adjCounter.incrementAndGet()}"
@@ -131,9 +161,27 @@ object Bfs {
       .createTempDirectory(s"graft_bfs_adj_$token").toString
     adjDirs.add(dir)
     val tbl = s"graft_bfs_adj_$token"
-    edges.select(col(src).as("a"), col(dst).as("b"))
+    val symRaw = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
+    // the fixed-bucket path streams the symmetrize straight into the
+    // write (no executor-storage footprint — the layout's selling
+    // point); the auto path must COUNT before it can write, so it
+    // checkpoints once and both the count and the write read the
+    // materialized blocks (upstream pair generation still runs once;
+    // the transient cache is released with the frame after the build)
+    val (symIn, nBuckets) = bucketsOf match {
+      case None => (symRaw, fixedBuckets)
+      case Some(f) =>
+        val c = symRaw.localCheckpoint()
+        val n = c.count()
+        val b = f(n)
+        // probe-visible record of the derivation (the `_auto` rule's
+        // evidence line at every scale tier)
+        System.err.println(s"[bfs] auto nBuckets=$b for $n sym edges")
+        (c, b)
+    }
+    symIn
       .repartition(nBuckets, col("a")) // one file per bucket
       .write.bucketBy(nBuckets, "a").sortBy("a")
       .option("path", s"$dir/adj").mode("overwrite")

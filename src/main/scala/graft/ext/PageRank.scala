@@ -11,25 +11,52 @@ import org.apache.spark.sql.functions._
   * [[pagerank]]), so the whole fit runs in 64-bit integer
   * arithmetic, which both engines evaluate bit-identically.
   *
-  * Scale shape (the r12 layout rewrite — measured at the 1000× tpch
-  * graph, ~1B symmetrized edges): the edge frame is materialized
-  * ONCE as a dst-hash-partitioned SER checkpoint with the src degree
-  * FOLDED IN, and each iteration joins the node-sized rank frame
-  * into it by BROADCAST — a narrow join that preserves the layout's
-  * partitioning, so the dst-aggregation that follows needs NO
-  * exchange (alias-aware partitioning propagation, the same
-  * layout-beats-shuffle move as [[Bfs.distancesIndexed]]). The loop
-  * therefore shuffles NOTHING edge-sized: the previous shape
-  * (edges ⋈ ranks shuffle join + dst aggregate) wrote two ~1B-row
-  * exchanges per iteration and filled >65 GB of local shuffle
-  * scratch at the 1000× tier — even with periodic-GC shuffle
-  * reclamation — before this rewrite. Ranks and degrees are
-  * node-sized; the broadcast is |nodes| rows per iteration (fine to
-  * ~10⁸ nodes; beyond that the rank side would shuffle INTO the dst
-  * layout, still node-sized, never edge-sized). Per-iteration
-  * `localCheckpoint` truncates the otherwise-geometric rank lineage.
+  * Scale shape — TWO physical regimes over the same loop-invariant
+  * idea (an edge LAYOUT built once, nothing edge-sized exchanged in
+  * the loop), auto-selected by |nodes|:
+  *
+  *  - '''broadcast regime''' (|nodes| ≤ `broadcastMaxNodes`, the r12
+  *    shape — measured at the 1000× tpch graph, ~1B symmetrized
+  *    edges): the layout is dst-hash-partitioned with the src degree
+  *    FOLDED IN, and each iteration joins the node-sized rank frame
+  *    into it by BROADCAST — a narrow join that preserves the
+  *    layout's partitioning, so BOTH the rank join and the dst
+  *    contribution aggregate run exchange-free (alias-aware
+  *    partitioning propagation, the same layout-beats-shuffle move
+  *    as [[Bfs.distancesIndexed]]). The broadcast is |nodes| rows
+  *    per iteration — fine to ~10⁸ nodes, a hard wall past that
+  *    (every executor holds the whole rank table).
+  *  - '''shuffle regime''' (past the broadcast ceiling — a 100 TB
+  *    corpus's doc-centrality graph has ~10¹⁰ nodes): the layout is
+  *    SRC-hash-partitioned instead, and each iteration repartitions
+  *    the node-sized rank frame by src INTO it — the one exchange in
+  *    the join is the rank frame (node-sized, never the edges), the
+  *    layout side streams from cache co-partitioned, and the join is
+  *    a shuffled-hash build over the per-partition rank slice (no
+  *    per-iteration edge sort, no per-executor full rank copy). The
+  *    dst aggregate then partially aggregates map-side and exchanges
+  *    only (dst, partial-sum) pairs — ≤ one narrow row per distinct
+  *    dst per partition, the Pregel message bound, ~16 bytes vs the
+  *    layout's full edge rows. Nothing edge-sized ever shuffles in
+  *    either regime: the pre-r12 shape (edges ⋈ ranks shuffle join +
+  *    dst aggregate) wrote two ~1B-row full-width exchanges per
+  *    iteration and filled >65 GB of local shuffle scratch at the
+  *    1000× tier before the layout rewrite.
+  *
+  * The regimes are physical only — integer sums are
+  * order-independent, so both produce bit-identical ranks
+  * (GraphOpsSpec pins equality and each regime's plan shape).
+  * Per-iteration `localCheckpoint` truncates the otherwise-geometric
+  * rank lineage.
   */
 object PageRank {
+
+  /** Past this many nodes the per-iteration rank broadcast (every
+    * executor holds the full rank table) stops being viable and
+    * [[pagerank]] switches to the shuffle regime. ~10⁸ 16-byte rows
+    * ≈ 1.6 GB per executor — the documented ceiling of the broadcast
+    * shape. */
+  val BroadcastMaxNodes: Long = 100000000L
 
   /** `edges` must be the directed edge list (src, dst) with every
     * node appearing as a src (symmetrize first for undirected graphs
@@ -43,43 +70,70 @@ object PageRank {
     * differently at any precision (measured at digits 12 AND 6).
     * Integer division is bit-identical everywhere, and 10¹² of
     * headroom keeps the truncation error irrelevant (≤ deg·10⁻¹² per
-    * node per iteration). */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    * node per iteration).
+    *
+    * `broadcastMaxNodes` picks the physical regime (see the object
+    * doc); results are identical either way — tests force the
+    * shuffle regime with 0. */
+  def pagerank(edges: DataFrame, iters: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    // pin the layout's partition count: an explicit N keeps AQE from
+    // coalescing the per-iteration rank repartition below the cached
+    // layout's count (a mismatch would force a layout-side exchange,
+    // defeating the co-partitioned join the shuffle regime exists for)
+    val nParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
+    // the raw edge projection feeds BOTH the degree aggregate and the
+    // layout build — persist (SER) so the upstream pipeline (often a
+    // pair-generation join) executes once, not once per consumer; the
+    // intermediate is reclaimed as soon as the layout materializes
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // node count on the driver: picks the regime. deg is checkpointed
+    // node-sized — the count is one cheap job over cached blocks (and
+    // doubles as the materialization that populates e0's cache)
+    val nNodes = deg.count()
+    val bcast = nNodes <= broadcastMaxNodes
     // loop-invariant LAYOUT, built once: src degree folded into the
-    // edge list (no per-iteration deg join) and the whole frame
-    // hash-partitioned by dst before the checkpoint — every
-    // iteration's contribution aggregate clusters on dst, so it runs
-    // exchange-free on top of this layout. SERIALIZED storage for
-    // the one corpus-sized frame (the r12 rule): the default
+    // edge list (no per-iteration deg join), hash-partitioned by the
+    // regime's key — dst when ranks broadcast (the contribution
+    // aggregate clusters on dst and runs exchange-free on top of the
+    // layout), src when ranks shuffle (the rank join clusters on src
+    // and only the node-sized rank frame exchanges). SERIALIZED
+    // storage for the one corpus-sized frame (the r12 rule): default
     // deserialized blocks OOM'd the 1000× tpch graph (~1B symmetrized
     // edges ballooning to object rows on an 80g heap,
     // MemoryStore.putIteratorAsValues) — SER packs them
     // columnar-tight and spills cleanly. Neither the storage level
     // nor the partitioning changes results (integer sums are
     // order-independent).
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    //
     // PERSIST (not checkpoint) the layout: a localCheckpoint comes
     // back as a bare RDD scan with UnknownPartitioning — the planner
-    // would re-exchange every iteration's aggregate, defeating the
-    // layout (measured: the no-exchange GraphOpsSpec assertion fails
-    // on the checkpointed form). The cached plan keeps its
-    // `repartition(dst)` partitioning visible (Spark pins cached
-    // output partitioning by default), the frame is loop-invariant so
-    // cache reuse — not lineage truncation — is what the loop needs,
-    // and SER storage keeps the blocks columnar-tight (the r12 rule).
+    // would re-exchange every iteration, defeating the layout
+    // (measured: the no-exchange GraphOpsSpec assertion fails on the
+    // checkpointed form). The cached plan keeps its repartition
+    // partitioning visible (Spark pins cached output partitioning by
+    // default), the frame is loop-invariant so cache reuse — not
+    // lineage truncation — is what the loop needs.
+    val layoutKey = if (bcast) "dst" else "src"
     val e = e0.join(deg, "src")
-      .repartition(col("dst"))
+      .repartition(nParts, col(layoutKey))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // materialize the layout BEFORE planning the loop: the cached
     // plan is AQE-planned, and its output partitioning is only
     // exposed to downstream planning once the cache is built — an
-    // unmaterialized cache reads as UnknownPartitioning and the
-    // aggregate re-exchanges (the GraphOpsSpec plan assertion pins
-    // the materialized shape)
+    // unmaterialized cache reads as UnknownPartitioning and the loop
+    // re-exchanges (the GraphOpsSpec plan assertions pin the
+    // materialized shape)
     e.count()
+    // layout built — the raw-edge intermediate has served both
+    // consumers and is reclaimed here (not in the finally: deg and e
+    // are checkpoint/cache-backed, nothing downstream rereads e0)
+    e0.unpersist()
     val nodes = deg.select(col("src").as("node"))
     val nRow = deg.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nRow))
@@ -87,14 +141,20 @@ object PageRank {
       .localCheckpoint()
     try {
       for (_ <- 1 to iters) {
-        // broadcast the node-sized rank frame into the dst-partitioned
-        // layout: narrow join, partitioning preserved through the
-        // dst→node alias, dst aggregate exchange-free
-        val contrib = e
-          .join(broadcast(pr.select(col("node").as("src"),
-            col("pr_pico"))), "src")
-          .select(col("dst").as("node"),
-            expr("pr_pico div deg").as("c"))
+        val ranks = pr.select(col("node").as("src"), col("pr_pico"))
+        // the regime's one structural difference: how the node-sized
+        // rank frame meets the edge layout
+        val joined =
+          if (bcast) e.join(broadcast(ranks), "src")
+          else e.join(
+            // node-sized exchange INTO the src-partitioned layout;
+            // the shuffled-hash hint builds the per-partition hash
+            // table from the RANK slice (≈|nodes|/nParts rows) —
+            // sort-merge would re-sort the edge slice every iteration
+            ranks.repartition(nParts, col("src")).hint("shuffle_hash"),
+            "src")
+        val contrib = joined.select(col("dst").as("node"),
+          expr("pr_pico div deg").as("c"))
         // LEFT join from the full node set: a node with no in-edges
         // keeps its 0.15/n baseline instead of silently vanishing (and
         // with it, its out-edges' contributions in later iterations)

@@ -1,28 +1,54 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting by DEGREE-ORDERED edge orientation —
   * the node-iterator++ / forward algorithm (Schank & Wagner, WEA'05
   * "Finding, Counting and Listing All Triangles in Large Graphs";
   * the same orientation MapReduce formulations use, cf. Suri &
-  * Vassilvitskii, WWW'11). Triangle density is the standard cluster-
-  * quality diagnostic over a near-dup pair graph: a dup COMPONENT
+  * Vassilvitskii, WWW'11) — run over the TWIN-COLLAPSED quotient
+  * graph. Triangle density is the standard cluster-quality diagnostic
+  * over a near-dup pair graph: a dup COMPONENT
   * ([[ConnectedComponents]]) says "transitively linked", its triangle
   * count says how much of the component is pairwise-verified rather
   * than chained through a hub.
   *
-  * Scale shape: each undirected edge is oriented from its lower
-  * endpoint under the total order π = (degree, id) ascending. Every
-  * node's OUT-degree under π is then at most O(√m) (a node of degree
-  * d > √(2m) has fewer than √(2m) neighbors of larger degree —
-  * the classic arboricity bound), so the wedge self-join fans out at
-  * most Σ outdeg(u)² ≤ m·√(2m) candidate wedges TOTAL, versus the
-  * Σ deg(u)² of the naive wedge join, which a single hub makes
-  * quadratic. Wedges and edges carry only (long, long) ids; the close
-  * check is one equi-join of the wedge frame against the undirected
-  * edge list on the (lo, hi) pair key. No all-pairs shape anywhere.
+  * Scale shape, outer layer — the value collapse (the
+  * [[Similarity]] semDedupPrune move applied to wedges): in a dup
+  * pair graph, k identical documents form a k-clique whose members
+  * also share every external neighbor — k TRUE TWINS (identical
+  * closed neighborhoods). Wedge enumeration over the member graph
+  * pays multiplicity³ per duplicated value (1000 copies → 10⁹ wedge
+  * closures — the probe corpus that gated this entry's deep tier);
+  * over the twin-collapsed QUOTIENT it pays 1, and every member
+  * count reconstitutes in closed form from group sizes. Grouping is
+  * by an order-independent closed-neighborhood signature
+  * (count + two xxhash64 XOR folds — edge-sized aggregate, no
+  * per-node adjacency arrays, so a hub cannot balloon a row), then
+  * VERIFIED exactly: a surviving group must have all C(m,2) internal
+  * edges and full m_A·m_B bipartite edge counts against every group
+  * it touches; any group failing a check — the only way a hash
+  * collision can surface — demotes to singletons. Surviving groups
+  * therefore provably satisfy the one property the closed-form
+  * expansion needs (internal clique + group-uniform external
+  * adjacency), making the rewrite EXACT for every input, not
+  * probabilistically so; with all groups singleton it degenerates to
+  * the plain oriented-wedge algorithm. The DuckDB oracle stays the
+  * naive orientation-free enumeration — hash-unchanged.
+  *
+  * Scale shape, inner layer (unchanged from r10, now on the
+  * quotient): each quotient edge is oriented from its lower endpoint
+  * under the total order π = (degree, id) ascending. Every node's
+  * OUT-degree under π is then at most O(√m) (a node of degree
+  * d > √(2m) has fewer than √(2m) neighbors of larger degree — the
+  * classic arboricity bound), so the wedge self-join fans out at most
+  * m·√(2m) candidate wedges TOTAL, versus the Σ deg(u)² of the naive
+  * wedge join, which a single hub makes quadratic. Wedges and edges
+  * carry only (long, long) ids; the close check is one equi-join
+  * against the quotient edge list on the (lo, hi) pair key. No
+  * all-pairs shape anywhere.
   */
 object Triangles {
 
@@ -40,18 +66,73 @@ object Triangles {
         greatest(col(src), col(dst)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint() // feeds degree, orientation, AND the close
-                         // join — cut the upstream (pair-generation)
-                         // lineage once, the PageRank treatment
-    val nodes = und.select(col("lo").as("node"))
-      .unionByName(und.select(col("hi").as("node"))).distinct()
-    val deg = und.select(col("lo").as("node"))
-      .unionByName(und.select(col("hi").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient each edge from the smaller endpoint under π = (deg, id)
-    val dl = deg.select(col("node").as("lo"), col("deg").as("d_lo"))
-    val dh = deg.select(col("node").as("hi"), col("deg").as("d_hi"))
-    val oriented = und.join(dl, "lo").join(dh, "hi")
+      .localCheckpoint() // feeds the signature, verification, AND
+                         // quotient passes — cut the upstream
+                         // (pair-generation) lineage once
+    // ---- twin collapse: closed-neighborhood signature ----
+    // order-independent fold over N[u] = neighbors ∪ {u}: XOR is
+    // commutative and never overflows (ANSI-safe, unlike a hash SUM)
+    val nbr = und.select(col("lo").as("u"), col("hi").as("x"))
+      .unionByName(und.select(col("hi").as("u"), col("lo").as("x")))
+    val closed = nbr.unionByName(
+      nbr.select(col("u"), col("u").as("x")).distinct())
+    val sig = closed.groupBy(col("u"))
+      .agg(count(lit(1)).as("degc"),
+        bit_xor(xxhash64(col("x"))).as("s1"),
+        bit_xor(xxhash64(col("x"), lit(7L))).as("s2"))
+    val sw = Window.partitionBy(col("degc"), col("s1"), col("s2"))
+    val cand = sig.select(col("u"),
+        min(col("u")).over(sw).as("gid"),
+        count(lit(1)).over(sw).as("m"))
+      .localCheckpoint() // node-sized; feeds verification + remap
+    // ---- exact verification of candidate groups ----
+    // member-edge counts per unordered candidate-group pair (the
+    // diagonal row (g, g) carries the internal edge count)
+    def mapEnds(m: DataFrame): DataFrame = {
+      val ml = m.select(col("u").as("lo"), col("gid").as("g_lo"))
+      val mh = m.select(col("u").as("hi"), col("gid").as("g_hi"))
+      und.join(ml, "lo").join(mh, "hi")
+        .select(least(col("g_lo"), col("g_hi")).as("ga"),
+          greatest(col("g_lo"), col("g_hi")).as("gb"))
+        .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("cnt"))
+    }
+    val cnt1 = mapEnds(cand)
+    val sizes1 = cand.groupBy(col("gid")).agg(first(col("m")).as("m"))
+    // a size-m group survives only if it has ALL C(m,2) internal
+    // edges AND full m_a·m_b bipartite counts against every group it
+    // touches — the exact characterization of "internal clique +
+    // group-uniform external adjacency", which is all the closed-form
+    // expansion below relies on. Violations (possible only under a
+    // signature collision) demote BOTH groups of the failing pair.
+    val withinBad = sizes1.filter(col("m") > 1).alias("s")
+      .join(cnt1.filter(col("ga") === col("gb")).alias("c"),
+        col("s.gid") === col("c.ga"), "left")
+      .filter(coalesce(col("c.cnt"), lit(0L)) =!=
+        shiftright(col("s.m") * (col("s.m") - 1), 1))
+      .select(col("s.gid").as("bad"))
+    val crossBad = cnt1.filter(col("ga") =!= col("gb"))
+      .join(sizes1.select(col("gid").as("ga"), col("m").as("ma")), "ga")
+      .join(sizes1.select(col("gid").as("gb"), col("m").as("mb")), "gb")
+      .filter(col("cnt") =!= col("ma") * col("mb"))
+      .select(explode(array(col("ga"), col("gb"))).as("bad"))
+    val bad = withinBad.unionByName(crossBad).distinct()
+    val mapped = cand.join(bad, col("gid") === col("bad"), "left")
+      .select(col("u"),
+        when(col("bad").isNull, col("gid")).otherwise(col("u"))
+          .as("gid"))
+      .localCheckpoint() // final node → group map; read three times
+    val groups = mapped.groupBy(col("gid")).agg(count(lit(1)).as("m"))
+    // ---- quotient graph + weighted oriented wedges ----
+    val cnt2 = mapEnds(mapped.withColumn("m", lit(0L)))
+    val q = cnt2.filter(col("ga") =!= col("gb"))
+      .select(col("ga").as("lo"), col("gb").as("hi"))
+      .localCheckpoint() // orientation + the close join
+    val qdeg = q.select(col("lo").as("g")).unionByName(
+        q.select(col("hi").as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("qd"))
+    val dl = qdeg.select(col("g").as("lo"), col("qd").as("d_lo"))
+    val dh = qdeg.select(col("g").as("hi"), col("qd").as("d_hi"))
+    val oriented = q.join(dl, "lo").join(dh, "hi")
       .select(
         when(struct(col("d_lo"), col("lo")) <
             struct(col("d_hi"), col("hi")), col("lo"))
@@ -59,23 +140,56 @@ object Triangles {
         when(struct(col("d_lo"), col("lo")) <
             struct(col("d_hi"), col("hi")), col("hi"))
           .otherwise(col("lo")).as("v"))
-    // wedges at apex u: unordered out-neighbor pairs, id-asymmetric
-    // so each wedge is generated exactly once
     val wedges = oriented.alias("a")
       .join(oriented.alias("b"),
         col("a.u") === col("b.u") && col("a.v") < col("b.v"))
       .select(col("a.u").as("apex"),
         col("a.v").as("lo"), col("b.v").as("hi"))
-    // close: the wedge legs are id-ordered, und is (lo, hi) keyed —
-    // one equi-join decides membership regardless of orientation
-    val tris = wedges.join(und, Seq("lo", "hi"))
-    val perNode = tris
-      .select(explode(array(col("apex"), col("lo"), col("hi")))
-        .as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    nodes.join(perNode, Seq("node"), "left")
-      .join(deg, "node")
-      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        col("deg"))
+    val tris = wedges.join(q, Seq("lo", "hi"))
+    // each quotient triangle {A,B,C} contributes the PRODUCT of the
+    // other two groups' sizes to every member of each corner — the
+    // multiplicity expansion of "pick one concrete member per corner"
+    def gsize(role: String): DataFrame =
+      groups.select(col("gid").as(role), col("m").as(s"m_$role"))
+    val w = tris
+      .join(gsize("apex"), "apex").join(gsize("lo"), "lo")
+      .join(gsize("hi"), "hi")
+      .select(explode(array(
+        struct(col("apex").as("g"),
+          (col("m_lo") * col("m_hi")).as("tw")),
+        struct(col("lo").as("g"),
+          (col("m_apex") * col("m_hi")).as("tw")),
+        struct(col("hi").as("g"),
+          (col("m_apex") * col("m_lo")).as("tw")))).as("e"))
+      .select(col("e.g").as("g"), col("e.tw").as("tw"))
+      .groupBy(col("g")).agg(sum(col("tw")).as("tw"))
+    // quotient-neighbor size sums: S = Σ m_B (member degree share and
+    // the one-in-group wedge base), P = Σ C(m_B, 2) (triangles whose
+    // other two corners sit inside ONE neighboring group)
+    val qadj = q.select(col("lo").as("g"), col("hi").as("nb"))
+      .unionByName(q.select(col("hi").as("g"), col("lo").as("nb")))
+    val sp = qadj
+      .join(groups.select(col("gid").as("nb"), col("m").as("m_nb")),
+        "nb")
+      .groupBy(col("g"))
+      .agg(sum(col("m_nb")).as("s_nb"),
+        sum(shiftright(col("m_nb") * (col("m_nb") - 1), 1)).as("p_nb"))
+    // closed-form per-member count for group A of size m with
+    // neighbor sums (S, P) and weighted quotient triangles W:
+    //   C(m−1, 2)        triangles fully inside A (internal clique)
+    // + (m−1) · S        one other corner in A, one outside
+    // + P + W            both other corners outside A
+    // and member degree = (m − 1) + S
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    val perGroup = groups
+      .join(sp, groups("gid") === sp("g"), "left").drop("g")
+      .join(w, groups("gid") === w("g"), "left").drop("g")
+      .select(col("gid"),
+        (shiftright((col("m") - 1) * (col("m") - 2), 1) +
+          (col("m") - 1) * z(col("s_nb")) +
+          z(col("p_nb")) + z(col("tw"))).as("n_tri"),
+        (col("m") - 1 + z(col("s_nb"))).as("deg"))
+    mapped.join(perGroup, "gid")
+      .select(col("u").as("node"), col("n_tri"), col("deg"))
   }
 }

@@ -460,7 +460,11 @@ object AnalyticsExt {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    graft.ext.Bfs.distancesIndexed(e0, "src", "dst")
+    // auto-derived bucket count (floored at the proven 32, so this
+    // entry's layout is unchanged at bench SFs; a 1000× graph gets
+    // file-sized buckets) — the layout is physical only, results are
+    // bucket-count-invariant
+    graft.ext.Bfs.distancesIndexedAuto(e0, "src", "dst")
       .select(
         when(col("node") % 2 === 0, lit("cust"))
           .otherwise(lit("supp")).as("kind"),

@@ -76,6 +76,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(g2 == w2)
   }
 
+  test("BFS autoBuckets: exact integer rule — floored at the proven " +
+      "32, ceil division above, capped; auto layout gives identical " +
+      "distances") {
+    assert(Bfs.autoBuckets(0L) == 32)
+    assert(Bfs.autoBuckets(100000L) == 32)           // bench SFs: floor
+    assert(Bfs.autoBuckets(32L * 4000000L) == 32)    // boundary
+    assert(Bfs.autoBuckets(32L * 4000000L + 1) == 33)
+    assert(Bfs.autoBuckets(1000000000L) == 250)      // ~1B-edge class
+    assert(Bfs.autoBuckets(Long.MaxValue) == 16384)  // cap
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 10L),
+      (3L, 11L), (11L, 12L), (12L, 1L), (50L, 51L))
+      .toDF("src", "dst")
+    val want = Bfs.distancesIndexed(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val got = Bfs.distancesIndexedAuto(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "auto bucket count changed BFS results")
+  }
+
   test("components match brute-force closure on a random graph") {
     val rnd = new scala.util.Random(4242)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong,
@@ -145,12 +164,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) == 375833333333L, s"got $got")
     assert(got(2L) == 574166666666L, s"got $got")
   }
-  test("pagerank iteration shape: the dst-partitioned edge layout " +
-      "serves the contribution aggregate with NO shuffle exchange " +
-      "(broadcast rank join preserves partitioning through the alias)") {
-    // rebuild exactly the in-loop frame pagerank constructs so the
-    // physical plan is inspectable (inside pagerank the per-iteration
-    // localCheckpoint hides it)
+  // ---- pagerank plan-shape helpers: structural traversal (string-
+  // splitting the printed plan relied on operator spellings and
+  // print order — a Spark bump could silently weaken the pin) ----
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{
+    AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+  import org.apache.spark.sql.execution.joins.{
+    BroadcastHashJoinExec, ShuffledHashJoinExec}
+  import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+
+  /** Every node of the physical plan, descending through AQE
+    * wrappers (but NOT into cached subtrees — the layout's one-time
+    * build exchanges are the point of the layout). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case q: QueryStageExec => q +: flatten(q.plan)
+    case o => o +: o.children.flatMap(flatten)
+  }
+
+  /** Ancestor chains (nearest first) of every cached-layout scan. */
+  private def cachePaths(p: SparkPlan): Seq[List[SparkPlan]] = {
+    def go(n: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] =
+      n match {
+        case _: InMemoryTableScanExec => Seq(anc)
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan, anc)
+        case q: QueryStageExec => go(q.plan, anc)
+        case o => o.children.flatMap(go(_, o :: anc))
+      }
+    go(p, Nil)
+  }
+
+  /** The in-loop edge frame pagerank constructs, rebuilt here so the
+    * physical plan is inspectable (inside pagerank the per-iteration
+    * localCheckpoint hides it). */
+  private def pagerankFixture() = {
     val e0 = graft.Tables.lineitem(spark, sf0001)
       .join(graft.Tables.orders(spark, sf0001),
         col("l_orderkey") === col("o_orderkey"))
@@ -158,26 +208,110 @@ class GraphOpsSpec extends SparkSpec {
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val pr = deg.select(col("src").as("node"), lit(1000L).as("pr_pico"))
+    (e0, deg, pr)
+  }
+
+  test("pagerank broadcast regime: the dst-partitioned edge layout " +
+      "serves the contribution aggregate with NO shuffle exchange " +
+      "(broadcast rank join preserves partitioning through the alias)") {
+    val (e0, deg, pr) = pagerankFixture()
     val e = e0.join(deg, "src").repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     e.count() // partitioning is exposed once the cache materializes
-    val pr = deg.select(col("src").as("node"), lit(1000L).as("pr_pico"))
     val contrib = e
       .join(broadcast(pr.select(col("node").as("src"), col("pr_pico"))),
         "src")
       .select(col("dst").as("node"), expr("pr_pico div deg").as("c"))
     val agg = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
-    val plan = agg.queryExecution.executedPlan.toString
-    // everything ABOVE the cached layout scan (aggregate, project,
-    // join) must be exchange-free; the cached subtree itself prints
-    // its one-time build exchanges, which is the point of the layout
-    val aboveScan = plan.split("InMemoryTableScan")(0)
-    assert(plan.contains("InMemoryTableScan"), s"layout not cached:\n$plan")
-    assert(!aboveScan.contains("Exchange hashpartitioning"),
-      s"contribution aggregate must reuse the layout's partitioning:\n$plan")
-    assert(aboveScan.contains("BroadcastHashJoin"),
-      "rank side must broadcast, never shuffle the edge layout")
+    val plan = agg.queryExecution.executedPlan
+    // everything ABOVE the cached layout scan (join, project, both
+    // aggregate halves) must be exchange-free, and the rank side must
+    // meet the layout by broadcast — asserted on the plan STRUCTURE
+    val paths = cachePaths(plan)
+    assert(paths.nonEmpty, s"layout not cached:\n$plan")
+    for (path <- paths) {
+      assert(!path.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"contribution aggregate must reuse the layout's partitioning:\n$plan")
+      assert(path.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"rank side must broadcast, never shuffle the edge layout:\n$plan")
+    }
     e.unpersist()
+  }
+
+  test("pagerank shuffle regime: the src-partitioned layout joins a " +
+      "node-sized rank exchange (shuffled-hash, edge side exchange-" +
+      "free) and the dst aggregate shuffles only partial sums") {
+    val (e0, deg, pr) = pagerankFixture()
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val e = e0.join(deg, "src").repartition(nParts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    e.count()
+    val ranks = pr.select(col("node").as("src"), col("pr_pico"))
+    val contrib = e
+      .join(ranks.repartition(nParts, col("src")).hint("shuffle_hash"),
+        "src")
+      .select(col("dst").as("node"), expr("pr_pico div deg").as("c"))
+    val agg = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
+    val plan = agg.queryExecution.executedPlan
+    val join = flatten(plan).collectFirst {
+      case j: ShuffledHashJoinExec => j }
+    assert(join.isDefined,
+      s"rank must meet the layout in a shuffled-hash join:\n$plan")
+    // edge side: between the cached layout scan and the join, no
+    // exchange — the layout streams from cache co-partitioned
+    val paths = cachePaths(plan)
+    assert(paths.nonEmpty, s"layout not cached:\n$plan")
+    for (path <- paths) {
+      val belowJoin = path.takeWhile(!_.eq(join.get))
+      assert(path.exists(_.eq(join.get)),
+        s"cached layout must feed the join:\n$plan")
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"edge layout must reach the join without an exchange:\n$plan")
+    }
+    // rank side: exactly one exchange (the node-sized repartition),
+    // and it is on the side WITHOUT the cached layout
+    val rankSide = join.get.children.find(
+      c => cachePaths(c).isEmpty)
+    assert(rankSide.isDefined, s"no rank-only join side:\n$plan")
+    val rankShuffles = flatten(rankSide.get)
+      .filter(_.isInstanceOf[ShuffleExchangeLike])
+    assert(rankShuffles.size == 1,
+      s"rank side must exchange exactly once (node-sized):\n$plan")
+    // dst aggregate: its exchange sits ABOVE a partial HashAggregate,
+    // so only narrow (dst, partial-sum) rows shuffle — never edges
+    val aggExchanges = flatten(plan).collect {
+      case s: ShuffleExchangeLike
+          if flatten(s.asInstanceOf[SparkPlan])
+            .exists(_.eq(join.get)) => s }
+    assert(aggExchanges.nonEmpty,
+      s"dst aggregate exchange not found above the join:\n$plan")
+    for (x <- aggExchanges)
+      assert(x.asInstanceOf[SparkPlan].children
+          .forall(_.isInstanceOf[HashAggregateExec]),
+        s"aggregate exchange must carry partial sums, not raw edges:\n$plan")
+    e.unpersist()
+  }
+
+  test("pagerank shuffle regime produces bit-identical ranks to the " +
+      "broadcast regime (regimes are physical, not semantic)") {
+    val fixture = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val wantF = PageRank.pagerank(fixture, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val gotF = PageRank.pagerank(fixture, iters = 2,
+        broadcastMaxNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotF == wantF, s"fixture drift: $gotF vs $wantF")
+    // a random graph with fan-in/fan-out well past the fixture's
+    val rnd = new scala.util.Random(13)
+    val re = Seq.fill(400)((rnd.nextInt(60).toLong,
+      rnd.nextInt(60).toLong)).filter(e => e._1 != e._2)
+    val edges = (re ++ re.map(e => (e._2, e._1))).toDF("src", "dst")
+    val want = PageRank.pagerank(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val got = PageRank.pagerank(edges, iters = 3, broadcastMaxNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
   }
 
   test("triangle counts: K4-clique + hub star + chain — per-node " +
@@ -199,6 +333,68 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(21L) == ((0L, 2L)))
     assert(got(20L) == ((0L, 1L)) && got(22L) == ((0L, 1L)))
     assert(!got.contains(7L)) // self-loop dropped entirely
+  }
+
+  test("triangle counts: duplicate-multiplicity fixture — twin " +
+      "groups collapse to the quotient and expand exactly") {
+    // three "values" with multiplicities 4 / 3 / 2: members of a value
+    // are pairwise adjacent (identical docs all pair) and share every
+    // external neighbor — X×Y and Y×Z fully bipartite, X–Z absent.
+    // Exactly the shape whose member-level wedge join pays
+    // multiplicity³ and whose collapse must reproduce hand counts.
+    val gx = 1L to 4L; val gy = 5L to 7L; val gz = 8L to 9L
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    def bip(as: Seq[Long], bs: Seq[Long]) =
+      for (a <- as; b <- bs) yield (a, b)
+    val edges = (clique(gx) ++ clique(gy) ++ clique(gz) ++
+      bip(gx, gy) ++ bip(gy, gz)).toDF("src", "dst")
+    val got = Triangles.triangleCounts(edges, "src", "dst")
+      .select($"node", $"n_tri", $"deg").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // X member: C(3,2)=3 inside + 3·3 one-in-X-one-in-Y + C(3,2)=3
+    // both-in-Y = 15; deg 3+3=6. Y member: C(2,2)... by symmetry:
+    // inside C(2,2)=1? m=3 → C(2,2)=1; (m−1)·S = 2·(4+2)=12;
+    // P = C(4,2)+C(2,2)=6+1=7; W: quotient triangle? X–Y–Z has no
+    // X–Z edge → none. total 1+12+7=20; deg 2+6=8.
+    // Z member: C(1,2)=0 + 1·3 + C(3,2)=3 → 6; deg 1+3=4.
+    for (n <- gx) assert(got(n) == ((15L, 6L)), s"X member $n: ${got(n)}")
+    for (n <- gy) assert(got(n) == ((20L, 8L)), s"Y member $n: ${got(n)}")
+    for (n <- gz) assert(got(n) == ((6L, 4L)), s"Z member $n: ${got(n)}")
+    // and the naive enumeration agrees (belt and braces)
+    val und = edges.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val ns = und.flatMap(e => Seq(e._1, e._2))
+    val naive = (for (x <- ns; y <- ns if x < y; z <- ns if y < z
+        if und((x, y)) && und((x, z)) && und((y, z)))
+      yield (x, y, z)).toSeq
+    val perNode = naive.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+    for (n <- ns)
+      assert(got(n)._1 == perNode.getOrElse(n, 0L), s"naive vs got at $n")
+  }
+
+  test("triangle counts: quotient triangle with a twin group at one " +
+      "corner (W-term) expands by the multiplicity product") {
+    // triangle A–B–C where A is a 3-twin group {1,2,3} (clique,
+    // uniform externals), B=10, C=11 singletons, plus B–C edge:
+    // every quotient triangle {A,B,C} must credit each A member 1·1,
+    // B and C each 3·1 — plus A's internal/own terms
+    val a = Seq(1L, 2L, 3L)
+    val edges = ((for (x <- a; y <- a if x < y) yield (x, y)) ++
+      a.map((_, 10L)) ++ a.map((_, 11L)) ++ Seq((10L, 11L)))
+      .toDF("src", "dst")
+    val got = Triangles.triangleCounts(edges, "src", "dst")
+      .select($"node", $"n_tri", $"deg").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // A member: inside C(2,2)=1; (m−1)·S = 2·2 = 4; P = C(1,2)·2 = 0;
+    // W = m_B·m_C = 1 → 6; deg = 2+2 = 4
+    for (n <- a) assert(got(n) == ((6L, 4L)), s"A member $n: ${got(n)}")
+    // B: singleton → inside 0; S = 3+1; P = C(3,2) = 3; W = 3·1 = 3
+    // → 6; deg 4
+    assert(got(10L) == ((6L, 4L)), s"B: ${got(10L)}")
+    assert(got(11L) == ((6L, 4L)), s"C: ${got(11L)}")
   }
 
   test("triangle counts equal the naive unoriented enumeration on a " +
