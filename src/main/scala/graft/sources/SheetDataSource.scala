@@ -31,8 +31,13 @@ import graft.errors.{InvalidFormatError, SheetReadError}
   *
   * A sheet is a small dimension feed, so the scan is one input
   * partition (the reference itself is one HTTP GET); joins against it
-  * broadcast. `path` accepts anything java.net.URL/File can open —
-  * tests use files, production would point at the web-app URL.
+  * broadcast. Two addressing modes: `load(path)` for staged files
+  * (tests, replayed captures), or `option("url", …)` for the LIVE
+  * web-app fetch — the reference's production mode
+  * (`requests.get(WEB_APP_URL, timeout=10)`,
+  * `staffing-roster-pipeline.py:75-87`); `option("timeoutMs", …)`
+  * overrides the reference's 10 s connect/read timeout. Either mode
+  * accepts anything java.net.URL/File can open.
   */
 class SheetDataSource extends TableProvider with DataSourceRegister {
 
@@ -42,22 +47,41 @@ class SheetDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SheetDataSource.schemaOf(SheetDataSource.fetch(
-      SheetDataSource.pathOf(options)))
+      SheetDataSource.pathOf(options), SheetDataSource.timeoutOf(options)))
 
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SheetTable(schema, properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SheetTable(schema, SheetDataSource.pathOf(opts),
+      SheetDataSource.timeoutOf(opts))
+  }
 }
 
 object SheetDataSource {
   private val mapper = new ObjectMapper()
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
-    val p = options.get("path")
+    // `url` is the live-fetch spelling (and wins if both are set —
+    // a path alongside it is usually Spark's own load() artifact);
+    // `path` covers staged files and URL strings alike
+    val u = options.get("url")
+    val p = if (u != null) u else options.get("path")
     if (p == null)
-      throw InvalidFormatError("sheet source requires a path option")
+      throw InvalidFormatError("sheet source requires a url or path option")
     p
+  }
+
+  def timeoutOf(options: CaseInsensitiveStringMap): Int = {
+    val t = options.get("timeoutMs")
+    if (t == null) FetchTimeoutMs
+    else {
+      val ms = try t.toInt catch { case _: NumberFormatException =>
+        throw InvalidFormatError(s"sheet timeoutMs is not a number: $t") }
+      if (ms <= 0)
+        throw InvalidFormatError(s"sheet timeoutMs must be positive: $t")
+      ms
+    }
   }
 
   /** HTTP connect/read timeout, ms — the reference hardcodes 10 s on
@@ -107,18 +131,18 @@ object SheetDataSource {
   }
 }
 
-private class SheetTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+private class SheetTable(schema: StructType, path: String,
+    timeoutMs: Int) extends Table with SupportsRead {
   override def name(): String = s"sheet($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new SheetScan(schema, path)
+      : ScanBuilder = new SheetScan(schema, path, timeoutMs)
 }
 
-private class SheetScan(schema: StructType, path: String)
-    extends ScanBuilder with Scan with Batch
+private class SheetScan(schema: StructType, path: String,
+    timeoutMs: Int) extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns {
 
   /** Pruned schema — Catalyst hands the required columns down before
@@ -138,20 +162,22 @@ private class SheetScan(schema: StructType, path: String)
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SheetPartition(path))
+    Array(SheetPartition(path, timeoutMs))
   override def createReaderFactory(): PartitionReaderFactory =
     new SheetReaderFactory(prunedSchema)
 }
 
-private case class SheetPartition(path: String) extends InputPartition
+private case class SheetPartition(path: String, timeoutMs: Int)
+    extends InputPartition
 
 private class SheetReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[SheetPartition].path
+    val p = partition.asInstanceOf[SheetPartition]
+    val path = p.path
     new PartitionReader[InternalRow] {
-      private val arr = SheetDataSource.fetch(path)
+      private val arr = SheetDataSource.fetch(path, p.timeoutMs)
       private var i = -1
       override def next(): Boolean = { i += 1; i < arr.size() }
       override def get(): InternalRow = {

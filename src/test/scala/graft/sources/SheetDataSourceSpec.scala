@@ -95,6 +95,112 @@ class SheetDataSourceSpec extends SparkSpec {
     assert(e3.code == "E003")
   }
 
+  /** Local-fixture HTTP server (no network beyond loopback): serves
+    * `body` with `status` at every path, runs `f` against the base
+    * URL, always shuts down. */
+  private def withHttp(body: String, status: Int = 200)
+      (f: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}")
+    finally srv.stop(0)
+  }
+
+  test("live HTTP mode: option(\"url\") reads the web-app payload " +
+      "end-to-end — schema inference, coercion, pruning, all over " +
+      "the wire (the reference's production fetch)") {
+    withHttp(
+      """[
+        |  {"Name": "Ada", "Email": "ada@u.edu", "Score": 7},
+        |  {"Name": "Bob"}
+        |]""".stripMargin) { base =>
+      val df = spark.read.format("sheet")
+        .option("url", s"$base/exec").load()
+      assert(df.columns.toSeq == Seq("Name", "Email", "Score"))
+      assert(df.as[(Option[String], Option[String], Option[String])]
+        .collect().toSeq == Seq(
+          (Some("Ada"), Some("ada@u.edu"), Some("7")),
+          (Some("Bob"), None, None)))
+      // pruning holds on the live path too
+      val narrow = spark.read.format("sheet")
+        .option("url", s"$base/exec").load().select("Email")
+      val scans = narrow.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }
+      assert(scans.head.scan.readSchema().fieldNames.toSeq ==
+        Seq("Email"))
+    }
+  }
+
+  test("live HTTP mode feeds the staffing pipeline — the reference's " +
+      "S1 production composition (web app → pipeline)") {
+    withHttp(
+      """[
+        |  {"Name": "Ada", "Email": "ada@u.edu", "Current Role": "SC",
+        |   "NetID": "ada2", "Major": "CS"}
+        |]""".stripMargin) { base =>
+      val sheet = spark.read.format("sheet")
+        .option("url", s"$base/exec").load()
+      val users = Seq.empty[(Long, String, String, String, String,
+          Boolean, Boolean, Boolean, String, String)]
+        .toDF("user_id", "name", "email", "gender", "race",
+          "us_citizen", "residency", "first_gen", "curr_role", "netid")
+      val consultants = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType) +:
+          graft.pipelines.Staffing.ConsultantsCols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType))))
+      val r = graft.pipelines.Staffing.run(sheet, users, consultants)
+      assert(r.summary.as[(Long, Long)].collect().head == ((1L, 0L)))
+    }
+  }
+
+  test("live HTTP error taxonomy: HTTP 500 → E005, non-JSON body → " +
+      "E003, and option(\"timeoutMs\") overrides the default") {
+    withHttp("boom", status = 500) { base =>
+      val e5 = intercept[SheetReadError] {
+        spark.read.format("sheet").option("url", s"$base/exec").load()
+      }
+      assert(e5.code == "E005")
+    }
+    withHttp("<html>not json</html>") { base =>
+      val e3 = intercept[InvalidFormatError] {
+        spark.read.format("sheet").option("url", s"$base/exec").load()
+      }
+      assert(e3.code == "E003")
+    }
+    // a bound-but-silent socket with a short explicit timeout: the
+    // DataFrame-level option must reach the fetch
+    val srv = new java.net.ServerSocket(0, 1)
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[SheetReadError] {
+        spark.read.format("sheet")
+          .option("url", s"http://127.0.0.1:${srv.getLocalPort}/x")
+          .option("timeoutMs", "300").load()
+      }
+      assert(e.code == "E005")
+      assert((System.nanoTime() - t0) / 1e9 < 8.0,
+        "timeoutMs option did not reach the HTTP fetch")
+    } finally srv.close()
+    val bad = intercept[InvalidFormatError] {
+      spark.read.format("sheet").option("url", "http://x/")
+        .option("timeoutMs", "-1").load()
+    }
+    assert(bad.code == "E003")
+  }
+
   test("HTTP fetch times out promptly on a hung endpoint (E005)") {
     // a bound socket that never accepts/responds: the connect backlog
     // accepts the TCP handshake but no bytes ever arrive, which is
