@@ -168,6 +168,8 @@ object ScaleProbe {
         probeAnnIndex(spark, scale, reps); spark.stop(); return
       case Some("semdedup") =>
         probeSemDedup(spark, scale, reps); spark.stop(); return
+      case Some("graph") =>
+        probeGraph(spark, scale, reps); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -724,9 +726,92 @@ object ScaleProbe {
       "(the O(N^2/64) full-corpus assignment)")
     leg("hier")(
       graft.ext.Similarity.semDedupHier(emb, 64L, 2, 0.45))
+    // the r13 sampled-hier lever (both Lloyd levels on the mod-4
+    // slice): must land at or under the full-hier time at every tier
+    leg("hier_sampled")(
+      graft.ext.Similarity.semDedupHier(emb, 64L, 2, 0.45,
+        fitSampleMod = 4L))
   }
 
-  def probeTpch(spark: SparkSession, scale: Int, reps: Int): Unit = {
+  /** Graph-regime probe (`ScaleProbe <reps> <scale> graph`): the two
+    * r13 graph shapes at depth on their designed corpora.
+    *
+    *  - PageRank BOTH regimes on the `scale`× tpch purchase graph
+    *    (the g_pagerank derivation, symmetrized): the broadcast
+    *    regime is the r12 measured shape; the shuffle regime
+    *    (`broadcastMaxNodes = 0`) is the >10⁸-node production path —
+    *    the probe proves it completes in the same class with the
+    *    layout exchange-free (per-iteration cost adds one node-sized
+    *    rank exchange + a partial-sum aggregate exchange).
+    *  - Triangle counting on the DUP-HEAVY corpus (the verbatim
+    *    `scale`× replication: every doc has `scale` exact copies, so
+    *    the near-dup pair graph is 5000 cliques of `scale` members
+    *    plus cross-value near-dup edges — the multiplicity shape the
+    *    r12 gate named). The twin collapse must hold the runtime to
+    *    the edge-list class (input-linear) instead of the member
+    *    wedge join's multiplicity³. */
+  def probeGraph(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    def leg(tag: String)(f: => DataFrame): Unit = {
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] graph/$tag%-22s min ${times.min}%7.2fs  " +
+        f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+    }
+    val dir = ensureTpchStar(spark, scale)
+    val e0 = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    leg("pagerank_broadcast")(
+      graft.ext.PageRank.pagerank(edges, iters = 2))
+    leg("pagerank_shuffle")(
+      graft.ext.PageRank.pagerank(edges, iters = 2,
+        broadcastMaxNodes = 0L))
+    // BFS over the same star graph through the AUTO bucket derivation
+    // (the g_bfs path) — the stderr line records the derived count
+    leg("bfs_auto")(
+      graft.ext.Bfs.distancesIndexedAuto(e0, "src", "dst"))
+    // dup-heavy triangle leg: verbatim corpus at a multiplicity high
+    // enough that the old member-level wedge join is hopeless
+    // (wedges ∝ 5000·m·(m−1)²/2) while edges stay writable
+    // the 2k-values × m-copies multiplicity shape the r12 gate named,
+    // constructed DIRECTLY (m-member twin-cliques chained by
+    // fully-bipartite value adjacency) so the leg times the triangle
+    // machinery itself, not the upstream pair generator: member-level
+    // wedge work would be Σ outdeg² ≈ edges·m-class (hopeless past
+    // m ≈ 30); the twin collapse must hold the runtime to the
+    // edge-list (input) class. Gated ≤ 100 like the flat semdedup
+    // legs: past that the EDGE LIST itself (2000·C(m,2)) stops being
+    // writable — an input bound, not an algorithm property.
+    if (scale <= 100) {
+      val m = math.max(scale, 2).toLong
+      val values = 2000L
+      val mem = spark.range(values * m).select(
+        (col("id") / m).cast("long").as("v"), col("id").as("node"))
+      val within = mem.alias("x").join(mem.alias("y"),
+          col("x.v") === col("y.v") && col("x.node") < col("y.node"))
+        .select(col("x.node").as("src"), col("y.node").as("dst"))
+      val across = mem.alias("x").join(mem.alias("y"),
+          col("x.v") + 1 === col("y.v"))
+        .select(col("x.node").as("src"), col("y.node").as("dst"))
+      leg(s"triangles_dup(m=$m)")(
+        graft.ext.Triangles.triangleCounts(
+          within.unionByName(across), "src", "dst"))
+    } else println("[probe] triangles_dup gated <=100x (the edge " +
+      "list itself is quadratic in multiplicity — an input bound)")
+  }
+
+  /** Build (or reuse) the `scale`× tpch star under /tmp and return its
+    * dir — factored from [[probeTpch]] so the graph probe can target
+    * the same corpus. */
+  def ensureTpchStar(spark: SparkSession, scale: Int): String = {
     val rep = math.max(scale, 1)
     val dir = s"/tmp/tpch${rep}x"
     val src = "/root/testdata/sf0.1"
@@ -807,6 +892,11 @@ object ScaleProbe {
       }
       println(s"[probe] events replicated into the ${rep}x star")
     }
+    dir
+  }
+
+  def probeTpch(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    val dir = ensureTpchStar(spark, scale)
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("q1_pricing_summary", "q3_shipping_priority",

@@ -175,6 +175,46 @@ object Retrieval {
     * bench SFs. */
   val PhraseIndexBuckets = 64
 
+  /** Postings per bucket the auto derivation targets: ~4M rows of
+    * (term, doc_id, pos) ≈ 10⁸ bytes per bucket directory — the
+    * parquet file-size class every other layout here writes. */
+  val PhraseIndexPostingsPerBucket = 4000000L
+
+  /** Derived bucket count — the `_auto` rule for the LAST hand-set
+    * layout constant of this family: ⌈postings / target⌉, floored at
+    * the proven catalog constant (so bench-SF layouts are unchanged)
+    * and capped at 2¹⁶ directories (the directory-count bound the
+    * hash bucket exists to enforce; past that, buckets grow beyond
+    * the file-size target instead — a deployment would shard dirs).
+    * Exact integer arithmetic throughout. */
+  def autoPhraseBuckets(nPostings: Long): Int = {
+    // overflow-safe ⌈n/per⌉ (the additive form wraps at Long.MaxValue)
+    val per = PhraseIndexPostingsPerBucket
+    val ceilDiv = nPostings / per + (if (nPostings % per == 0) 0L else 1L)
+    math.min(65536L, math.max(PhraseIndexBuckets.toLong, ceilDiv)).toInt
+  }
+
+  /** [[buildPhraseIndex]] with the bucket count derived from the
+    * corpus ([[autoPhraseBuckets]] over the exact postings count —
+    * one column-pruned token-count pass, trivial beside the build's
+    * own explode+shuffle). Returns the derived count so the caller
+    * can aim [[phraseIndexProbe]] at the same grid. The layout is
+    * physical only — probe results are bucket-count-invariant
+    * (RetrievalSpec pins equality across counts). */
+  def buildPhraseIndexAuto(docs: DataFrame, dir: String): Int = {
+    val nPost = docs
+      .agg(sum(coalesce(size(TextStats.tokens(col("text"))), lit(0)))
+        .as("n"))
+      .head().getLong(0)
+    val n = autoPhraseBuckets(nPost)
+    // probe-visible record of the derivation (the `_auto` rule's
+    // evidence line at every scale tier)
+    System.err.println(
+      s"[phraseindex] auto nBuckets=$n for $nPost postings")
+    buildPhraseIndex(docs, dir, n)
+    n
+  }
+
   /** Materialize the positional postings index ONCE, partitioned by a
     * term-hash bucket — the production phrase-search layout this
     * operator's doc comment has always specified (and the fix for the

@@ -1571,11 +1571,21 @@ object Similarity {
     * the LUT must be per (query, cell) in full generality; with the
     * single shared codebook set fitted on residuals (the standard
     * IVF-PQ simplification, FAISS's default) the LUT stays per-query
-    * and the only extra per-candidate work is adding the coarse term. */
+    * and the only extra per-candidate work is adding the coarse term.
+    *
+    * `fitSampleMod` > 1 trains all m residual codebooks on the
+    * deterministic `vec_id % fitSampleMod == 0` sample — the
+    * [[ivfTopKPq]] production fit lever composed THROUGH the coupled
+    * two-level fit: coarse means stay full-corpus (one cheap decimal
+    * aggregate, and the family's rule — the encode must subtract the
+    * centroids every stored vector will subtract), the sampled
+    * residuals feed seeds + both Lloyd rounds, and the full corpus
+    * still pays exactly one encode projection. */
   def ivfTopKPqResidual(embeddings: DataFrame, queryIds: DataFrame,
       k: Int, nprobe: Int, m: Int, kSub: Int, iters: Int,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, fitSampleMod: Long = 1L): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m")
+    require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
     val subDim = dim / m
     val base = embeddings.select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("emb"))
@@ -1592,16 +1602,32 @@ object Similarity {
     // re-explode; the 16×-larger SUBSPACE frame does not (re-explode
     // from the cached rbase per pass — the r12 1000× finding, see
     // pqTopK)
-    val rbase = base.join(broadcast(cent), Seq("label"))
+    // Storage follows the ivfTopKPq rule, extended to the residual
+    // frame: under the FULL fit, rbase persists SER (it feeds the
+    // seeds and every subspace re-explode) and so does the 3-pass
+    // subspace frame; under a SAMPLED fit both become single-use —
+    // the fit passes re-derive the sample-sized residual slice from
+    // the cached base (the modulus filter pushes below the broadcast
+    // join), and the full corpus streams through its one encode. The
+    // coded frame streams into the probed join in both regimes.
+    val rbaseLazy = base.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"),
         zip_with(col("emb"), col("centroid"), (a, b) => a - b).as("emb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // always a full 3-pass fit here → the subspace frame persists SER;
-    // the coded frame streams into the probed join (single-use — the
-    // pqTopK/ivfTopKPq storage rule, both measured at 1000×)
-    val subRes = pqSubExplode(rbase, m, subDim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val cents = pqFitCodebooks(rbase, subRes, m, subDim, kSub, iters)
+    val rbase =
+      if (fitSampleMod > 1L) rbaseLazy
+      else rbaseLazy.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val subResLazy = pqSubExplode(rbase, m, subDim)
+    val subRes =
+      if (fitSampleMod > 1L) subResLazy
+      else subResLazy.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val (fitRes, fitSub) =
+      if (fitSampleMod > 1L) {
+        val fb = rbaseLazy.filter(col("vec_id") % fitSampleMod === 0)
+        (fb, pqSubExplode(fb, m, subDim))
+      } else (rbase, subRes)
+    val cents = pqFitCodebooks(fitRes, fitSub, m, subDim, kSub, iters)
     val index = pqAssign(subRes, cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -2243,14 +2269,21 @@ object Similarity {
       fitSampleMod: Long = 1L): DataFrame = {
     require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
     val base = semDedupBase(embeddings, dim)
-    val fitBase =
-      if (fitSampleMod > 1L) base.filter(col("vec_id") % fitSampleMod === 0)
-      else base
-    val centroids = kmeansCentroids(fitBase, kClusters, iters)
-    val members = assignClusters(base, centroids)
-    val out = semDedupPrune(members, Seq("cid"), threshold)
-    base.unpersist()
-    out
+    try {
+      val fitBase =
+        if (fitSampleMod > 1L) base.filter(col("vec_id") % fitSampleMod === 0)
+        else base
+      val centroids = kmeansCentroids(fitBase, kClusters, iters)
+      val members = assignClusters(base, centroids)
+      // semDedupPrune checkpoints its output, so unpersisting base in
+      // the finally below never strands the returned frame's lineage
+      semDedupPrune(members, Seq("cid"), threshold)
+    } finally {
+      // reclaim the corpus-sized frame on every exit path (the
+      // PageRank/MvRefresh rule): a failed Lloyd pass or pair join
+      // must not strand MEMORY_AND_DISK blocks
+      base.unpersist()
+    }
   }
 
   /** Shared input guard of the SemDeDup family — same policy as
@@ -2368,27 +2401,53 @@ object Similarity {
     * LUT itself outgrows broadcast and the join would shuffle on
     * `cid` — the same regime where production moves to an HNSW
     * coarse quantizer. */
+  /** `fitSampleMod` > 1 trains BOTH k-means levels on deterministic
+    * samples (the family's `fitSampleMod` lever, through the
+    * hierarchy): level 1 fits on the `vec_id % mod == 0` slice of the
+    * corpus; level 2 fits, per level-1 cell, on that cell's sampled
+    * members PLUS the cell's min-id member — the fallback row that
+    * keeps a cell with no sampled members seeded (otherwise its
+    * members would have no level-2 centroids to assign to). Both
+    * full-corpus assignments and the pair prune are unchanged; the
+    * whole rule is integer-exact and unrolls into the oracle. */
   def semDedupHier(embeddings: DataFrame, targetCellSize: Long,
-      iters: Int, threshold: Double, dim: Int = 64): DataFrame = {
+      iters: Int, threshold: Double, dim: Int = 64,
+      fitSampleMod: Long = 1L): DataFrame = {
     require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    require(fitSampleMod >= 1L, "fitSampleMod must be >= 1")
     val base = semDedupBase(embeddings, dim)
+    try {
+    // k derives from the FULL corpus count — the cell grid is a
+    // layout property of the corpus, not of the fit sample
     val n = base.count()
     // ⌈√⌈n/target⌉⌉: /2^6 and IEEE sqrt/ceil are exactly rounded, so
     // the derivation is engine-portable as a scalar subquery
     val k = math.max(2, math.ceil(math.sqrt(
       math.ceil(n.toDouble / targetCellSize))).toInt)
-    val cent1 = kmeansCentroids(base, k, iters)
+    val fitBase =
+      if (fitSampleMod > 1L) base.filter(col("vec_id") % fitSampleMod === 0)
+      else base
+    val cent1 = kmeansCentroids(fitBase, k, iters)
     // m1 feeds every level-2 fit pass and the final sub-assignment —
     // checkpoint so level-1 assignment runs once
     val m1 = assignClusters(base, cent1).localCheckpoint()
+    val m1fit =
+      if (fitSampleMod > 1L) {
+        val mw = Window.partitionBy(col("cid"))
+        m1.withColumn("mn", min(col("vec_id")).over(mw))
+          .filter(col("vec_id") % fitSampleMod === 0 ||
+            col("vec_id") === col("mn"))
+          .drop("mn")
+          .localCheckpoint() // sample-sized; seeds + both Lloyd passes
+      } else m1
     val seedW = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
-    var cents2 = m1
+    var cents2 = m1fit
       .withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= k)
       .select(col("cid"), (col("rn") - 1).cast("int").as("scid"),
         col("emb").as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assignSubClusters(m1, cents2, "cid")
+      val assigned = assignSubClusters(m1fit, cents2, "cid")
       cents2 = assigned
         .select(col("cid"), col("scid"),
           posexplode(col("emb")).as(Seq("dim", "v")))
@@ -2402,9 +2461,13 @@ object Similarity {
         .localCheckpoint()
     }
     val members = assignSubClusters(m1, cents2, "cid")
-    val out = semDedupPrune(members, Seq("cid", "scid"), threshold)
-    base.unpersist()
-    out
+    // prune checkpoints its output — safe to unpersist base below
+    semDedupPrune(members, Seq("cid", "scid"), threshold)
+    } finally {
+      // every exit path reclaims the corpus-sized frame (the
+      // PageRank/MvRefresh rule)
+      base.unpersist()
+    }
   }
 
   /** INCREMENTAL SemDeDup — the ingest gate of the dedup family (the
@@ -2429,24 +2492,72 @@ object Similarity {
     * hash-verifies via the split fit/assign oracle fragment. */
   def semDedupIncremental(manifest: DataFrame, incoming: DataFrame,
       targetClusterSize: Long, iters: Int, threshold: Double,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame =
+    semDedupGateBatch(
+      semDedupFit(manifest, targetClusterSize, iters, dim),
+      incoming, threshold, dim)
+
+  /** The FITTED state of the semantic-dedup ingest gate — what a
+    * deployment keeps between refits (the amortized index of the
+    * manifest-gate trio, the [[IvfIndex]] sibling): the manifest's
+    * cluster centroids plus its distinct (cell, value) groups with
+    * min-id representatives. Both frames are checkpointed and
+    * O(manifest) at most; every incoming batch is judged against this
+    * state without touching manifest text again. */
+  case class SemDedupState(centroids: DataFrame, manGroups: DataFrame)
+
+  /** Fit the gate state on the manifest ([[semDedupIncremental]]'s
+    * fit half): k = ⌈N_man/target⌉ deterministic k-means + the
+    * manifest's group collapse. */
+  def semDedupFit(manifest: DataFrame, targetClusterSize: Long,
+      iters: Int, dim: Int = 64): SemDedupState = {
     require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
     val man = semDedupBase(manifest, dim)
+    try {
+      // k from the NULL-filtered manifest — the frame the fit actually
+      // runs on, matching semDedupHier's convention (counting the raw
+      // frame would diverge from the fit corpus on NULL-embedding rows)
+      val nM = man.count()
+      val k = math.max(2L,
+          (nM + targetClusterSize - 1) / targetClusterSize)
+        .min(Int.MaxValue).toInt
+      val centroids = kmeansCentroids(man, k, iters)
+      val manGroups = assignClusters(man, centroids)
+        .groupBy(col("cid"), col("emb"))
+        .agg(min(col("vec_id")).as("rep_id"))
+        .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+        .localCheckpoint() // ≤ O(manifest); reused by every batch
+      SemDedupState(centroids, manGroups)
+    } finally {
+      // the corpus-sized frame reclaimed on every exit path (the
+      // PageRank/MvRefresh rule)
+      man.unpersist()
+    }
+  }
+
+  /** Judge ONE incoming batch against a fitted [[SemDedupState]]
+    * ([[semDedupIncremental]]'s gate half, and the per-micro-batch
+    * body of the STREAMING gate): each incoming vector is assigned to
+    * its manifest cell and dropped iff ≥ `threshold`-similar to any
+    * manifest group there or to a smaller-id vector of THIS batch
+    * (one-pass greedy within the batch; the state is frozen between
+    * refits, so vectors in different batches never judge each other —
+    * the documented manifest-gate contract). Output: one row per
+    * incoming vector — (vec_id, cid, kept). */
+  def semDedupGateBatch(state: SemDedupState, incoming: DataFrame,
+      threshold: Double, dim: Int = 64): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.ArrayOps.dot_product(x, y)
     val inc = semDedupBase(incoming, dim)
-    val nM = manifest.count()
-    val k = math.max(2L,
-        (nM + targetClusterSize - 1) / targetClusterSize)
-      .min(Int.MaxValue).toInt
-    val centroids = kmeansCentroids(man, k, iters)
-    val mMan = assignClusters(man, centroids)
-    val mInc = assignClusters(inc, centroids).localCheckpoint()
-    def groupsOf(m: DataFrame): DataFrame = m
+    try {
+    val mInc = assignClusters(inc, state.centroids).localCheckpoint()
+    val gInc = mInc
       .groupBy(col("cid"), col("emb"))
       .agg(min(col("vec_id")).as("rep_id"))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-    val gInc = groupsOf(mInc).localCheckpoint()
+      .localCheckpoint()
     // qualifying source groups a for each incoming target group b
     def qual(a: DataFrame): DataFrame = a.alias("a")
       .join(gInc.alias("b"), col("a.cid") === col("b.cid"))
@@ -2455,7 +2566,7 @@ object Similarity {
     // manifest side: EXISTENCE — any qualifying manifest value in the
     // cell drops every member of b's group (manifest ids are all
     // "smaller" by contract: the manifest IS the kept corpus)
-    val manHit = qual(groupsOf(mMan))
+    val manHit = qual(state.manGroups)
       .groupBy(col("b.cid"), col("b.emb"))
       .agg(lit(true).as("man_hit"))
     // incoming side: min qualifying incoming representative (own
@@ -2463,7 +2574,7 @@ object Similarity {
     val minInc = qual(gInc)
       .groupBy(col("b.cid"), col("b.emb"))
       .agg(min(col("a.rep_id")).as("min_rep"))
-    val out = mInc
+    mInc
       .join(manHit, Seq("cid", "emb"), "left")
       .join(minInc, Seq("cid", "emb"), "left")
       .select(col("vec_id"), col("cid"),
@@ -2471,7 +2582,9 @@ object Similarity {
          (col("min_rep").isNull || col("min_rep") >= col("vec_id")))
           .as("kept"))
       .localCheckpoint()
-    man.unpersist(); inc.unpersist()
-    out
+    } finally {
+      // the batch-sized frame reclaimed on every exit path
+      inc.unpersist()
+    }
   }
 }

@@ -241,8 +241,36 @@ object Streaming {
 
   private val stAnnGateSql = TrainingData.annGateOracleSql(5, 2, 2)
 
+  /** Batch core of the STREAMING semantic-dedup gate
+    * ([[graft.streaming.VectorStream.semGateBatch]]) — the
+    * [[stAnnGate]] sibling completing the manifest-gate trio's
+    * streaming story: gate state ([[graft.ext.Similarity
+    * .semDedupFit]] — manifest centroids + group representatives,
+    * frozen between refits) is fitted on the `vec_id % 5 ≠ 0`
+    * manifest, and the incoming stream (`% 5 = 0`, the family's
+    * streaming split) is judged per micro-batch: drop iff
+    * ≥0.45-similar to any manifest group in the cell or to a
+    * smaller-id vector of the SAME batch. Stateless per BATCH (not
+    * per row — within-batch greedy couples rows sharing a
+    * micro-batch); VectorStreamSpec pins per-micro-batch parity and
+    * both sides of the cross-batch contract. Hash-verified via the
+    * shared split-fit oracle at this entry's own split
+    * ([[TrainingData.semdedupGateOracleSql]]). */
+  def stSemdedupGate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val state = graft.ext.Similarity.semDedupFit(
+      e.filter(col("vec_id") % 5 =!= 0),
+      targetClusterSize = 64L, iters = 2)
+    graft.streaming.VectorStream.semGateBatch(state, threshold = 0.45,
+        e.filter(col("vec_id") % 5 === 0))
+      .orderBy("vec_id")
+  }
+
+  private val stSemdedupGateSql = TrainingData.semdedupGateOracleSql(5)
+
   val queries: Map[String, Q] = Map(
     "st_ann_gate" -> (stAnnGate _),
+    "st_semdedup_gate" -> (stSemdedupGate _),
     "st_upsert_state" -> (stUpsertState _),
     "st_tumbling" -> (stTumbling _),
     "st_static_join" -> (stStaticJoin _),
@@ -257,6 +285,7 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "st_ann_gate" -> stAnnGateSql,
+    "st_semdedup_gate" -> stSemdedupGateSql,
     "st_upsert_state" -> stUpsertStateSql,
     "st_tumbling" -> stTumblingSql,
     "st_static_join" -> stStaticJoinSql,

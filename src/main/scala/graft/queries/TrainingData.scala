@@ -2131,7 +2131,8 @@ object TrainingData {
     * splices these in at dump time. */
   def dynamicOracle: Map[String, String] =
     Map("s_ann_pq_opq" -> sAnnPqOpqSqlNow,
-      "s_ann_ivf_pq_opq_res" -> sAnnIvfPqOpqResSqlNow)
+      "s_ann_ivf_pq_opq_res" -> sAnnIvfPqOpqResSqlNow,
+      "s_ann_ivf_pq_opq_res_sampled" -> sAnnIvfPqOpqResSampledSqlNow)
 
   private val dEmbedCovSql = graft.ext.Pca.covSql(64)
 
@@ -2400,7 +2401,15 @@ object TrainingData {
     * entry and the variance-balanced composition (whose only
     * difference is the permuted `base`), so the two residual fits can
     * never drift. */
-  private def ivfPqResBodySql =
+  private def ivfPqResBodySql: String =
+    ivfPqResBodySqlWith(pqFitsSqlWith(None, src = "rbase"))
+
+  /** [[ivfPqResBodySql]] with the subspace-fit fragment injectable —
+    * the sampled-fit OPQ×residual entry swaps in
+    * `pqFitsSqlWith(Some(4), src = "rbase")` (fits on the sampled
+    * residuals, codes for every row) and everything else stays the
+    * one shared body. */
+  private def ivfPqResBodySqlWith(fits: String) =
     s"""dims AS (SELECT label, i,
        |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
        |      / count(*) AS cv
@@ -2412,7 +2421,7 @@ object TrainingData {
        |    list_transform(range(1, 65),
        |      i -> b.emb[i] - c.centroid[i]) AS emb
        |  FROM base b JOIN cent c ON b.label = c.label),
-       |${pqFitsSqlWith(None, src = "rbase")},
+       |$fits,
        |$qidsSql,
        |q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb
        |  FROM base b JOIN qids s ON b.vec_id = s.vec_id),
@@ -2527,6 +2536,45 @@ object TrainingData {
       keep = " label,",
       rotated => s"""WITH $rotated,
          |$ivfPqResBodySql""".stripMargin)
+
+  /** [[sAnnIvfPqOpqRes]] at the PRODUCTION fit bound
+    * (`fitSampleMod = 4`) — the catalog's most expensive entry
+    * (10 s full-fit) recomposed the way `s_ann_ivf_pq_sampled`
+    * recomposed the plain stack: the trained rotation still applies
+    * first and the coarse means stay full-corpus, but seeds + both
+    * Lloyd rounds of every residual codebook run on the
+    * `vec_id % 4 = 0` slice while the full corpus pays exactly one
+    * encode. Oracle = the rotation-literal CTE feeding the SHARED
+    * residual body with the split-fit fragments
+    * ([[ivfPqResBodySqlWith]] × `pqFitsSqlWith(Some(4))`), so
+    * rotation + coarse fit + sampled residual fits + full-corpus
+    * codes + ADC hash-verify end to end; SimilaritySpec pins recall
+    * within the full-fit band on the blob fixture. */
+  def sAnnIvfPqOpqResSampled(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val (_, c) = graft.ext.Pca.covMeans(e, 64)
+    val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
+    opqResSampledRotationUsed.put(d, rot)
+    val rotated = graft.ext.Pca.applyRotation(e, rot,
+      keep = Seq("vec_id", "label")).localCheckpoint()
+    Similarity.ivfTopKPqResidual(rotated,
+        Similarity.sampleQueryIds(
+          e.filter(col("embedding").isNotNull), n = 16),
+        k = 5, nprobe = 3, m = PqM, kSub = PqKSub, iters = 2,
+        fitSampleMod = 4L)
+      .orderBy("query_id", "rank")
+  }
+
+  private val opqResSampledRotationUsed =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[Array[Double]]]()
+
+  private def sAnnIvfPqOpqResSampledSqlNow: String =
+    rotationSqlNow("s_ann_ivf_pq_opq_res_sampled",
+      opqResSampledRotationUsed, keep = " label,",
+      rotated => s"""WITH $rotated,
+         |${ivfPqResBodySqlWith(pqFitsSqlWith(Some(4), src = "rbase"))}"""
+        .stripMargin)
 
   /** ANN quality evaluation: recall@k of the LSH path against the
     * brute-force ground truth — the number that decides whether an
@@ -2815,7 +2863,23 @@ object TrainingData {
       iters = 2, threshold = 0.45)
       .orderBy("vec_id")
 
-  private val dSemdedupHierSql = {
+  /** [[dSemdedupHier]] at the PRODUCTION fit bound (`fitSampleMod =
+    * 4`) — both k-means levels trained on deterministic samples
+    * (level 1 on the `vec_id % 4 = 0` corpus slice, level 2 per cell
+    * on its sampled members plus the cell's min-id fallback row that
+    * keeps sample-free cells seeded), full-corpus assignments and the
+    * pair prune unchanged. The grid k still derives from the FULL
+    * count (the cell layout is a corpus property). Hash-verified via
+    * [[dSemdedupHierSqlWith]]'s split fit CTEs. */
+  def dSemdedupHierSampled(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedupHier(embs(s, d), targetCellSize = 64L,
+      iters = 2, threshold = 0.45, fitSampleMod = 4L)
+      .orderBy("vec_id")
+
+  private val dSemdedupHierSql = dSemdedupHierSqlWith(None)
+  private val dSemdedupHierSampledSql = dSemdedupHierSqlWith(Some(4))
+
+  private def dSemdedupHierSqlWith(mod: Option[Int]): String = {
     def assign2(src: String, cent: String, out: String): String =
       s"""$out AS (SELECT vec_id, cid, emb, scid FROM (
          |  SELECT b.vec_id, b.cid, b.emb, c.scid,
@@ -2832,20 +2896,37 @@ object TrainingData {
          |  GROUP BY cid, scid, i),
          |$out AS (SELECT cid, scid, list(cv ORDER BY i) AS centroid
          |  FROM ${out}d GROUP BY cid, scid)""".stripMargin
+    // fit CTEs: full form fits both levels on the whole corpus; the
+    // sampled form fits level 1 on the mod-slice (fitb) and level 2
+    // per cell on sampled members + the cell's min-id fallback (fmem)
+    val fit1 = mod.map(n =>
+      s"""fitb AS (SELECT vec_id, emb FROM base WHERE vec_id % $n = 0),
+         |${kmUnrolledCoreSplitSql("fitb", "base", "SELECT k FROM kk")}"""
+        .stripMargin)
+      .getOrElse(kmUnrolledCoreSql("base", "SELECT k FROM kk"))
+    val fit2Src = mod.map { n =>
+      s"""mn AS (SELECT cid, min(vec_id) AS mn FROM members
+         |  GROUP BY cid),
+         |fmem AS (SELECT m.vec_id, m.cid, m.emb FROM members m
+         |  JOIN mn ON m.cid = mn.cid
+         |  WHERE m.vec_id % $n = 0 OR m.vec_id = mn.mn),
+         |""".stripMargin
+    }.getOrElse("")
+    val f2 = if (mod.isDefined) "fmem" else "members"
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |kk AS (SELECT GREATEST(2,
        |    CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS INT)) AS k
        |  FROM base),
-       |${kmUnrolledCoreSql("base", "SELECT k FROM kk")},
-       |init2 AS (SELECT cid, CAST(rn - 1 AS INT) AS scid,
+       |$fit1,
+       |${fit2Src}init2 AS (SELECT cid, CAST(rn - 1 AS INT) AS scid,
        |    emb AS centroid
        |  FROM (SELECT cid, emb, row_number() OVER (
-       |      PARTITION BY cid ORDER BY vec_id) AS rn FROM members)
+       |      PARTITION BY cid ORDER BY vec_id) AS rn FROM $f2)
        |  WHERE rn <= (SELECT k FROM kk)),
-       |${assign2("members", "init2", "sb1")},
+       |${assign2(f2, "init2", "sb1")},
        |${update2("sb1", "sd1")},
-       |${assign2("members", "sd1", "sb2")},
+       |${assign2(f2, "sd1", "sb2")},
        |${update2("sb2", "sd2")},
        |${assign2("members", "sd2", "cells")},
        |p AS (SELECT b.vec_id AS vid
@@ -2882,23 +2963,30 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
-  private val dSemdedupIncrementalSql =
+  /** Oracle for the semantic ingest gate at a `vec_id % splitMod`
+    * manifest/batch split — shared by `d_semdedup_incremental`
+    * (mod 10) and the streaming `st_semdedup_gate` (mod 5, the
+    * st_ann_gate split), so the batch core and the streaming entry
+    * can never drift. */
+  def semdedupGateOracleSql(splitMod: Int): String =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |man AS (SELECT vec_id, emb FROM base WHERE vec_id % 10 <> 0),
+       |man AS (SELECT vec_id, emb FROM base
+       |  WHERE vec_id % $splitMod <> 0),
        |${kmUnrolledCoreSplitSql("man", "base",
-          "SELECT GREATEST(2, (count(*) + 63) // 64) FROM embeddings" +
-          " WHERE vec_id % 10 <> 0")},
+          "SELECT GREATEST(2, (count(*) + 63) // 64) FROM man")},
        |p AS (SELECT b.vec_id AS vid
        |  FROM members a JOIN members b ON a.cid = b.cid
-       |  WHERE b.vec_id % 10 = 0
-       |    AND (a.vec_id % 10 <> 0 OR a.vec_id < b.vec_id)
+       |  WHERE b.vec_id % $splitMod = 0
+       |    AND (a.vec_id % $splitMod <> 0 OR a.vec_id < b.vec_id)
        |    AND ${sqlCosine("a.emb", "b.emb")} >= 0.45),
        |dr AS (SELECT DISTINCT vid FROM p)
        |SELECT m.vec_id, m.cid, (dr.vid IS NULL) AS kept
        |FROM members m LEFT JOIN dr ON m.vec_id = dr.vid
-       |WHERE m.vec_id % 10 = 0
+       |WHERE m.vec_id % $splitMod = 0
        |ORDER BY vec_id""".stripMargin
+
+  private val dSemdedupIncrementalSql = semdedupGateOracleSql(10)
 
   /** Embedding-cosine near-dup pairs (the vector-space dedup variant):
     * multi-table hyperplane LSH blocking + exact cosine verification.
@@ -4313,8 +4401,11 @@ object TrainingData {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_phraseidx_auto").toString
     try {
-      graft.ext.Retrieval.buildPhraseIndex(base, dir)
-      graft.ext.Retrieval.phraseIndexProbe(s, dir, top)
+      // bucket count derived from the postings count (floored at the
+      // proven 64 — bench-SF layouts unchanged); physical only, the
+      // probe result is bucket-count-invariant
+      val nBkts = graft.ext.Retrieval.buildPhraseIndexAuto(base, dir)
+      graft.ext.Retrieval.phraseIndexProbe(s, dir, top, nBkts)
         .orderBy("pid").localCheckpoint()
     } finally QueryUtil.deleteRecursively(dir)
   }
@@ -5748,6 +5839,7 @@ object TrainingData {
     "s_ann_ivf_pq_res" -> (sAnnIvfPqRes _),
     "s_ann_ivf_pq_resbal" -> (sAnnIvfPqResBal _),
     "s_ann_ivf_pq_opq_res" -> (sAnnIvfPqOpqRes _),
+    "s_ann_ivf_pq_opq_res_sampled" -> (sAnnIvfPqOpqResSampled _),
     "s_ann_filtered_pq" -> (sAnnFilteredPq _),
     "s_ann_filtered_pq_auto" -> (sAnnFilteredPqAuto _),
     "s_ann_index_scan" -> (sAnnIndexScan _),
@@ -5795,6 +5887,7 @@ object TrainingData {
     "d_semdedup_auto" -> (dSemdedupAuto _),
     "d_semdedup_sampled" -> (dSemdedupSampled _),
     "d_semdedup_hier" -> (dSemdedupHier _),
+    "d_semdedup_hier_sampled" -> (dSemdedupHierSampled _),
     "d_semdedup_incremental" -> (dSemdedupIncremental _),
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_kl_sources" -> (dKlSources _),
@@ -5883,6 +5976,7 @@ object TrainingData {
     "d_semdedup_auto" -> dSemdedupAutoSql,
     "d_semdedup_sampled" -> dSemdedupSampledSql,
     "d_semdedup_hier" -> dSemdedupHierSql,
+    "d_semdedup_hier_sampled" -> dSemdedupHierSampledSql,
     "d_semdedup_incremental" -> dSemdedupIncrementalSql,
     "d_chunk_dedup" -> dChunkDedupSql,
     "d_kl_sources" -> dKlSourcesSql,

@@ -64,4 +64,37 @@ object VectorStream {
         onBatch(gateBatch(index, k, nprobe, b), epoch)
       }
       .start()
+
+  /** The per-micro-batch SEMANTIC dedup gate body — the
+    * [[Similarity.SemDedupState]] sibling of [[gateBatch]], completing
+    * the manifest-gate trio's streaming story (MinHash and ANN gates
+    * came first): each arriving vector is kept/dropped against the
+    * FROZEN manifest state plus this batch's own smaller ids. Unlike
+    * the ANN gate the body is stateless per BATCH, not per row
+    * (within-batch greedy couples rows that share a micro-batch);
+    * the cross-batch contract is the family's: the manifest does not
+    * grow between refits, so dups split across micro-batches are both
+    * kept until the next refit folds accepted rows in —
+    * VectorStreamSpec pins both sides of that contract. */
+  def semGateBatch(state: Similarity.SemDedupState, threshold: Double,
+      incoming: DataFrame): DataFrame =
+    Similarity.semDedupGateBatch(state, incoming, threshold)
+
+  /** [[ingestGateStream]] for the semantic gate: per-file micro-
+    * batches through [[semGateBatch]] against the frozen state. */
+  def ingestSemGateStream(spark: SparkSession, srcDir: String,
+      state: Similarity.SemDedupState, threshold: Double,
+      checkpointDir: String)(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        onBatch(semGateBatch(state, threshold, b), epoch)
+      }
+      .start()
 }

@@ -207,4 +207,37 @@ class RetrievalSpec extends SparkSpec {
     assert(autoSampleMod(5000L) == 4L)  // sf0.1: the proven mod-4 pin
     assert(autoSampleMod(5000000L) == 4000L) // 1000x: ~1250-doc sample
   }
+
+  test("autoPhraseBuckets: exact integer rule — floored at the proven " +
+      "64, ceil division above it, capped at 2^16; and " +
+      "buildPhraseIndexAuto probes identically to the hand-set grid") {
+    import Retrieval.autoPhraseBuckets
+    assert(autoPhraseBuckets(0L) == 64)          // empty corpus: floor
+    assert(autoPhraseBuckets(1000000L) == 64)    // sf0.1 class: floor
+    assert(autoPhraseBuckets(64L * 4000000L) == 64)  // boundary
+    assert(autoPhraseBuckets(64L * 4000000L + 1) == 65)  // ceil
+    assert(autoPhraseBuckets(1000000000L) == 250)    // 1000x class
+    assert(autoPhraseBuckets(Long.MaxValue) == 65536) // cap
+    // the auto build is layout-only: identical probe results
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val toks = Seq((1L, "data", "stream")).toDF("pid", "w1", "w2")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("phraseidx_autoA").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("phraseidx_autoB").toString
+    try {
+      val n = Retrieval.buildPhraseIndexAuto(docs, dirA)
+      assert(n == 64, s"sf0.001 must floor at 64, derived $n")
+      Retrieval.buildPhraseIndex(docs, dirB, 16)
+      val got = Retrieval.phraseIndexProbe(spark, dirA, toks, n)
+        .orderBy("pid").collect().toSeq
+      val want = Retrieval.phraseIndexProbe(spark, dirB, toks, 16)
+        .orderBy("pid").collect().toSeq
+      assert(got == want, "bucket count changed probe results")
+    } finally {
+      graft.queries.QueryUtil.deleteRecursively(dirA)
+      graft.queries.QueryUtil.deleteRecursively(dirB)
+    }
+  }
 }

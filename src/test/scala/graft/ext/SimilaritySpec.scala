@@ -375,6 +375,38 @@ class SimilaritySpec extends SparkSpec {
     assert(all.filter(!col("kept")).isEmpty)
   }
 
+  test("semDedupHier sampled fit: dedup semantics invariant (identical " +
+      "vectors still collapse to the smallest id), mod=1 reproduces " +
+      "the full fit, and cells with no sampled member stay seeded via " +
+      "the min-id fallback") {
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == (axis + 1) % 64) jitter else 0.0)).map(_.toFloat)
+    // ODD-only ids in one direction: under mod=2 that whole region has
+    // zero sampled members — the fallback row must keep its cells
+    // alive or these vectors would vanish from the output
+    val vecs = Seq(
+      (0L, v(0, 0.0)), (1L, v(0, 0.0)), (2L, v(0, 0.0)),
+      (3L, v(0, 0.9)),
+      (11L, v(32, 0.0)), (13L, v(32, 0.0)), (15L, v(32, 0.9)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.semDedupHier(vecs, targetCellSize = 2L,
+        iters = 2, threshold = 0.999, fitSampleMod = 2L)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect()
+    assert(rows.length == 7, "one row per input vector — a sample-" +
+      "free cell must not drop its members")
+    val got = rows.toMap
+    assert(got(0L) && !got(1L) && !got(2L))
+    assert(got(11L) && !got(13L))
+    assert(got(3L) && got(15L), "distinct vectors survive")
+    // mod=1 IS the full fit — frame equality with the unsampled form
+    val m1 = Similarity.semDedupHier(vecs, targetCellSize = 2L,
+      iters = 2, threshold = 0.999, fitSampleMod = 1L)
+    val full = Similarity.semDedupHier(vecs, targetCellSize = 2L,
+      iters = 2, threshold = 0.999)
+    assert(m1.exceptAll(full).isEmpty && full.exceptAll(m1).isEmpty)
+  }
+
   test("semDedupIncremental: a batch duplicate of a manifest vector " +
       "drops, a genuinely new vector survives, within-batch dups keep " +
       "the smallest id, and the manifest is never re-judged") {
@@ -1158,6 +1190,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recallSampled >= recallFull - 0.15,
       s"sampled-fit IVF-PQ recall $recallSampled collapsed vs " +
         s"full-fit $recallFull")
+  }
+
+  test("sampled-fit OPQ x residual: fitSampleMod=1 is the identity; " +
+      "the quarter-sample fit encodes the full corpus and stays in " +
+      "the full-fit recall band (the s_ann_ivf_pq_opq_res_sampled " +
+      "composition)") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nn = emb.filter(col("embedding").isNotNull)
+    val q16 = Similarity.sampleQueryIds(nn, 16)
+    val (_, cov) = Pca.covMeans(emb, 64)
+    val rot = Pca.opqRotation(cov, 64, m = 16)
+    val rotated = Pca.applyRotation(emb, rot,
+      keep = Seq("vec_id", "label")).localCheckpoint()
+    val full = Similarity.ivfTopKPqResidual(rotated, q16, 5,
+        nprobe = 3, m = 16, kSub = 32, iters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val mod1 = Similarity.ivfTopKPqResidual(rotated, q16, 5,
+        nprobe = 3, m = 16, kSub = 32, iters = 2, fitSampleMod = 1L)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(mod1 == full)
+    val sampled = Similarity.ivfTopKPqResidual(rotated, q16, 5,
+        nprobe = 3, m = 16, kSub = 32, iters = 2, fitSampleMod = 4L)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    for ((q, rows) <- sampled.groupBy(_._1)) {
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length) &&
+        rows.length <= 5, s"ranks for $q")
+      assert(rows.forall(_._2 != q))
+    }
+    assert(sampled.exists(_._2 % 4 != 0),
+      "encode pass looks sample-restricted")
+    // ground truth is rotation-invariant (pinned by the OPQ x
+    // residual test); the sampled coupled fit must stay in the
+    // full-fit composition's band
+    val truth = Similarity.bruteForceTopK(emb, q16, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recallFull = full.map(r => (r.getLong(0), r.getLong(1)))
+      .count(truth.contains).toDouble / truth.size
+    val recallSampled = sampled.map(r => (r._1, r._2))
+      .count(truth.contains).toDouble / truth.size
+    assert(recallSampled >= recallFull - 0.15,
+      s"sampled-fit OPQ x residual recall $recallSampled collapsed " +
+        s"vs full-fit $recallFull")
   }
 
   test("embedDecontaminate flags planted cross-split near-dups, " +
