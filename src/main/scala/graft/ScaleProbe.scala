@@ -751,7 +751,12 @@ object ScaleProbe {
     *    the edge-list class (input-linear) instead of the member
     *    wedge join's multiplicity³. */
   def probeGraph(spark: SparkSession, scale: Int, reps: Int): Unit = {
+    // SPARK_GRAFT_PROBE_LEGS: comma-separated leg-name prefixes to
+    // run (rerun one leg without paying the others' 20-minute tiers)
+    val legFilter = sys.env.get("SPARK_GRAFT_PROBE_LEGS")
+      .map(_.split(",").map(_.trim).toSeq)
     def leg(tag: String)(f: => DataFrame): Unit = {
+      if (!legFilter.forall(_.exists(tag.startsWith))) return
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()

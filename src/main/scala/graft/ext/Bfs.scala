@@ -144,9 +144,19 @@ object Bfs {
   }
 
   /** [[distancesIndexed]] with the bucket count derived from the
-    * symmetrized edge count ([[autoBuckets]]) — one extra narrow
-    * count over the frame the build writes anyway, so a 1000× graph
-    * gets file-sized buckets instead of 32 half-gigabyte ones. */
+    * edge count ([[autoBuckets]] over the UPPER BOUND 2·|raw edges| ≥
+    * |sym distinct|), so a 1000× graph gets file-sized buckets
+    * instead of 32 half-gigabyte ones. The bound instead of the exact
+    * symmetrized-distinct count is deliberate: the exact count needs
+    * either a corpus-sized localCheckpoint (measured DISK-FULL at the
+    * 1000×/~1.2B-edge tier — ~1B deserialized pair blocks in executor
+    * storage on top of the build's own shuffle files) or a second
+    * distinct shuffle, while the raw count is one narrow aggregate;
+    * over-counting duplicate edges only SHRINKS bucket files below
+    * the size target, and the layout is physical — results are
+    * bucket-count-invariant (GraphOpsSpec). The one extra narrow
+    * execution of the upstream edge pipeline is the amortized build's
+    * price. */
   def distancesIndexedAuto(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame =
     distancesIndexedImpl(edges, src, dst, maxIter, Some(autoBuckets), 0)
@@ -164,24 +174,22 @@ object Bfs {
     val symRaw = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
-    // the fixed-bucket path streams the symmetrize straight into the
-    // write (no executor-storage footprint — the layout's selling
-    // point); the auto path must COUNT before it can write, so it
-    // checkpoints once and both the count and the write read the
-    // materialized blocks (upstream pair generation still runs once;
-    // the transient cache is released with the frame after the build)
-    val (symIn, nBuckets) = bucketsOf match {
-      case None => (symRaw, fixedBuckets)
+    // BOTH paths stream the symmetrize straight into the write (no
+    // executor-storage footprint — the layout's selling point); the
+    // auto path derives its count from the raw-edge upper bound, see
+    // [[distancesIndexedAuto]]
+    val nBuckets = bucketsOf match {
+      case None => fixedBuckets
       case Some(f) =>
-        val c = symRaw.localCheckpoint()
-        val n = c.count()
-        val b = f(n)
+        val bound = 2L * edges.count()
+        val b = f(bound)
         // probe-visible record of the derivation (the `_auto` rule's
         // evidence line at every scale tier)
-        System.err.println(s"[bfs] auto nBuckets=$b for $n sym edges")
-        (c, b)
+        System.err.println(
+          s"[bfs] auto nBuckets=$b for sym-edge bound $bound")
+        b
     }
-    symIn
+    symRaw
       .repartition(nBuckets, col("a")) // one file per bucket
       .write.bucketBy(nBuckets, "a").sortBy("a")
       .option("path", s"$dir/adj").mode("overwrite")
