@@ -41,23 +41,21 @@ object Bfs {
       .localCheckpoint()
     // empty edge set: min(a) would aggregate to one (NULL, 0) row —
     // a spurious null-node label — so short-circuit to an empty frame
-    var labels = sym.agg(min(col("a")).as("node"))
+    var labels = Ckpt(sym.agg(min(col("a")).as("node"))
       .withColumn("dist", lit(0L))
-      .filter(col("node").isNotNull)
-      .localCheckpoint()
+      .filter(col("node").isNotNull))
     var frontier = labels
     var iter = 0
     var done = frontier.isEmpty
     while (!done && iter < maxIter) {
-      val next = frontier
+      val next = Ckpt(frontier
         .join(sym, frontier("node") === sym("a"))
         .select(col("b").as("node"), (col("dist") + 1).as("dist"))
         .distinct()
-        .join(labels.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .join(labels.select(col("node")), Seq("node"), "left_anti"))
       if (next.isEmpty) done = true
       else {
-        labels = labels.unionByName(next).localCheckpoint()
+        labels = Ckpt(labels.unionByName(next))
         frontier = next
         iter += 1
       }
@@ -195,23 +193,21 @@ object Bfs {
       .option("path", s"$dir/adj").mode("overwrite")
       .saveAsTable(tbl)
     val sym = spark.table(tbl)
-    var labels = sym.agg(min(col("a")).as("node"))
+    var labels = Ckpt(sym.agg(min(col("a")).as("node"))
       .withColumn("dist", lit(0L))
-      .filter(col("node").isNotNull)
-      .localCheckpoint()
+      .filter(col("node").isNotNull))
     var frontier = labels
     var iter = 0
     var done = frontier.isEmpty
     while (!done && iter < maxIter) {
-      val next = frontier
+      val next = Ckpt(frontier
         .join(sym, frontier("node") === sym("a"))
         .select(col("b").as("node"), (col("dist") + 1).as("dist"))
         .distinct()
-        .join(labels.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .join(labels.select(col("node")), Seq("node"), "left_anti"))
       if (next.isEmpty) done = true
       else {
-        labels = labels.unionByName(next).localCheckpoint()
+        labels = Ckpt(labels.unionByName(next))
         frontier = next
         iter += 1
       }

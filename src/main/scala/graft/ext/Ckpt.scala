@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint placement for ITERATIVE loop state — the one shared
+  * knob behind PageRank / BFS / ConnectedComponents / the k-means
+  * fits ([[Similarity]]).
+  *
+  * Every iterative operator here truncates its otherwise-geometric
+  * loop lineage each round. `localCheckpoint()` (the default) does
+  * that with non-replicated executor-local blocks — free of any
+  * external storage dependency and the right call in a single-JVM
+  * session, but on a real multi-executor cluster one lost executor
+  * kills a mid-iteration frame with NO recompute path (the lineage
+  * was truncated — that is the point of the call). A 100 TB run that
+  * cannot afford a restart opts into RELIABLE placement:
+  *
+  * {{{
+  * spark.conf.set(Ckpt.ModeKey, "reliable")
+  * spark.conf.set(Ckpt.DirKey, "hdfs://…/graft-ckpt")  // or set the
+  *                                   // SparkContext checkpoint dir
+  * }}}
+  *
+  * after which every loop-state truncation in the four operator
+  * families goes through `Dataset.checkpoint()` into the configured
+  * directory (replicated, survives executor loss; Spark recomputes
+  * a lost task from the checkpoint files instead of dying). The mode
+  * is read PER CALL from the session's runtime conf, so a caller can
+  * flip it between jobs without rebuilding the session.
+  *
+  * Results are placement-invariant by construction — both forms
+  * materialize the same rows and only differ in where the blocks
+  * live (CkptSpec pins PageRank/BFS equality across modes). Only
+  * LOOP STATE routes through here: loop-invariant layouts (e.g. the
+  * PageRank edge layout) stay on `persist`, which keeps their
+  * partitioning visible to the planner — a checkpoint of either kind
+  * comes back as a bare scan with UnknownPartitioning and would
+  * re-introduce the per-iteration exchanges the layouts exist to
+  * remove (documented at the PageRank layout site).
+  */
+object Ckpt {
+
+  /** `"local"` (default) → `localCheckpoint()`; `"reliable"` →
+    * `checkpoint()` into [[DirKey]] / the SparkContext dir. */
+  val ModeKey = "graft.checkpoint.mode"
+
+  /** Reliable-mode checkpoint directory; consulted only when the
+    * SparkContext has no checkpoint dir set yet. */
+  val DirKey = "graft.checkpoint.dir"
+
+  /** Truncate `df`'s lineage at the configured placement (eager in
+    * both modes, like the bare `localCheckpoint()` calls this
+    * replaces). */
+  def apply(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    if (ss.conf.get(ModeKey, "local") == "reliable") {
+      if (ss.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = ss.conf.get(DirKey, "")
+        require(dir.nonEmpty, s"$ModeKey=reliable needs $DirKey " +
+          "(or SparkContext.setCheckpointDir)")
+        ss.sparkContext.setCheckpointDir(dir)
+      }
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+}

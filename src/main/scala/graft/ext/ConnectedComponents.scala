@@ -48,7 +48,7 @@ object ConnectedComponents {
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       nEdges / 100000L + 1L)).toInt
-    val symP = sym.repartition(parts, col("a")).localCheckpoint()
+    val symP = Ckpt(sym.repartition(parts, col("a")))
     labelPropagation(symP, parts, propRounds)
       .getOrElse(starContraction(symP, parts, maxIter))
   }
@@ -78,7 +78,7 @@ object ConnectedComponents {
         // join otherwise pays full scheduling overhead on
         // mostly-empty session-default partitions
         .repartition(parts, col("id"))
-        .localCheckpoint() // truncate the growing lineage per round
+        .transform(Ckpt(_)) // truncate the growing lineage per round
       val changes = next
         .filter(col("comp") =!= col("old_comp")).count()
       labels = next.select(col("id"), col("comp"))
@@ -94,9 +94,8 @@ object ConnectedComponents {
     * a star forest pointing every node at its component minimum. */
   private def starContraction(sym: DataFrame, parts: Int,
       maxIter: Int): DataFrame = {
-    val nodes = sym.select(col("a").as("id")).distinct()
-      .localCheckpoint()
-    var cur = sym.filter(col("b") < col("a")).localCheckpoint()
+    val nodes = Ckpt(sym.select(col("a").as("id")).distinct())
+    var cur = Ckpt(sym.filter(col("b") < col("a")))
     var iter = 0
     var converged = false
     var lastSig: (Long, Long) = null
@@ -122,7 +121,7 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b"))
         .distinct()
         .repartition(parts, col("a"))
-        .localCheckpoint()
+        .transform(Ckpt(_))
       // convergence: the edge set is stable (count + an
       // order-independent xor pair signature — no overflow under ANSI)
       val sig = small.agg(count(lit(1)),

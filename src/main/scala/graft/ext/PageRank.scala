@@ -46,8 +46,10 @@ import org.apache.spark.sql.functions._
   * The regimes are physical only — integer sums are
   * order-independent, so both produce bit-identical ranks
   * (GraphOpsSpec pins equality and each regime's plan shape).
-  * Per-iteration `localCheckpoint` truncates the otherwise-geometric
-  * rank lineage.
+  * Per-iteration [[Ckpt]] truncates the otherwise-geometric rank
+  * lineage — executor-local by default, reliable `checkpoint(dir)`
+  * when a cluster run opts in (see [[Ckpt]] for the failure mode the
+  * opt-in closes).
   */
 object PageRank {
 
@@ -90,8 +92,15 @@ object PageRank {
     val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // the layout frame, assigned below — declared here so the
+    // enclosing try/finally can reclaim BOTH corpus-sized cached
+    // frames on every exit path (a throw in the degree aggregate,
+    // the layout build, or any iteration must not strand blocks;
+    // unpersist is idempotent, so the prompt straight-line
+    // e0.unpersist after the layout materializes stays)
+    var e: DataFrame = null
+    try {
+    val deg = Ckpt(e0.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     // node count on the driver: picks the regime. deg is checkpointed
     // node-sized — the count is one cheap job over cached blocks (and
     // doubles as the materialization that populates e0's cache)
@@ -120,7 +129,7 @@ object PageRank {
     // default), the frame is loop-invariant so cache reuse — not
     // lineage truncation — is what the loop needs.
     val layoutKey = if (bcast) "dst" else "src"
-    val e = e0.join(deg, "src")
+    e = e0.join(deg, "src")
       .repartition(nParts, col(layoutKey))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // materialize the layout BEFORE planning the loop: the cached
@@ -136,10 +145,8 @@ object PageRank {
     e0.unpersist()
     val nodes = deg.select(col("src").as("node"))
     val nRow = deg.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), expr("1000000000000L div n").as("pr_pico"))
-      .localCheckpoint()
-    try {
+    var pr = Ckpt(nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), expr("1000000000000L div n").as("pr_pico")))
       for (_ <- 1 to iters) {
         val ranks = pr.select(col("node").as("src"), col("pr_pico"))
         // the regime's one structural difference: how the node-sized
@@ -158,21 +165,22 @@ object PageRank {
         // LEFT join from the full node set: a node with no in-edges
         // keeps its 0.15/n baseline instead of silently vanishing (and
         // with it, its out-edges' contributions in later iterations)
-        pr = nodes
+        pr = Ckpt(nodes
           .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("s")),
             Seq("node"), "left")
           .crossJoin(broadcast(nRow))
           .select(col("node"),
             expr("(150000000000L div n) + ((85 * coalesce(s, 0L)) div 100)")
-              .as("pr_pico"))
-          .localCheckpoint()
+              .as("pr_pico")))
       }
-    } finally {
-      // pr is checkpointed — the corpus-sized layout is reclaimed on
-      // every exit path (the MvRefresh/Bfs reclamation rule: a failed
-      // iteration must not strand edge-sized cache blocks)
-      e.unpersist()
-    }
     pr
+    } finally {
+      // pr is checkpointed — both corpus-sized cached frames are
+      // reclaimed on every exit path (the MvRefresh/Bfs reclamation
+      // rule: a failed degree aggregate, layout build, or iteration
+      // must not strand edge-sized cache blocks)
+      e0.unpersist()
+      if (e != null) e.unpersist()
+    }
   }
 }

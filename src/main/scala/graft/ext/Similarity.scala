@@ -673,7 +673,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .localCheckpoint()
+        .transform(Ckpt(_))
     }
     centroids
   }
@@ -849,7 +849,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .localCheckpoint()
+        .transform(Ckpt(_))
     }
     centroids
   }
@@ -2458,7 +2458,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .localCheckpoint()
+        .transform(Ckpt(_))
     }
     val members = assignSubClusters(m1, cents2, "cid")
     // prune checkpoints its output — safe to unpersist base below
