@@ -170,6 +170,8 @@ object ScaleProbe {
         probeSemDedup(spark, scale, reps); spark.stop(); return
       case Some("graph") =>
         probeGraph(spark, scale, reps); spark.stop(); return
+      case Some("graphcross") =>
+        probeGraphCross(spark, reps); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -714,16 +716,24 @@ object ScaleProbe {
       leg("flat_sampled")(
         graft.ext.Similarity.semDedupAuto(emb, 64L, 2, 0.45,
           fitSampleMod = 4L))
-      // the ingest gate pays the manifest fit per probe run (in
-      // production it is the amortized index batches reuse) — same
-      // k ∝ N_manifest fit class as flat_sampled, so the same gate
-      leg("incremental")(
-        graft.ext.Similarity.semDedupIncremental(
-          emb.filter(col("vec_id") % 10 =!= 0),
-          emb.filter(col("vec_id") % 10 === 0),
-          targetClusterSize = 64L, iters = 2, threshold = 0.45))
     } else println("[probe] flat legs gated <=100x by policy " +
       "(the O(N^2/64) full-corpus assignment)")
+    // the ingest gate pays the manifest fit per probe run (in
+    // production it is the amortized index batches reuse). r13 this
+    // leg was gated >100x WITH the flat legs — its refit WAS the flat
+    // k ∝ N_man fit; r14's hier-fit composition ungates it (the
+    // verdict ask: the 1000x gate leg in the hier class)
+    leg("incremental")(
+      graft.ext.Similarity.semDedupIncremental(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        targetClusterSize = 64L, iters = 2, threshold = 0.45))
+    leg("incremental_sampled")(
+      graft.ext.Similarity.semDedupIncremental(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        targetClusterSize = 64L, iters = 2, threshold = 0.45,
+        fitSampleMod = 4L))
     leg("hier")(
       graft.ext.Similarity.semDedupHier(emb, 64L, 2, 0.45))
     // the r13 sampled-hier lever (both Lloyd levels on the mod-4
@@ -731,6 +741,44 @@ object ScaleProbe {
     leg("hier_sampled")(
       graft.ext.Similarity.semDedupHier(emb, 64L, 2, 0.45,
         fitSampleMod = 4L))
+  }
+
+  /** PageRank regime-CROSSOVER probe (`ScaleProbe <reps> 0
+    * graphcross`): both physical regimes at node scales 10⁴..10⁷ on
+    * deterministic synthetic graphs (avg degree ~17: 16 hash edges +
+    * a ring that guarantees every node appears as a src — the
+    * pagerank input contract). r13 shipped the shuffle regime with
+    * `BroadcastMaxNodes = 10⁸` justified only by the broadcast
+    * memory ceiling; the r13 measurements had shuffle WINNING both
+    * measured tiers (16M and ~1B-node class), so the default picked
+    * the measured-slower plan across the 10⁶–10⁸ band. This probe
+    * measures the actual crossover; the constant derives from its
+    * table in BASELINE.md. iters = 5 so the per-iteration regime
+    * delta dominates the shared layout build. */
+  def probeGraphCross(spark: SparkSession, reps: Int): Unit = {
+    for (n <- Seq(10000L, 100000L, 1000000L, 10000000L)) {
+      val hashEdges = spark.range(n * 16).select(
+        pmod(xxhash64(col("id")), lit(n)).as("src"),
+        pmod(xxhash64(col("id"), lit(1)), lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      // materialize once so both regimes read identical cached input
+      val e = hashEdges.unionByName(ring).localCheckpoint()
+      for ((tag, bmax) <- Seq(("broadcast", Long.MaxValue),
+          ("shuffle", 0L))) {
+        val times = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ext.PageRank.pagerank(e, iters = 5,
+              broadcastMaxNodes = bmax)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] prcross/n=$n%-9d $tag%-10s min " +
+          f"${times.min}%7.2fs  " +
+          f"(runs ${times.map(t => f"$t%.2f").mkString("/")})")
+      }
+    }
   }
 
   /** Graph-regime probe (`ScaleProbe <reps> <scale> graph`): the two
@@ -811,6 +859,29 @@ object ScaleProbe {
           within.unionByName(across), "src", "dst"))
     } else println("[probe] triangles_dup gated <=100x (the edge " +
       "list itself is quadratic in multiplicity — an input bound)")
+    // FALSE-twin (mirrored link farm) leg — r14: h fully-connected
+    // hubs, m = 2000·scale mirror leaves each linked to ALL hubs and
+    // to no other leaf. Leaves are the low-degree side, so the
+    // oriented wedge join would enumerate m·C(h,2) closures
+    // (~10⁹ at 100×: the r12 disk-full class); the open-neighborhood
+    // collapse runs it quotient-sized (2 groups, 1 quotient edge) —
+    // the leg must stay input-linear (edge list = m·h + C(h,2)).
+    // UNGATED: the edge list is LINEAR in scale here, unlike
+    // triangles_dup's quadratic-multiplicity input bound.
+    locally {
+      val h = 100L
+      val m = 2000L * math.max(scale, 1)
+      val hubs = spark.range(h)
+      val clique = hubs.alias("x").join(hubs.alias("y"),
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("src"), col("y.id").as("dst"))
+      val spokes = spark.range(m).alias("l")
+        .join(hubs.alias("hh"))
+        .select((col("l.id") + h).as("src"), col("hh.id").as("dst"))
+      leg(s"triangles_star(m=$m,h=$h)")(
+        graft.ext.Triangles.triangleCounts(
+          clique.unionByName(spokes), "src", "dst"))
+    }
   }
 
   /** Build (or reuse) the `scale`× tpch star under /tmp and return its

@@ -2420,17 +2420,48 @@ object Similarity {
     // k derives from the FULL corpus count — the cell grid is a
     // layout property of the corpus, not of the fit sample
     val n = base.count()
-    // ⌈√⌈n/target⌉⌉: /2^6 and IEEE sqrt/ceil are exactly rounded, so
-    // the derivation is engine-portable as a scalar subquery
-    val k = math.max(2, math.ceil(math.sqrt(
-      math.ceil(n.toDouble / targetCellSize))).toInt)
+    val (_, cents2, m1) = hierFit(base, hierGridK(n, targetCellSize),
+      iters, fitSampleMod)
+    val members = assignSubClusters(m1, cents2, "cid")
+    // prune checkpoints its output — safe to unpersist base below
+    semDedupPrune(members, Seq("cid", "scid"), threshold)
+    } finally {
+      // every exit path reclaims the corpus-sized frame (the
+      // PageRank/MvRefresh rule)
+      base.unpersist()
+    }
+  }
+
+  /** The hier grid rule shared by [[semDedupHier]] and the ingest
+    * gate's [[semDedupFit]]: k₁ = k₂ = ⌈√⌈n/target⌉⌉ (min 2) — /2⁶
+    * and IEEE sqrt/ceil are exactly rounded, so the derivation is
+    * engine-portable as one integer scalar subquery in the oracle. */
+  private def hierGridK(n: Long, target: Long): Int =
+    math.max(2, math.ceil(math.sqrt(
+      math.ceil(n.toDouble / target))).toInt)
+
+  /** The two-level fit shared by [[semDedupHier]] and [[semDedupFit]]
+    * (EXACT extraction of the r13 hier body): level 1 is a k-cluster
+    * k-means over `base` (or its `fitSampleMod` slice), level 2 an
+    * independent per-cell k-means of the same k over each cell's fit
+    * members (sampled members + the cell's min-id fallback row under
+    * sampling — the row that keeps sample-free cells seeded). Returns
+    * (level-1 centroids, level-2 centroids keyed (cid, scid), the
+    * checkpointed level-1 assignment of the FULL base). Every cid
+    * with ≥1 base member carries level-2 structure, and every cid in
+    * `cents2` is backed by ≥1 base member (a cell empty in the fresh
+    * level-1 assignment has no rows to seed from and drops out) —
+    * the occupancy fact [[semDedupGateBatch]]'s restricted incoming
+    * assignment relies on. */
+  private def hierFit(base: DataFrame, k: Int, iters: Int,
+      fitSampleMod: Long): (DataFrame, DataFrame, DataFrame) = {
     val fitBase =
       if (fitSampleMod > 1L) base.filter(col("vec_id") % fitSampleMod === 0)
       else base
     val cent1 = kmeansCentroids(fitBase, k, iters)
     // m1 feeds every level-2 fit pass and the final sub-assignment —
     // checkpoint so level-1 assignment runs once
-    val m1 = assignClusters(base, cent1).localCheckpoint()
+    val m1 = Ckpt(assignClusters(base, cent1))
     val m1fit =
       if (fitSampleMod > 1L) {
         val mw = Window.partitionBy(col("cid"))
@@ -2438,7 +2469,7 @@ object Similarity {
           .filter(col("vec_id") % fitSampleMod === 0 ||
             col("vec_id") === col("mn"))
           .drop("mn")
-          .localCheckpoint() // sample-sized; seeds + both Lloyd passes
+          .transform(Ckpt(_)) // sample-sized; seeds + both Lloyd passes
       } else m1
     val seedW = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
     var cents2 = m1fit
@@ -2460,76 +2491,83 @@ object Similarity {
           x => x("cv")).as("centroid"))
         .transform(Ckpt(_))
     }
-    val members = assignSubClusters(m1, cents2, "cid")
-    // prune checkpoints its output — safe to unpersist base below
-    semDedupPrune(members, Seq("cid", "scid"), threshold)
-    } finally {
-      // every exit path reclaims the corpus-sized frame (the
-      // PageRank/MvRefresh rule)
-      base.unpersist()
-    }
+    (cent1, cents2, m1)
   }
 
   /** INCREMENTAL SemDeDup — the ingest gate of the dedup family (the
     * [[ivfIncremental]] shape applied to semantic dedup, the sibling
     * of the MinHash manifest gate): the cluster structure is fitted
-    * on the MANIFEST only (k = ⌈N_manifest/target⌉, the k ∝ N family
-    * rule — at scale this is the amortized index the batches reuse
-    * until the next refit), each incoming vector is assigned to its
-    * manifest cell, and it is dropped iff it is ≥ `threshold`-similar
-    * to ANY manifest vector in that cell or to a SMALLER-ID incoming
-    * vector in it (the family's one-pass greedy rule, so a batch that
-    * contains its own duplicates keeps exactly the smallest id).
-    * Output: one row per incoming vector — (vec_id, cid, kept); the
-    * manifest is never re-judged (it IS the kept corpus).
+    * on the MANIFEST only with the HIERARCHICAL two-level grid
+    * ([[hierFit]], k₁ = k₂ = ⌈√⌈N_man/target⌉⌉ — at scale this is
+    * the amortized index the batches reuse until the next refit),
+    * each incoming vector is assigned to its manifest (cell,
+    * sub-cell), and it is dropped iff it is ≥ `threshold`-similar
+    * to ANY manifest vector in that sub-cell or to a SMALLER-ID
+    * incoming vector in it (the family's one-pass greedy rule, so a
+    * batch that contains its own duplicates keeps exactly the
+    * smallest id). Output: one row per incoming vector — (vec_id,
+    * cid, scid, kept); the manifest is never re-judged (it IS the
+    * kept corpus).
     *
-    * Per-batch cost is bounded by the batch: |B| · k assignment plus
-    * the within-cell pair join, which runs over distinct (cell,
-    * value) GROUPS (the [[semDedupPrune]] multiplicity collapse —
-    * exact for every threshold): a dup-heavy batch, the regime an
-    * ingest gate exists for, pays distinct-values² per cell, never
-    * multiplicity². Deterministic end to end, so the whole gate
-    * hash-verifies via the split fit/assign oracle fragment. */
+    * The r13 form fit the FLAT k ∝ N_man grid here — the family's
+    * measured assignment wall (every refit pays N_man·k =
+    * O(N²/target) per Lloyd pass, and every batch pays |B|·k): the
+    * r12 campaign measured the flat gate at 110.4 s vs hier 14.1 s
+    * at the 100× tier, with the 1000× flat legs gated by policy.
+    * Composing [[hierFit]] (r14) puts BOTH the refit and the
+    * per-batch assignment on the hier cost line: refit Lloyd passes
+    * are N_man·√k̄-class, batches pay |B|·2k₁ = O(|B|·√(N_man/t)).
+    *
+    * Per-batch cost is bounded by the batch: |B| · 2k₁ assignment
+    * plus the within-sub-cell pair join, which runs over distinct
+    * (cell, value) GROUPS (the [[semDedupPrune]] multiplicity
+    * collapse — exact for every threshold): a dup-heavy batch, the
+    * regime an ingest gate exists for, pays distinct-values² per
+    * sub-cell, never multiplicity². Deterministic end to end, so the
+    * whole gate hash-verifies via the two-level split fit/assign
+    * oracle fragment. */
   def semDedupIncremental(manifest: DataFrame, incoming: DataFrame,
       targetClusterSize: Long, iters: Int, threshold: Double,
-      dim: Int = 64): DataFrame =
+      dim: Int = 64, fitSampleMod: Long = 1L): DataFrame =
     semDedupGateBatch(
-      semDedupFit(manifest, targetClusterSize, iters, dim),
+      semDedupFit(manifest, targetClusterSize, iters, dim,
+        fitSampleMod),
       incoming, threshold, dim)
 
   /** The FITTED state of the semantic-dedup ingest gate — what a
     * deployment keeps between refits (the amortized index of the
     * manifest-gate trio, the [[IvfIndex]] sibling): the manifest's
-    * cluster centroids plus its distinct (cell, value) groups with
-    * min-id representatives. Both frames are checkpointed and
-    * O(manifest) at most; every incoming batch is judged against this
-    * state without touching manifest text again. */
-  case class SemDedupState(centroids: DataFrame, manGroups: DataFrame)
+    * TWO-LEVEL cluster centroids ([[hierFit]]) plus its distinct
+    * (cell, sub-cell, value) groups with min-id representatives. All
+    * three frames are checkpointed and O(manifest) at most; every
+    * incoming batch is judged against this state without touching
+    * manifest text again. */
+  case class SemDedupState(centroids1: DataFrame,
+      centroids2: DataFrame, manGroups: DataFrame)
 
   /** Fit the gate state on the manifest ([[semDedupIncremental]]'s
-    * fit half): k = ⌈N_man/target⌉ deterministic k-means + the
-    * manifest's group collapse. */
+    * fit half): the [[hierFit]] two-level deterministic k-means
+    * (k₁ = k₂ = ⌈√⌈N_man/target⌉⌉, optionally `fitSampleMod`-sampled
+    * Lloyd passes) + the manifest's per-sub-cell group collapse. k
+    * derives from the NULL-filtered manifest — the frame the fit
+    * actually runs on, matching [[semDedupHier]]'s convention. */
   def semDedupFit(manifest: DataFrame, targetClusterSize: Long,
-      iters: Int, dim: Int = 64): SemDedupState = {
+      iters: Int, dim: Int = 64,
+      fitSampleMod: Long = 1L): SemDedupState = {
     require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
     val man = semDedupBase(manifest, dim)
     try {
-      // k from the NULL-filtered manifest — the frame the fit actually
-      // runs on, matching semDedupHier's convention (counting the raw
-      // frame would diverge from the fit corpus on NULL-embedding rows)
       val nM = man.count()
-      val k = math.max(2L,
-          (nM + targetClusterSize - 1) / targetClusterSize)
-        .min(Int.MaxValue).toInt
-      val centroids = kmeansCentroids(man, k, iters)
-      val manGroups = assignClusters(man, centroids)
-        .groupBy(col("cid"), col("emb"))
+      val (cent1, cents2, m1) = hierFit(man,
+        hierGridK(nM, targetClusterSize), iters, fitSampleMod)
+      val manGroups = assignSubClusters(m1, cents2, "cid")
+        .groupBy(col("cid"), col("scid"), col("emb"))
         .agg(min(col("vec_id")).as("rep_id"))
         .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-        .localCheckpoint() // ≤ O(manifest); reused by every batch
-      SemDedupState(centroids, manGroups)
+        .transform(Ckpt(_)) // ≤ O(manifest); reused by every batch
+      SemDedupState(cent1, cents2, manGroups)
     } finally {
       // the corpus-sized frame reclaimed on every exit path (the
       // PageRank/MvRefresh rule)
@@ -2540,48 +2578,62 @@ object Similarity {
   /** Judge ONE incoming batch against a fitted [[SemDedupState]]
     * ([[semDedupIncremental]]'s gate half, and the per-micro-batch
     * body of the STREAMING gate): each incoming vector is assigned to
-    * its manifest cell and dropped iff ≥ `threshold`-similar to any
-    * manifest group there or to a smaller-id vector of THIS batch
-    * (one-pass greedy within the batch; the state is frozen between
-    * refits, so vectors in different batches never judge each other —
-    * the documented manifest-gate contract). Output: one row per
-    * incoming vector — (vec_id, cid, kept). */
+    * its manifest (cell, sub-cell) and dropped iff ≥
+    * `threshold`-similar to any manifest group there or to a
+    * smaller-id vector of THIS batch (one-pass greedy within the
+    * batch; the state is frozen between refits, so vectors in
+    * different batches never judge each other — the documented
+    * manifest-gate contract). Output: one row per incoming vector —
+    * (vec_id, cid, scid, kept).
+    *
+    * The batch's level-1 assignment ranks over OCCUPIED cells only
+    * (cells with ≥1 manifest member — exactly the cids carrying
+    * level-2 structure, [[hierFit]]'s occupancy fact): a level-1
+    * centroid can end the fit with zero fresh manifest members, and
+    * an incoming vector falling into such a cell would have no
+    * sub-cell to assign to and silently vanish from the output;
+    * restricted, it re-assigns to its nearest occupied cell and is
+    * judged there. The oracle mirrors the restriction (occ/c2o
+    * CTEs). */
   def semDedupGateBatch(state: SemDedupState, incoming: DataFrame,
       threshold: Double, dim: Int = 64): DataFrame = {
     def dot(x: Column, y: Column): Column =
       graft.functions.ArrayOps.dot_product(x, y)
     val inc = semDedupBase(incoming, dim)
     try {
-    val mInc = assignClusters(inc, state.centroids).localCheckpoint()
-    val gInc = mInc
-      .groupBy(col("cid"), col("emb"))
+    val occ1 = state.centroids1.join(
+      state.centroids2.select(col("cid")).distinct(),
+      Seq("cid"), "left_semi")
+    val mInc = Ckpt(assignSubClusters(
+      assignClusters(inc, occ1), state.centroids2, "cid"))
+    val gInc = Ckpt(mInc
+      .groupBy(col("cid"), col("scid"), col("emb"))
       .agg(min(col("vec_id")).as("rep_id"))
-      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-      .localCheckpoint()
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb")))))
     // qualifying source groups a for each incoming target group b
     def qual(a: DataFrame): DataFrame = a.alias("a")
-      .join(gInc.alias("b"), col("a.cid") === col("b.cid"))
+      .join(gInc.alias("b"), col("a.cid") === col("b.cid") &&
+        col("a.scid") === col("b.scid"))
       .filter(round(dot(col("a.emb"), col("b.emb")) /
         (col("a.norm") * col("b.norm")), 6) >= threshold)
     // manifest side: EXISTENCE — any qualifying manifest value in the
-    // cell drops every member of b's group (manifest ids are all
+    // sub-cell drops every member of b's group (manifest ids are all
     // "smaller" by contract: the manifest IS the kept corpus)
     val manHit = qual(state.manGroups)
-      .groupBy(col("b.cid"), col("b.emb"))
+      .groupBy(col("b.cid"), col("b.scid"), col("b.emb"))
       .agg(lit(true).as("man_hit"))
     // incoming side: min qualifying incoming representative (own
     // group included — the threshold ≤ 1 test of [[semDedupPrune]])
     val minInc = qual(gInc)
-      .groupBy(col("b.cid"), col("b.emb"))
+      .groupBy(col("b.cid"), col("b.scid"), col("b.emb"))
       .agg(min(col("a.rep_id")).as("min_rep"))
-    mInc
-      .join(manHit, Seq("cid", "emb"), "left")
-      .join(minInc, Seq("cid", "emb"), "left")
-      .select(col("vec_id"), col("cid"),
+    Ckpt(mInc
+      .join(manHit, Seq("cid", "scid", "emb"), "left")
+      .join(minInc, Seq("cid", "scid", "emb"), "left")
+      .select(col("vec_id"), col("cid"), col("scid"),
         (!coalesce(col("man_hit"), lit(false)) &&
          (col("min_rep").isNull || col("min_rep") >= col("vec_id")))
-          .as("kept"))
-      .localCheckpoint()
+          .as("kept")))
     } finally {
       // the batch-sized frame reclaimed on every exit path
       inc.unpersist()

@@ -245,12 +245,14 @@ object Streaming {
     * ([[graft.streaming.VectorStream.semGateBatch]]) — the
     * [[stAnnGate]] sibling completing the manifest-gate trio's
     * streaming story: gate state ([[graft.ext.Similarity
-    * .semDedupFit]] — manifest centroids + group representatives,
+    * .semDedupFit]] — TWO-LEVEL manifest centroids + group
+    * representatives since r14 (the hier fit composed into the refit
+    * leg; r13's flat k ∝ N_man fit was the family's measured wall),
     * frozen between refits) is fitted on the `vec_id % 5 ≠ 0`
     * manifest, and the incoming stream (`% 5 = 0`, the family's
     * streaming split) is judged per micro-batch: drop iff
-    * ≥0.45-similar to any manifest group in the cell or to a
-    * smaller-id vector of the SAME batch. Stateless per BATCH (not
+    * ≥0.45-similar to any manifest group in the (cell, sub-cell) or
+    * to a smaller-id vector of the SAME batch. Stateless per BATCH (not
     * per row — within-batch greedy couples rows sharing a
     * micro-batch); VectorStreamSpec pins per-micro-batch parity and
     * both sides of the cross-batch contract. Hash-verified via the

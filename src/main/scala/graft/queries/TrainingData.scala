@@ -2109,10 +2109,18 @@ object TrainingData {
           (0 until 64).map(j => s"(${rot(i)(j)}) * emb[${j + 1}]")
             .mkString(" + ")
         }.mkString(",\n      ")
+        // MATERIALIZED: the rotated frame is a 64×64 = 4096-term
+        // expression per row and the residual body references `base`
+        // ~20 times (16 subspace slices, dims, q, codesl). DuckDB
+        // inlines plain CTEs per reference, which re-plans and
+        // re-evaluates the rotation everywhere — measured 232 s for
+        // s_ann_pq_opq and ~620 s for each OPQ×residual oracle at
+        // sf0.01; forcing one materialization cuts them to seconds
+        // (4.5 s measured) without touching semantics.
         mkBody(s"""rawb AS (SELECT vec_id,$keep
            |    embedding::DOUBLE[] AS emb
            |  FROM embeddings WHERE embedding IS NOT NULL),
-           |base AS (SELECT vec_id,$keep list_value(
+           |base AS MATERIALIZED (SELECT vec_id,$keep list_value(
            |      $rows) AS emb
            |  FROM rawb)""".stripMargin)
       case many =>
@@ -2879,23 +2887,36 @@ object TrainingData {
   private val dSemdedupHierSql = dSemdedupHierSqlWith(None)
   private val dSemdedupHierSampledSql = dSemdedupHierSqlWith(Some(4))
 
+  /** Level-2 (per-cell) assignment CTE of the hier SemDeDup oracles —
+    * rank sub-centroids within the row's own `cid` by rounded cosine,
+    * smallest scid on ties (the [[Similarity]] assignSubClusters
+    * rule). Shared by `d_semdedup_hier(_sampled)` and the two-level
+    * ingest-gate oracle so the fragments can never drift. */
+  private def hierAssign2Sql(src: String, cent: String,
+      out: String): String =
+    s"""$out AS (SELECT vec_id, cid, emb, scid FROM (
+       |  SELECT b.vec_id, b.cid, b.emb, c.scid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC, c.scid)
+       |      AS srn
+       |  FROM $src b JOIN $cent c ON b.cid = c.cid) WHERE srn = 1)"""
+      .stripMargin
+
+  /** Level-2 Lloyd update CTE (per-(cid, scid) decimal-sum means). */
+  private def hierUpdate2Sql(assigned: String, out: String): String =
+    s"""${out}d AS (SELECT cid, scid, i,
+       |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS cv
+       |  FROM $assigned CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY cid, scid, i),
+       |$out AS (SELECT cid, scid, list(cv ORDER BY i) AS centroid
+       |  FROM ${out}d GROUP BY cid, scid)""".stripMargin
+
   private def dSemdedupHierSqlWith(mod: Option[Int]): String = {
     def assign2(src: String, cent: String, out: String): String =
-      s"""$out AS (SELECT vec_id, cid, emb, scid FROM (
-         |  SELECT b.vec_id, b.cid, b.emb, c.scid,
-         |    row_number() OVER (PARTITION BY b.vec_id
-         |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC, c.scid)
-         |      AS srn
-         |  FROM $src b JOIN $cent c ON b.cid = c.cid) WHERE srn = 1)"""
-        .stripMargin
+      hierAssign2Sql(src, cent, out)
     def update2(assigned: String, out: String): String =
-      s"""${out}d AS (SELECT cid, scid, i,
-         |    CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE)
-         |      / count(*) AS cv
-         |  FROM $assigned CROSS JOIN range(1, 65) t(i)
-         |  GROUP BY cid, scid, i),
-         |$out AS (SELECT cid, scid, list(cv ORDER BY i) AS centroid
-         |  FROM ${out}d GROUP BY cid, scid)""".stripMargin
+      hierUpdate2Sql(assigned, out)
     // fit CTEs: full form fits both levels on the whole corpus; the
     // sampled form fits level 1 on the mod-slice (fitb) and level 2
     // per cell on sampled members + the cell's min-id fallback (fmem)
@@ -2943,17 +2964,22 @@ object TrainingData {
     * ingest gate of the semantic-dedup family, completing the
     * manifest-gate trio (MinHash `d_incremental_minhash`, ANN
     * `s_ann_incremental`): the cluster structure is fitted on the
-    * MANIFEST only (k = ⌈N_man/64⌉ — the amortized index batches
-    * reuse until the next refit), each incoming vector (`vec_id % 10
-    * = 0`, the family's batch split) is assigned to its manifest cell
-    * and dropped iff ≥0.45-similar to any manifest vector there or to
-    * a smaller-id batch vector (one-pass greedy, so an internally
-    * duplicated batch keeps exactly its smallest id). Per-batch work
-    * is bounded by the batch — |B|·k assignment + within-cell pairs
-    * against ~64 manifest vectors per cell, never corpus × corpus.
-    * Hash-verified: the oracle fits on the manifest CTE and assigns
-    * the full base ([[kmUnrolledCoreSplitSql]]), then applies the
-    * same asymmetric pair rule with modulus predicates. */
+    * MANIFEST only with the HIERARCHICAL two-level grid (k₁ = k₂ =
+    * ⌈√⌈N_man/64⌉⌉ — r14; the r13 flat k ∝ N_man fit was the
+    * family's measured refit wall), each incoming vector (`vec_id %
+    * 10 = 0`, the family's batch split) is assigned to its manifest
+    * (cell, sub-cell) and dropped iff ≥0.45-similar to any manifest
+    * vector there or to a smaller-id batch vector (one-pass greedy,
+    * so an internally duplicated batch keeps exactly its smallest
+    * id). Per-batch work is bounded by the batch — |B|·2k₁
+    * assignment + within-sub-cell pairs against ~64 manifest vectors
+    * per sub-cell, never corpus × corpus. Hash-verified: the oracle
+    * fits level 1 on the manifest CTE ([[kmUnrolledCoreSplitSql]]),
+    * unrolls the per-cell level-2 fit over manifest members
+    * ([[hierAssign2Sql]]/[[hierUpdate2Sql]] — the d_semdedup_hier
+    * fragments), assigns the batch over OCCUPIED cells only (the
+    * engine's restricted assignment), then applies the same
+    * asymmetric pair rule on (cid, scid) with modulus predicates. */
   def dSemdedupIncremental(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Similarity.semDedupIncremental(
@@ -2973,16 +2999,42 @@ object TrainingData {
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |man AS (SELECT vec_id, emb FROM base
        |  WHERE vec_id % $splitMod <> 0),
-       |${kmUnrolledCoreSplitSql("man", "base",
-          "SELECT GREATEST(2, (count(*) + 63) // 64) FROM man")},
+       |bat AS (SELECT vec_id, emb FROM base
+       |  WHERE vec_id % $splitMod = 0),
+       |kk AS (SELECT GREATEST(2,
+       |    CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS INT)) AS k
+       |  FROM man),
+       |${kmUnrolledCoreSplitSql("man", "man", "SELECT k FROM kk")},
+       |occ AS (SELECT DISTINCT cid FROM members),
+       |c2o AS (SELECT c.cid, c.centroid FROM c2 c
+       |  JOIN occ o ON c.cid = o.cid),
+       |bm AS (SELECT vec_id, emb, cid FROM (
+       |  SELECT b.vec_id, b.emb, c.cid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${sqlCosine("b.emb", "c.centroid")} DESC, c.cid)
+       |      AS rn
+       |  FROM bat b CROSS JOIN c2o c) WHERE rn = 1),
+       |init2 AS (SELECT cid, CAST(rn - 1 AS INT) AS scid,
+       |    emb AS centroid
+       |  FROM (SELECT cid, emb, row_number() OVER (
+       |      PARTITION BY cid ORDER BY vec_id) AS rn FROM members)
+       |  WHERE rn <= (SELECT k FROM kk)),
+       |${hierAssign2Sql("members", "init2", "sb1")},
+       |${hierUpdate2Sql("sb1", "sd1")},
+       |${hierAssign2Sql("members", "sd1", "sb2")},
+       |${hierUpdate2Sql("sb2", "sd2")},
+       |allm AS (SELECT vec_id, cid, emb FROM members
+       |  UNION ALL SELECT vec_id, cid, emb FROM bm),
+       |${hierAssign2Sql("allm", "sd2", "cells")},
        |p AS (SELECT b.vec_id AS vid
-       |  FROM members a JOIN members b ON a.cid = b.cid
+       |  FROM cells a JOIN cells b
+       |  ON a.cid = b.cid AND a.scid = b.scid
        |  WHERE b.vec_id % $splitMod = 0
        |    AND (a.vec_id % $splitMod <> 0 OR a.vec_id < b.vec_id)
        |    AND ${sqlCosine("a.emb", "b.emb")} >= 0.45),
        |dr AS (SELECT DISTINCT vid FROM p)
-       |SELECT m.vec_id, m.cid, (dr.vid IS NULL) AS kept
-       |FROM members m LEFT JOIN dr ON m.vec_id = dr.vid
+       |SELECT m.vec_id, m.cid, m.scid, (dr.vid IS NULL) AS kept
+       |FROM cells m LEFT JOIN dr ON m.vec_id = dr.vid
        |WHERE m.vec_id % $splitMod = 0
        |ORDER BY vec_id""".stripMargin
 

@@ -30,7 +30,43 @@ import graft.ext.Similarity
   * The batch core is the SAME [[Similarity.ivfProbe]] the
   * hash-verified `s_ann_incremental` / `s_ann_incremental_sqrt`
   * entries run — the streaming wrapper adds no arithmetic of its own,
-  * which is what makes the parity argument airtight. */
+  * which is what makes the parity argument airtight.
+  *
+  * ==Design note: a CONTINUOUSLY-GROWING manifest (the documented
+  * redesign trigger, written down r14 so the next scale demand has a
+  * plan instead of an increment)==
+  *
+  * Both gates freeze their manifest between refits — dups split
+  * across micro-batches are BOTH kept until the next refit folds
+  * accepted rows in (spec-pinned). A deployment that needs
+  * cross-batch dedup WITHOUT refits moves per-CELL accepted state
+  * into the state store:
+  *
+  *  - '''Key''': the quantizer cell — level-1 `cid` for the ANN gate,
+  *    `(cid, scid)` for the semantic gate. The micro-batch is
+  *    `groupByKey`-ed on the assigned cell, so
+  *    `flatMapGroupsWithState` sees each cell's new vectors together.
+  *  - '''State per key''': the cell's ACCEPTED (emb, min vec_id)
+  *    groups since the last refit — the [[Similarity.SemDedupState]]
+  *    `manGroups` delta, bounded by target cell size × dedup rate,
+  *    NOT by stream length (accepted dups never insert). A size cap
+  *    (e.g. 4× target) plus TTL-to-next-refit bounds the store even
+  *    under adversarial streams; overflow falls back to
+  *    keep-and-flag, preserving the gate's no-false-DROP contract.
+  *  - '''Stays broadcast''': the fitted centroids and the refit-time
+  *    manifest groups — they are immutable between refits, and
+  *    per-row state-store lookups cannot beat a broadcast for
+  *    read-only data. Only the post-refit DELTA lives in the store.
+  *  - '''Judgment order''': within a batch the existing one-pass
+  *    greedy (smallest id wins) is preserved per cell; across batches
+  *    the store's groups play the manifest role (existence ⇒ drop).
+  *  - '''Refit handoff''': on refit, the store drains (state TTL) and
+  *    the new frozen manifest absorbs accepted rows; the gate's
+  *    output contract — one (vec_id, …, kept) row per incoming
+  *    vector — is unchanged, which keeps the batch-parity oracle
+  *    runnable against the state-store variant on any single-batch
+  *    input.
+  */
 object VectorStream {
 
   /** embeddings schema for readStream. */

@@ -1463,4 +1463,47 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getLong(0) == donor.getLong(0))
     assert(top.getDouble(1) == 1.0)
   }
+
+  test("hier-fit ingest gate (r14): on an exact-duplicate corpus the " +
+      "two-level verdicts equal the blocking-free rule, every incoming " +
+      "vector is judged exactly once, and the sampled fit changes no " +
+      "verdict") {
+    // orthogonal duplicate classes: cosine is 1 within a class, 0
+    // across, so kept/dropped is fully determined WITHOUT knowing the
+    // blocking (identical vectors share any deterministic cell): a
+    // batch vector drops iff its class has a manifest member or a
+    // smaller-id batch member — the sense in which two-level ≡ flat
+    def v(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1.0f else 0.0f)
+    val manifest = Seq((1000L, v(0)), (1001L, v(9)), (1002L, v(18)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, v(0)), (11L, v(0)),            // manifest class → drop
+      (21L, v(9)),                          // manifest class → drop
+      (30L, v(27)), (31L, v(27)), (32L, v(27)), // new: keep 30 only
+      (40L, v(36)),                         // new singleton → keep
+      (50L, v(45)), (51L, v(45)))           // new: keep 50 only
+      .toDF("vec_id", "embedding")
+    val expected = Map(10L -> false, 11L -> false, 21L -> false,
+      30L -> true, 31L -> false, 32L -> false, 40L -> true,
+      50L -> true, 51L -> false)
+    val out = Similarity.semDedupIncremental(manifest, batch,
+      targetClusterSize = 2L, iters = 2, threshold = 0.9)
+    assert(out.columns.toSeq == Seq("vec_id", "cid", "scid", "kept"))
+    val got = out.select("vec_id", "kept")
+      .as[(Long, Boolean)].collect()
+    assert(got.length == expected.size,
+      "one judgment per incoming vector — none may silently vanish " +
+        "into a manifest-empty cell")
+    assert(got.toMap == expected)
+    // classes 27/36/45 are orthogonal to every manifest vector, so
+    // their cells carry no manifest structure — the restricted
+    // level-1 assignment is what kept them judged above. The sampled
+    // fit may re-shape cells but never verdicts on this corpus.
+    val sampled = Similarity.semDedupIncremental(manifest, batch,
+      targetClusterSize = 2L, iters = 2, threshold = 0.9,
+      fitSampleMod = 4L)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(sampled == expected)
+  }
 }
