@@ -19,20 +19,26 @@ import org.apache.spark.sql.functions._
   * [[Similarity]] semDedupPrune move applied to wedges): in a dup
   * pair graph, k identical documents form a k-clique whose members
   * also share every external neighbor — k TRUE TWINS (identical
-  * closed neighborhoods). Wedge enumeration over the member graph
-  * pays multiplicity³ per duplicated value (1000 copies → 10⁹ wedge
-  * closures — the probe corpus that gated this entry's deep tier);
-  * over the twin-collapsed QUOTIENT it pays 1, and every member
-  * count reconstitutes in closed form from group sizes. Grouping is
-  * by an order-independent closed-neighborhood signature
-  * (count + two xxhash64 XOR folds — edge-sized aggregate, no
-  * per-node adjacency arrays, so a hub cannot balloon a row), then
-  * VERIFIED exactly: a surviving group must have all C(m,2) internal
-  * edges and full m_A·m_B bipartite edge counts against every group
-  * it touches; any group failing a check — the only way a hash
+  * closed neighborhoods); k non-interacting duplicates pointing at
+  * the same targets (retweet stars, mirrored link farms) form k
+  * FALSE TWINS (identical OPEN neighborhoods, never adjacent — r14).
+  * Wedge enumeration over the member graph pays multiplicity³ per
+  * duplicated value (1000 copies → 10⁹ wedge closures — the probe
+  * corpus that gated this entry's deep tier); over the twin-collapsed
+  * QUOTIENT it pays 1, and every member count reconstitutes in
+  * closed form from group sizes. Grouping is by order-independent
+  * neighborhood signatures — one aggregate yields both kinds
+  * (count + two xxhash64 XOR folds; closed = open ⊕ hash(self) —
+  * edge-sized aggregate, no per-node adjacency arrays, so a hub
+  * cannot balloon a row), closed groups first, open groups among the
+  * leftovers (a node can never have both twin kinds — see the
+  * in-code proof), then VERIFIED exactly: a surviving group must
+  * have EXACTLY its kind's internal edge count (all C(m,2) / zero)
+  * and full m_A·m_B bipartite edge counts against every group it
+  * touches; any group failing a check — the only way a hash
   * collision can surface — demotes to singletons. Surviving groups
   * therefore provably satisfy the one property the closed-form
-  * expansion needs (internal clique + group-uniform external
+  * expansion needs (clique-or-independent + group-uniform external
   * adjacency), making the rewrite EXACT for every input, not
   * probabilistically so; with all groups singleton it degenerates to
   * the plain oriented-wedge algorithm. The DuckDB oracle stays the
@@ -69,21 +75,49 @@ object Triangles {
       .localCheckpoint() // feeds the signature, verification, AND
                          // quotient passes — cut the upstream
                          // (pair-generation) lineage once
-    // ---- twin collapse: closed-neighborhood signature ----
-    // order-independent fold over N[u] = neighbors ∪ {u}: XOR is
-    // commutative and never overflows (ANSI-safe, unlike a hash SUM)
+    // ---- twin collapse: neighborhood signatures ----
+    // ONE aggregate over the open neighbor list yields BOTH
+    // signatures: closed fold = open fold ⊕ hash(u) and closed count
+    // = open count + 1 (u is never its own neighbor — self-loops are
+    // gone). XOR is commutative and never overflows (ANSI-safe,
+    // unlike a hash SUM).
     val nbr = und.select(col("lo").as("u"), col("hi").as("x"))
       .unionByName(und.select(col("hi").as("u"), col("lo").as("x")))
-    val closed = nbr.unionByName(
-      nbr.select(col("u"), col("u").as("x")).distinct())
-    val sig = closed.groupBy(col("u"))
-      .agg(count(lit(1)).as("degc"),
-        bit_xor(xxhash64(col("x"))).as("s1"),
-        bit_xor(xxhash64(col("x"), lit(7L))).as("s2"))
-    val sw = Window.partitionBy(col("degc"), col("s1"), col("s2"))
-    val cand = sig.select(col("u"),
-        min(col("u")).over(sw).as("gid"),
-        count(lit(1)).over(sw).as("m"))
+    val sig = nbr.groupBy(col("u"))
+      .agg(count(lit(1)).as("dego"),
+        bit_xor(xxhash64(col("x"))).as("o1"),
+        bit_xor(xxhash64(col("x"), lit(7L))).as("o2"))
+      .select(col("u"), col("dego"), col("o1"), col("o2"),
+        (col("dego") + 1).as("degc"),
+        col("o1").bitwiseXOR(xxhash64(col("u"))).as("s1"),
+        col("o2").bitwiseXOR(xxhash64(col("u"), lit(7L))).as("s2"))
+    // TRUE twins first (identical CLOSED neighborhoods — ADJACENT
+    // duplicate groups: internal clique + shared externals, what k
+    // identical docs form in a pair graph), then FALSE twins among
+    // the leftover singletons (identical OPEN neighborhoods —
+    // NON-ADJACENT duplicates: retweet stars, mirrored link farms;
+    // open-identical nodes cannot be adjacent, else u ∈ N(u)). A
+    // node can never have both a true and a false twin — v ∈ N[u] =
+    // N[v] and N(u) = N(w) with u ≁ w forces w ~ v, hence w ∈ N[v]
+    // = N[u], i.e. u ~ w: contradiction — so closed-first grouping
+    // loses nothing, and deriving the open gid from the ACTUAL
+    // leftovers keeps group ids unique across kinds (each group's id
+    // is one of its members, and members sit in exactly one group).
+    // `adj` carries the group kind into the closed form below.
+    val swC = Window.partitionBy(col("degc"), col("s1"), col("s2"))
+    val swO = Window.partitionBy(col("dego"), col("o1"), col("o2"))
+    val cand = sig
+      .withColumn("gidC", min(col("u")).over(swC))
+      .withColumn("mC", count(lit(1)).over(swC))
+      .withColumn("gidO",
+        min(when(col("mC") === 1, col("u"))).over(swO))
+      .withColumn("mO",
+        count(when(col("mC") === 1, lit(1))).over(swO))
+      .select(col("u"),
+        when(col("mC") > 1, col("gidC"))
+          .when(col("mO") > 1, col("gidO"))
+          .otherwise(col("u")).as("gid"),
+        (col("mC") > 1 || col("mO") <= 1).as("adj"))
       .localCheckpoint() // node-sized; feeds verification + remap
     // ---- exact verification of candidate groups ----
     // member-edge counts per unordered candidate-group pair (the
@@ -97,18 +131,25 @@ object Triangles {
         .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("cnt"))
     }
     val cnt1 = mapEnds(cand)
-    val sizes1 = cand.groupBy(col("gid")).agg(first(col("m")).as("m"))
-    // a size-m group survives only if it has ALL C(m,2) internal
-    // edges AND full m_a·m_b bipartite counts against every group it
-    // touches — the exact characterization of "internal clique +
-    // group-uniform external adjacency", which is all the closed-form
-    // expansion below relies on. Violations (possible only under a
-    // signature collision) demote BOTH groups of the failing pair.
+    val sizes1 = cand.groupBy(col("gid"))
+      .agg(count(lit(1)).as("m"), first(col("adj")).as("adj"))
+    // a size-m group survives only if its internal edge count is
+    // EXACTLY its kind's (all C(m,2) for a closed/adjacent group,
+    // ZERO for an open/independent one) AND it has full m_a·m_b
+    // bipartite counts against every group it touches — the exact
+    // characterization of "clique-or-independent + group-uniform
+    // external adjacency", which is all the closed-form expansion
+    // below relies on. Violations (possible only under a signature
+    // collision) demote BOTH groups of the failing pair; a surviving
+    // group's uniform adjacency therefore also holds against every
+    // DEMOTED singleton (the full check ran against its whole
+    // original group).
     val withinBad = sizes1.filter(col("m") > 1).alias("s")
       .join(cnt1.filter(col("ga") === col("gb")).alias("c"),
         col("s.gid") === col("c.ga"), "left")
       .filter(coalesce(col("c.cnt"), lit(0L)) =!=
-        shiftright(col("s.m") * (col("s.m") - 1), 1))
+        when(col("s.adj"),
+          shiftright(col("s.m") * (col("s.m") - 1), 1)).otherwise(0L))
       .select(col("s.gid").as("bad"))
     val crossBad = cnt1.filter(col("ga") =!= col("gb"))
       .join(sizes1.select(col("gid").as("ga"), col("m").as("ma")), "ga")
@@ -119,11 +160,16 @@ object Triangles {
     val mapped = cand.join(bad, col("gid") === col("bad"), "left")
       .select(col("u"),
         when(col("bad").isNull, col("gid")).otherwise(col("u"))
-          .as("gid"))
+          .as("gid"),
+        // demoted singletons: every adj-gated term is 0 at m = 1, so
+        // normalize the flag to true (the degenerate kind)
+        when(col("bad").isNull, col("adj")).otherwise(lit(true))
+          .as("adj"))
       .localCheckpoint() // final node → group map; read three times
-    val groups = mapped.groupBy(col("gid")).agg(count(lit(1)).as("m"))
+    val groups = mapped.groupBy(col("gid"))
+      .agg(count(lit(1)).as("m"), first(col("adj")).as("adj"))
     // ---- quotient graph + weighted oriented wedges ----
-    val cnt2 = mapEnds(mapped.withColumn("m", lit(0L)))
+    val cnt2 = mapEnds(mapped)
     val q = cnt2.filter(col("ga") =!= col("gb"))
       .select(col("ga").as("lo"), col("gb").as("hi"))
       .localCheckpoint() // orientation + the close join
@@ -169,26 +215,35 @@ object Triangles {
     val qadj = q.select(col("lo").as("g"), col("hi").as("nb"))
       .unionByName(q.select(col("hi").as("g"), col("lo").as("nb")))
     val sp = qadj
-      .join(groups.select(col("gid").as("nb"), col("m").as("m_nb")),
-        "nb")
+      .join(groups.select(col("gid").as("nb"), col("m").as("m_nb"),
+        col("adj").as("adj_nb")), "nb")
       .groupBy(col("g"))
       .agg(sum(col("m_nb")).as("s_nb"),
-        sum(shiftright(col("m_nb") * (col("m_nb") - 1), 1)).as("p_nb"))
+        // P counts the neighbor group's INTERNAL edges as triangle
+        // bases — C(m_B,2) for a clique group, 0 for an independent
+        // (open-twin) group
+        sum(when(col("adj_nb"),
+          shiftright(col("m_nb") * (col("m_nb") - 1), 1))
+          .otherwise(0L)).as("p_nb"))
     // closed-form per-member count for group A of size m with
     // neighbor sums (S, P) and weighted quotient triangles W:
-    //   C(m−1, 2)        triangles fully inside A (internal clique)
-    // + (m−1) · S        one other corner in A, one outside
-    // + P + W            both other corners outside A
-    // and member degree = (m − 1) + S
+    //   adj_A · C(m−1, 2)   triangles fully inside A (internal
+    //                       clique; an open group has NO internal
+    //                       edges — both adj-gated terms vanish)
+    // + adj_A · (m−1) · S   one other corner in A, one outside
+    // + P + W               both other corners outside A
+    // and member degree = adj_A · (m − 1) + S
     def z(c: Column): Column = coalesce(c, lit(0L))
     val perGroup = groups
       .join(sp, groups("gid") === sp("g"), "left").drop("g")
       .join(w, groups("gid") === w("g"), "left").drop("g")
       .select(col("gid"),
-        (shiftright((col("m") - 1) * (col("m") - 2), 1) +
-          (col("m") - 1) * z(col("s_nb")) +
+        (when(col("adj"),
+          shiftright((col("m") - 1) * (col("m") - 2), 1) +
+            (col("m") - 1) * z(col("s_nb"))).otherwise(0L) +
           z(col("p_nb")) + z(col("tw"))).as("n_tri"),
-        (col("m") - 1 + z(col("s_nb"))).as("deg"))
+        (when(col("adj"), col("m") - 1).otherwise(0L) +
+          z(col("s_nb"))).as("deg"))
     mapped.join(perGroup, "gid")
       .select(col("u").as("node"), col("n_tri"), col("deg"))
   }

@@ -418,4 +418,77 @@ class GraphOpsSpec extends SparkSpec {
     for (n <- ns)
       assert(got(n) == perNode.getOrElse(n, 0L), s"node $n")
   }
+
+  test("triangle counts: FALSE-twin (open-neighborhood) fixtures — " +
+      "non-adjacent duplicates collapse; both twin kinds coexist and " +
+      "expand exactly") {
+    // plain star: hub 0, leaves 1..6 are open twins (N(l) = {0},
+    // never adjacent). No triangles anywhere; leaf degree 1.
+    val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
+    val mS = Triangles.triangleCounts(star, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(mS(0L) == (0L, 6L))
+    (1L to 6L).foreach(l => assert(mS(l) == (0L, 1L), s"leaf $l"))
+    // two ADJACENT hubs sharing 5 leaves: the hubs are TRUE twins
+    // (N[100] = N[200] = {1..5, 100, 200}), the leaves FALSE twins
+    // (N(l) = {100, 200}, no leaf-leaf edges). Quotient = 2 nodes,
+    // 1 edge. Hand counts: each leaf closes exactly the (leaf, 100,
+    // 200) triangle — P = C(2,2) = 1 from the closed hub group, no
+    // internal or one-out terms (adj = false); each hub closes one
+    // triangle per leaf — (m−1)·S = 1·5 with P = 0 from the OPEN
+    // leaf group (no leaf-leaf edges to base a triangle on).
+    val twoHub = ((1L to 5L).flatMap(l => Seq((100L, l), (200L, l)))
+      :+ (100L, 200L)).toDF("src", "dst")
+    val mH = Triangles.triangleCounts(twoHub, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(mH(100L) == (5L, 6L) && mH(200L) == (5L, 6L))
+    (1L to 5L).foreach(l => assert(mH(l) == (1L, 2L), s"leaf $l"))
+  }
+
+  test("triangle counts: mixed true/false twin expansion of a random " +
+      "graph equals the naive enumeration (the collapse is exact)") {
+    // base random graph on nodes 0..11, then node 3 expands into 4
+    // NON-adjacent copies (false twins: each copy linked to N(3)
+    // only) and node 5 into 3 ADJACENT copies (true twins: copies
+    // linked to N(5) and to each other)
+    val rnd = new scala.util.Random(20260816)
+    val base = (0 until 40).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    def members(v: Long): Seq[Long] = v match {
+      case 3L => Seq(3L, 103L, 203L, 303L)
+      case 5L => Seq(5L, 105L, 205L)
+      case _  => Seq(v)
+    }
+    val expanded = (base.flatMap { case (u, v) =>
+      for (a <- members(u); b <- members(v)) yield (a, b)
+    } ++ (for (a <- members(5L); b <- members(5L) if a < b)
+      yield (a, b))).distinct
+    val got = Triangles.triangleCounts(
+        expanded.toDF("src", "dst"), "src", "dst")
+      .select($"node", $"n_tri", $"deg")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val und = expanded
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val ns = und.flatMap(e => Seq(e._1, e._2))
+    val naive = (for (x <- ns; y <- ns if x < y; z <- ns if y < z
+        if und((x, y)) && und((x, z)) && und((y, z)))
+      yield (x, y, z)).toSeq
+    val perNode = naive.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+    val degN = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+    for (n <- ns) {
+      assert(got(n)._1 == perNode.getOrElse(n, 0L), s"n_tri at $n")
+      assert(got(n)._2 == degN(n), s"deg at $n")
+    }
+    // the duplicate families really are twins of the intended kind:
+    // identical open/closed neighborhoods by construction
+    assert(members(3L).forall(c => got(c) == got(3L)))
+    assert(members(5L).forall(c => got(c) == got(5L)))
+  }
 }
