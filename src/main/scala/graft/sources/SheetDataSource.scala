@@ -38,23 +38,53 @@ import graft.errors.{InvalidFormatError, SheetReadError}
   * `staffing-roster-pipeline.py:75-87`); `option("timeoutMs", …)`
   * overrides the reference's 10 s connect/read timeout. Either mode
   * accepts anything java.net.URL/File can open.
-  */
+  *
+  * Fetch-once snapshot semantics (r14): the payload is fetched ONE
+  * time per `load()`, on the driver — during schema inference, or at
+  * table creation when the caller supplies a schema — and the raw
+  * bytes ride to the executors inside the input partition. Schema
+  * and rows therefore come from the SAME payload (no
+  * changed-between-fetches coercion into a stale schema), every
+  * query pays exactly one GET against the web app, and task retries
+  * / DataFrame re-executions replay identical bytes instead of
+  * re-fetching a possibly different live payload (determinism the
+  * rest of the engine's oracles assume). A NEW `load()` takes a
+  * fresh snapshot. Shipping bytes in the partition is safe by the
+  * same smallness contract that makes the scan one partition. */
 class SheetDataSource extends TableProvider with DataSourceRegister {
+
+  // the inference fetch, kept for getTable (Spark calls both on the
+  // same provider instance when the user gives no schema) so the scan
+  // reuses the snapshot instead of fetching a second time
+  private var inferredPayload: Array[Byte] = _
+  private var inferredKey: (String, Int) = _
 
   override def shortName(): String = "sheet"
 
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SheetDataSource.schemaOf(SheetDataSource.fetch(
-      SheetDataSource.pathOf(options), SheetDataSource.timeoutOf(options)))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val key = (SheetDataSource.pathOf(options),
+      SheetDataSource.timeoutOf(options))
+    val bytes = SheetDataSource.fetchBytes(key._1, key._2)
+    inferredPayload = bytes
+    inferredKey = key
+    SheetDataSource.schemaOf(SheetDataSource.parse(bytes))
+  }
 
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new SheetTable(schema, SheetDataSource.pathOf(opts),
+    val key = (SheetDataSource.pathOf(opts),
       SheetDataSource.timeoutOf(opts))
+    // reuse the inference snapshot when it came from the same source;
+    // a user-supplied schema skips inferSchema, so fetch (once,
+    // driver-side) here instead
+    val payload =
+      if (inferredPayload != null && inferredKey == key) inferredPayload
+      else SheetDataSource.fetchBytes(key._1, key._2)
+    new SheetTable(schema, key._1, payload)
   }
 }
 
@@ -90,20 +120,27 @@ object SheetDataSource {
   val FetchTimeoutMs = 10000
 
   /** Fetch + parse the payload; error taxonomy per the reference. */
-  def fetch(path: String, timeoutMs: Int = FetchTimeoutMs): JsonNode = {
-    val bytes =
-      try {
-        if (path.contains("://")) {
-          val conn = new java.net.URL(path).openConnection()
-          conn.setConnectTimeout(timeoutMs)
-          conn.setReadTimeout(timeoutMs)
-          val in = conn.getInputStream
-          try in.readAllBytes() finally in.close()
-        } else java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path))
-      } catch { case e: Exception =>
-        throw SheetReadError(s"cannot read sheet at $path: ${e.getMessage}")
-      }
+  def fetch(path: String, timeoutMs: Int = FetchTimeoutMs): JsonNode =
+    parse(fetchBytes(path, timeoutMs))
+
+  /** Raw payload bytes — the once-per-load snapshot the provider
+    * caches and ships in the input partition. Unreadable → E005. */
+  def fetchBytes(path: String, timeoutMs: Int = FetchTimeoutMs): Array[Byte] =
+    try {
+      if (path.contains("://")) {
+        val conn = new java.net.URL(path).openConnection()
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        val in = conn.getInputStream
+        try in.readAllBytes() finally in.close()
+      } else java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))
+    } catch { case e: Exception =>
+      throw SheetReadError(s"cannot read sheet at $path: ${e.getMessage}")
+    }
+
+  /** Parse snapshot bytes: non-JSON or non-array → E003. */
+  def parse(bytes: Array[Byte]): JsonNode = {
     val node =
       try mapper.readTree(bytes)
       catch { case e: Exception =>
@@ -132,17 +169,17 @@ object SheetDataSource {
 }
 
 private class SheetTable(schema: StructType, path: String,
-    timeoutMs: Int) extends Table with SupportsRead {
+    payload: Array[Byte]) extends Table with SupportsRead {
   override def name(): String = s"sheet($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new SheetScan(schema, path, timeoutMs)
+      : ScanBuilder = new SheetScan(schema, path, payload)
 }
 
 private class SheetScan(schema: StructType, path: String,
-    timeoutMs: Int) extends ScanBuilder with Scan with Batch
+    payload: Array[Byte]) extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns {
 
   /** Pruned schema — Catalyst hands the required columns down before
@@ -162,12 +199,14 @@ private class SheetScan(schema: StructType, path: String,
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SheetPartition(path, timeoutMs))
+    Array(SheetPartition(payload))
   override def createReaderFactory(): PartitionReaderFactory =
     new SheetReaderFactory(prunedSchema)
 }
 
-private case class SheetPartition(path: String, timeoutMs: Int)
+/** Carries the driver's payload SNAPSHOT to the executor — the
+  * reader never re-fetches (see the provider doc). */
+private case class SheetPartition(payload: Array[Byte])
     extends InputPartition
 
 private class SheetReaderFactory(schema: StructType)
@@ -175,9 +214,8 @@ private class SheetReaderFactory(schema: StructType)
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SheetPartition]
-    val path = p.path
     new PartitionReader[InternalRow] {
-      private val arr = SheetDataSource.fetch(path, p.timeoutMs)
+      private val arr = SheetDataSource.parse(p.payload)
       private var i = -1
       override def next(): Boolean = { i += 1; i < arr.size() }
       override def get(): InternalRow = {

@@ -222,4 +222,40 @@ class SheetDataSourceSpec extends SparkSpec {
   test("default fetch timeout matches the reference's 10s") {
     assert(SheetDataSource.FetchTimeoutMs == 10000)
   }
+
+  test("fetch-once snapshot: one load() = exactly one GET, and the " +
+      "scan replays the SAME payload even when the endpoint changes " +
+      "(schema and rows can never come from different fetches)") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var payload = """[{"Name": "Ada"}, {"Name": "Bob"}]"""
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val bytes = payload.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val df = spark.read.format("sheet")
+        .option("url", s"$base/exec").load()
+      assert(hits.get() == 1, "schema inference must be the ONE fetch")
+      // the endpoint mutates AFTER load(): the scan must keep serving
+      // the inference snapshot — r13 re-fetched per read and coerced
+      // the new payload into the stale schema
+      payload = """[{"Renamed": "X"}]"""
+      assert(df.as[String].collect().toSeq == Seq("Ada", "Bob"))
+      assert(df.count() == 2)
+      assert(hits.get() == 1,
+        s"reads re-fetched the live endpoint (${hits.get()} GETs)")
+      // a NEW load() takes a fresh snapshot
+      val df2 = spark.read.format("sheet")
+        .option("url", s"$base/exec").load()
+      assert(df2.columns.toSeq == Seq("Renamed"))
+      assert(hits.get() == 2)
+    } finally srv.stop(0)
+  }
 }
