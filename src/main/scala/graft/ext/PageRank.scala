@@ -53,12 +53,19 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Past this many nodes the per-iteration rank broadcast (every
-    * executor holds the full rank table) stops being viable and
-    * [[pagerank]] switches to the shuffle regime. ~10⁸ 16-byte rows
-    * ≈ 1.6 GB per executor — the documented ceiling of the broadcast
-    * shape. */
-  val BroadcastMaxNodes: Long = 100000000L
+  /** Past this many nodes [[pagerank]] switches to the shuffle
+    * regime. MEASURED, not assumed (r14 crossover probe,
+    * BASELINE.md): on uniform-degree graphs the broadcast regime won
+    * every tier up to 10⁶ nodes (8.1 s vs 9.3 s at 10⁶) and LOST
+    * 1.7× at 10⁷ (131.5 s vs 75.8 s); the skewed tpch star agreed at
+    * its measured tiers (shuffle 1.4× faster at 16M nodes, 2.1× at
+    * the ~1B-edge tier, r13). The constant is the geometric midpoint
+    * of the measured 10⁶-wins / 10⁷-loses bracket. The old 10⁸
+    * default was the broadcast MEMORY ceiling (~1.6 GB of rank rows
+    * per executor) — a viability bound, not a performance crossover;
+    * past 10⁸ the broadcast shape stops being possible at all, but
+    * it stops being FASTER two orders of magnitude earlier. */
+  val BroadcastMaxNodes: Long = 3000000L
 
   /** `edges` must be the directed edge list (src, dst) with every
     * node appearing as a src (symmetrize first for undirected graphs
