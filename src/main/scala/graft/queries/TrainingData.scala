@@ -304,14 +304,21 @@ object TrainingData {
       s"SELECT doc_id, $b AS band, " +
       s"array_to_string(sig[$lo:$hi], ',') AS band_key FROM sig$sfx"
     }.mkString("\n  UNION ALL ")
+    // MATERIALIZED on h/sig: the same DuckDB per-reference CTE
+    // inlining the OPQ rotation hit — the 64-hash signature is
+    // re-derived by each of the 16 band selects and every downstream
+    // consumer. Measured on g_doc_centrality at sf0.01: 37.2 s
+    // as-dumped → 1.6 s with both materialized, results identical;
+    // every mh_pairs consumer (neardup pipeline, dup clusters,
+    // centrality, minhash_lsh) shares the cut.
     s"""shs$sfx AS (SELECT doc_id, $sqlShingles AS sh FROM documents$where),
        |f$sfx AS (SELECT doc_id, sh FROM shs$sfx WHERE len(sh) > 0),
-       |h$sfx AS (SELECT doc_id,
+       |h$sfx AS MATERIALIZED (SELECT doc_id,
        |    list_transform(sh, s -> ${sqlPolyHash("s")}) AS hs FROM f$sfx),
        |sigc$sfx AS (SELECT doc_id,
        |    $sigExprs
        |  FROM h$sfx),
-       |sig$sfx AS (SELECT doc_id, $sigList AS sig FROM sigc$sfx),
+       |sig$sfx AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM sigc$sfx),
        |bands$sfx AS ($bandSelects)""".stripMargin
   }
 
