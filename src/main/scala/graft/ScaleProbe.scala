@@ -172,6 +172,8 @@ object ScaleProbe {
         probeGraph(spark, scale, reps); spark.stop(); return
       case Some("graphcross") =>
         probeGraphCross(spark, reps); spark.stop(); return
+      case Some("prshuffle") =>
+        probePrShuffleBytes(spark, scale); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -741,6 +743,71 @@ object ScaleProbe {
     leg("hier_sampled")(
       graft.ext.Similarity.semDedupHier(emb, 64L, 2, 0.45,
         fitSampleMod = 4L))
+  }
+
+  /** Shuffle-byte AUDIT of the PageRank shuffle regime
+    * (`ScaleProbe <reps> <n-millions> prshuffle`) — the evidence the
+    * r13 routing-table carry-forward is gated on: per-STAGE shuffle
+    * write bytes during one shuffle-regime run (iters = 5) on the
+    * uniform 10⁶·scale-node graph, attributed by stage call site.
+    * The regime has exactly two per-iteration exchanges — the
+    * node-sized rank repartition (`repartition at PageRank`) and the
+    * dst partial-sum aggregate exchange (`localCheckpoint at
+    * PageRank` map-side) — so the printed distribution answers
+    * directly whether the partial-sum leg dominates (the GraphX-style
+    * dst-clustered routing table would shrink ONLY that leg). */
+  def probePrShuffleBytes(spark: SparkSession, nMillions: Int): Unit = {
+    val n = math.max(1, nMillions) * 1000000L
+    val hashEdges = spark.range(n * 16).select(
+      pmod(xxhash64(col("id")), lit(n)).as("src"),
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val e = hashEdges.unionByName(ring).localCheckpoint()
+    // AQE submits stages from its own thread pool, so neither stage
+    // names nor call-site stacks attribute exchanges; SHAPE does —
+    // record count per stage is unambiguous here (the rank exchange
+    // writes exactly n records per iteration, the dst partial-sum
+    // aggregate writes Σ distinct-dst-per-partition ≫ n, the one-time
+    // layout build writes ~17n edge rows).
+    val stages = new java.util.concurrent
+      .ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler
+            .SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics.shuffleWriteMetrics
+        if (m.bytesWritten > 0) stages.add(
+          (ev.stageInfo.stageId, m.recordsWritten, m.bytesWritten))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ext.PageRank.pagerank(e, iters = 5, broadcastMaxNodes = 0L)
+        .write.format("noop").mode("overwrite").save()
+      // listener events drain async; a short settle beats reaching
+      // into the private listener bus
+      Thread.sleep(2000)
+      import scala.jdk.CollectionConverters._
+      val rows = stages.asScala.toSeq.sortBy(_._1)
+      val total = rows.map(_._3).sum
+      println(f"[probe] prshuffle n=$n total shuffle write " +
+        f"${total / 1e9}%.2f GB over ${rows.size} map stages")
+      // label by SHAPE + RECURRENCE: ~n rows → the rank exchange; a
+      // row count recurring ≥3× (once per iteration) above n → the
+      // dst partial-sum aggregate; everything else is one-time
+      // layout/init work
+      val freq = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      rows.foreach { case (id, r, b) =>
+        val kind =
+          if (r <= n * 6 / 5) "rank-repartition(node-sized)"
+          else if (freq(r) >= 3) "dst-partial-sum-aggregate(per-iter)"
+          else "one-time(layout/init)"
+        println(f"[probe]   stage $id%4d ${b / 1e9}%8.3f GB " +
+          f"${r / 1e6}%8.1fM rows  ${b * 100.0 / total}%5.1f%%  $kind")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   /** PageRank regime-CROSSOVER probe (`ScaleProbe <reps> 0
