@@ -131,8 +131,10 @@ object Triangles {
         .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("cnt"))
     }
     val cnt1 = mapEnds(cand)
+    // bool_and, not first: adj is uniform within a group by
+    // construction, but the order-independent aggregate SAYS so
     val sizes1 = cand.groupBy(col("gid"))
-      .agg(count(lit(1)).as("m"), first(col("adj")).as("adj"))
+      .agg(count(lit(1)).as("m"), bool_and(col("adj")).as("adj"))
     // a size-m group survives only if its internal edge count is
     // EXACTLY its kind's (all C(m,2) for a closed/adjacent group,
     // ZERO for an open/independent one) AND it has full m_a·m_b
@@ -167,7 +169,7 @@ object Triangles {
           .as("adj"))
       .localCheckpoint() // final node → group map; read three times
     val groups = mapped.groupBy(col("gid"))
-      .agg(count(lit(1)).as("m"), first(col("adj")).as("adj"))
+      .agg(count(lit(1)).as("m"), bool_and(col("adj")).as("adj"))
     // ---- quotient graph + weighted oriented wedges ----
     val cnt2 = mapEnds(mapped)
     val q = cnt2.filter(col("ga") =!= col("gb"))
