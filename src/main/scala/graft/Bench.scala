@@ -3,7 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the dir in
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR and prints the result as JSON on stdout: first
+  * a line with the COMPLETE per-query map, then a FINAL compact line
+  * (same schema, largest entries only, hard ≤1400-byte bound) that is
+  * guaranteed to fit the driver's ~2KB stdout tail-capture window
+  * whatever the catalog size (BENCH_r14 was unparseable because the
+  * single full line outgrew that window).
   *
   * The action is a `noop`-format write — unlike `count()`, it forces
   * full evaluation of every output column (no aggregate-pruning
@@ -109,10 +114,6 @@ object Bench {
       "\"" + k + "\":" + jnum(g)
     }.mkString("{", ",", "}")
     System.err.println(s"""{"detail":"raw_runs","runs":$runsJson,"gc_sec":$gcJson}""")
-    def onedec(d: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
-      if (s.endsWith(".0")) s.dropRight(2) else s
-    }
     val total = results.map(_._2).sum
     // sf as a bare number ("sf0.1" -> 0.1) to shave bytes off the line
     val sfNum = """sf([0-9]+(?:\.[0-9]+)?)$""".r.findFirstMatchIn(sfDir)
@@ -128,19 +129,33 @@ object Bench {
       // pushes the line onto a higher-threshold fallback tier
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"dropped":${results.length - kept.length},"sf":$sfNum,"reps":$reps}"""
     }
-    // Fallback chain: shed FAST entries before shedding DIGITS. The
-    // warm noop-write floor is ~0.1-0.3s, so a sub-threshold entry
-    // carries no plan signal (its cost is preserved in "value", and
-    // full precision is always on stderr) — while a slow query's
-    // 2-decimal value is exactly what the round-over-round record
-    // compares. (The first cut used 0.05s drop thresholds, which the
-    // floor means never drop anything: at 103 queries the line
-    // degraded straight to whole-second ≥0.5s entries.)
-    def isec(d: Double): String = math.round(d).toString
-    val line = Seq(mkLine(cnum), mkLine(cnum, 0.25), mkLine(cnum, 0.5),
-        mkLine(onedec, 0.5), mkLine(cnum, 1.0), mkLine(isec, 0.5))
-      .find(_.length <= 1950).getOrElse(mkLine(isec, 1.0))
-    println(line)
+    // Emission contract (round 15, measurement-channel fix): the
+    // driver captures only the LAST ~2000 bytes of stdout and parses
+    // the final JSON line. BENCH_r14 was "parsed": null because every
+    // fallback tier above — including the unguarded last resort —
+    // outgrew that window once the non-trivial query count hit 106.
+    // Fix: (a) the COMPLETE per-query map rides its own earlier
+    // stdout line (plus stderr, as before); (b) the FINAL line keeps
+    // the same schema but fills "queries" with the LARGEST entries
+    // that fit a hard byte budget, so it is complete-by-construction
+    // regardless of catalog growth. Old behaviour (value = sum of
+    // per-query minima, cnum formatting, "dropped" marker) unchanged.
+    println(mkLine(cnum))
+    def boundedLine(budget: Int): String = {
+      val frame = s"""{"metric":"total","value":${cnum(total)},"unit":"sec","queries":{},"dropped":${results.length},"sf":$sfNum,"reps":$reps}"""
+      var room = budget - frame.length
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      for ((k, v, _, _) <- results.sortBy(-_._2)) {
+        val entry = "\"" + k + "\":" + cnum(v)
+        val cost = entry.length + (if (kept.nonEmpty) 1 else 0)
+        if (cost <= room) { kept += ((k, v)); room -= cost }
+      }
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + cnum(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${cnum(total)},"unit":"sec","queries":$qs,"dropped":${results.length - kept.length},"sf":$sfNum,"reps":$reps}"""
+    }
+    println(boundedLine(1400))
     spark.stop()
   }
 }

@@ -41,10 +41,16 @@ object Bfs {
       .localCheckpoint()
     // empty edge set: min(a) would aggregate to one (NULL, 0) row —
     // a spurious null-node label — so short-circuit to an empty frame
-    var labels = Ckpt(sym.agg(min(col("a")).as("node"))
+    // Round-15 barrier cut: labels accumulate as a LAZY union of the
+    // per-round checkpointed frontiers instead of re-checkpointing the
+    // whole union every round — each union member is already a flat
+    // RDD scan, so the plan grows one shallow leaf per round (K ≈
+    // diameter), and one materialization job per round disappears
+    // (same rows, BfsSpec/GraphOpsSpec unchanged).
+    var frontier = Ckpt(sym.agg(min(col("a")).as("node"))
       .withColumn("dist", lit(0L))
       .filter(col("node").isNotNull))
-    var frontier = labels
+    var labels = frontier
     var iter = 0
     var done = frontier.isEmpty
     while (!done && iter < maxIter) {
@@ -55,7 +61,7 @@ object Bfs {
         .join(labels.select(col("node")), Seq("node"), "left_anti"))
       if (next.isEmpty) done = true
       else {
-        labels = Ckpt(labels.unionByName(next))
+        labels = labels.unionByName(next)
         frontier = next
         iter += 1
       }
@@ -159,10 +165,55 @@ object Bfs {
       maxIter: Int = 20): DataFrame =
     distancesIndexedImpl(edges, src, dst, maxIter, Some(autoBuckets), 0)
 
-  private def distancesIndexedImpl(edges: DataFrame, src: String,
+  private def distancesIndexedImpl(edges0: DataFrame, src: String,
       dst: String, maxIter: Int, bucketsOf: Option[Long => Int],
       fixedBuckets: Int): DataFrame = {
-    val spark = edges.sparkSession
+    val spark = edges0.sparkSession
+    // Auto path (round 15): SER-persist the raw edge frame for the
+    // build's duration, so the upstream pipeline (often a
+    // pair-generation join + distinct) executes ONCE — the bound
+    // count and the sym build/write both read the cache, where the
+    // r14 shape re-executed the pipeline per consumer. Same
+    // spill-clean MEMORY_AND_DISK_SER the PageRank layout build uses
+    // for the identical frame class — proven at its ~1B-edge 1000×
+    // tier (the r13 disk-full was the DESERIALIZED sym-pair
+    // localCheckpoint, a different storage class). Reclaimed on every
+    // exit path below.
+    val cached = bucketsOf.isDefined
+    val edges = if (cached) edges0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else edges0
+    try {
+    // BOTH paths stream the symmetrize straight into the write (no
+    // sym-pair executor-storage footprint — the layout's selling
+    // point); the auto path derives its count from the raw-edge upper
+    // bound, see [[distancesIndexedAuto]]
+    val nBuckets = bucketsOf match {
+      case None => fixedBuckets
+      case Some(f) =>
+        val bound = 2L * edges.count()
+        // Below one bucket-file's worth of edges the persisted layout
+        // cannot pay back: its point is bucket-pruned, file-sized
+        // reads, and a sub-target graph fits ONE file — the table
+        // write+read-back is pure constant (measured 8–21 s cold at
+        // sf0.1, the whole g_bfs bench entry, round-14 verdict). Run
+        // the in-memory frontier loop instead; GraphOpsSpec pins
+        // `distances` ≡ `distancesIndexed`, so results are identical,
+        // and the measured 100× cold-heap sensitivity started at ~6M
+        // sym edges — above this bound by construction.
+        if (bound < BfsEdgesPerBucket) {
+          System.err.println(
+            s"[bfs] sym-edge bound $bound < $BfsEdgesPerBucket: " +
+              "in-memory frontier loop (persisted layout skipped)")
+          return distances(edges, src, dst, maxIter)
+        }
+        val b = f(bound)
+        // probe-visible record of the derivation (the `_auto` rule's
+        // evidence line at every scale tier)
+        System.err.println(
+          s"[bfs] auto nBuckets=$b for sym-edge bound $bound")
+        b
+    }
     val token =
       s"${ProcessHandle.current().pid()}_${adjCounter.incrementAndGet()}"
     val dir = java.nio.file.Files
@@ -172,31 +223,19 @@ object Bfs {
     val symRaw = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
-    // BOTH paths stream the symmetrize straight into the write (no
-    // executor-storage footprint — the layout's selling point); the
-    // auto path derives its count from the raw-edge upper bound, see
-    // [[distancesIndexedAuto]]
-    val nBuckets = bucketsOf match {
-      case None => fixedBuckets
-      case Some(f) =>
-        val bound = 2L * edges.count()
-        val b = f(bound)
-        // probe-visible record of the derivation (the `_auto` rule's
-        // evidence line at every scale tier)
-        System.err.println(
-          s"[bfs] auto nBuckets=$b for sym-edge bound $bound")
-        b
-    }
     symRaw
       .repartition(nBuckets, col("a")) // one file per bucket
       .write.bucketBy(nBuckets, "a").sortBy("a")
       .option("path", s"$dir/adj").mode("overwrite")
       .saveAsTable(tbl)
     val sym = spark.table(tbl)
-    var labels = Ckpt(sym.agg(min(col("a")).as("node"))
+    // labels as a lazy union of checkpointed frontiers — see
+    // [[distances]]; every member is checkpoint-backed, so the frame
+    // stays computable after the adjacency table is reclaimed below
+    var frontier = Ckpt(sym.agg(min(col("a")).as("node"))
       .withColumn("dist", lit(0L))
       .filter(col("node").isNotNull))
-    var frontier = labels
+    var labels = frontier
     var iter = 0
     var done = frontier.isEmpty
     while (!done && iter < maxIter) {
@@ -207,7 +246,7 @@ object Bfs {
         .join(labels.select(col("node")), Seq("node"), "left_anti"))
       if (next.isEmpty) done = true
       else {
-        labels = Ckpt(labels.unionByName(next))
+        labels = labels.unionByName(next)
         frontier = next
         iter += 1
       }
@@ -216,12 +255,19 @@ object Bfs {
       s"[bfs] WARNING: frontier still non-empty after maxIter=$maxIter" +
         " rounds; distances beyond that horizon are missing" +
         " (raise maxIter for deeper graphs)")
-    val out = labels // every round is already checkpointed
+    val out = labels // every member frontier is checkpoint-backed
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     deleteRec(new java.io.File(dir))
     // the in-call delete succeeded: drop the shutdown-hook fallback
     // entry too, or a long-lived session re-walks dead paths at exit
     adjDirs.remove(dir)
     out
+    } finally {
+      // every result frame is checkpoint-backed by the time any exit
+      // path runs (distances is eager through its loop), so the raw
+      // edge cache is reclaimed unconditionally — incl. the bypass
+      // `return` and any throw (the PageRank reclamation rule)
+      if (cached) edges.unpersist(): Unit
+    }
   }
 }

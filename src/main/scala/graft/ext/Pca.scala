@@ -439,14 +439,31 @@ object Pca {
     (vecs, Array.tabulate(dim)(k => a(k)(k)))
   }
 
-  /** Apply a local rotation matrix as a plan-literal projection:
-    * output dim i = Σ_j rot(i)(j)·emb[j] as a LEFT-FOLD sum, the one
-    * summation order Spark's expression tree and a SQL `a + b + c`
-    * chain share, so both engines produce bit-identical rotated
-    * doubles. No shuffle — pure per-row projection. `keep` lists the
-    * id columns carried through (the IVF compositions need `label`
-    * next to `vec_id` — the variancePermuted convention). */
+  /** Apply a local rotation matrix as a per-row projection: output
+    * dim i = Σ_j rot(i)(j)·emb[j] as a LEFT-FOLD sum, the one
+    * summation order Spark and a SQL `a + b + c` chain share, so both
+    * engines produce bit-identical rotated doubles. No shuffle.
+    * `keep` lists the id columns carried through (the IVF
+    * compositions need `label` next to `vec_id`).
+    *
+    * Physical form (round 15): ONE [[graft.functions.MatVecLit]]
+    * codegen node with the matrix as a reference object. The previous
+    * dim²-literal expression tree ([[applyRotationTree]], kept as the
+    * spec's equivalence oracle) made every Catalyst pass re-walk 4096
+    * nodes — measured 6.75 s WARM / 17.4 s cold for the sf0.1
+    * projection job vs ~0.2 s as a kernel, identical output
+    * (MatVecSpec pins bit equality, nulls included). */
   private[graft] def applyRotation(embeddings: DataFrame,
+      rot: Array[Array[Double]],
+      keep: Seq[String] = Seq("vec_id")): DataFrame =
+    embeddings.filter(col("embedding").isNotNull)
+      .select(keep.map(col) :+
+        graft.functions.MatVec.mat_vec_lit(col("embedding"), rot)
+          .as("embedding"): _*)
+
+  /** The superseded dim²-literal tree form of [[applyRotation]] —
+    * kept ONLY as MatVecSpec's equivalence oracle for the kernel. */
+  private[graft] def applyRotationTree(embeddings: DataFrame,
       rot: Array[Array[Double]],
       keep: Seq[String] = Seq("vec_id")): DataFrame = {
     val dim = rot.length
