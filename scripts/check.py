@@ -41,6 +41,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # each connection defaults to ~80% of physical RAM; WORKERS of
+    # them running minute-class unrolled-fit oracles concurrently can
+    # overcommit the gate host (r14 advice) — bound the aggregate
+    try:
+        ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+        con.execute(f"SET memory_limit='{max(1, int(ram_gb * 0.8 / WORKERS))}GB'")
+    except (ValueError, OSError):
+        pass  # non-POSIX host: keep DuckDB's default
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

@@ -43,6 +43,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // NOTE (r15, measured): AQE coalescing by target size
+    // (parallelismFirst=false + 64m advisory) was A/B-tested here and
+    // REVERTED — a 10-query subset ran 26.5 s untuned vs 28.8–30.7 s
+    // tuned (min-of-3 each). Collapsing KB-sized shuffles to one
+    // partition serializes post-shuffle stages that still profit from
+    // local parallelism at bench SFs; the default keeps them wide.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

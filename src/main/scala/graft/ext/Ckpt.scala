@@ -28,6 +28,15 @@ import org.apache.spark.sql.DataFrame
   * is read PER CALL from the session's runtime conf, so a caller can
   * flip it between jobs without rebuilding the session.
   *
+  * NOTE on reliable-mode retention: Spark never deletes reliable
+  * checkpoint files on its own unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — a long
+  * PageRank/k-means run otherwise accumulates one loop-state
+  * directory per truncation for the app's lifetime. Set that conf
+  * alongside the mode (or point [[DirKey]] at storage with a TTL
+  * policy) so the opt-in cannot silently fill the checkpoint
+  * filesystem.
+  *
   * Results are placement-invariant by construction — both forms
   * materialize the same rows and only differ in where the blocks
   * live (CkptSpec pins PageRank/BFS equality across modes). Only

@@ -658,12 +658,21 @@ object Similarity {
     var centroids = base.orderBy("vec_id").limit(k)
       .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
       .select(col("cid"), col("emb").as("centroid"))
-    for (_ <- 0 until iters) {
-      val assigned = assignClusters(base, centroids)
-      // localCheckpoint per Lloyd iteration: the centroid frame is k
-      // tiny rows, but without truncation each iteration's plan embeds
-      // the previous one's whole assign+aggregate subtree, so lineage
-      // (and analysis/codegen time) grows geometrically with `iters`.
+    // Iteration barriers (round 15): in LUT mode (k within the plan-
+    // literal gate) the assignment COLLECTS the centroid frame anyway
+    // and embeds it as literals, so lineage is flat by construction —
+    // per-iteration truncation was a redundant materialization job
+    // (the collect itself executes each update plan exactly once).
+    // Only the LAST update checkpoints (one frame, many consumers).
+    // Past the gate (k ∝ N shapes) the broadcast-row assignment keeps
+    // the plan chained, so every iteration still truncates via Ckpt.
+    // Either path executes each Lloyd update exactly once; results
+    // are bit-identical (AssignFormSpec pins Lut ≡ Bcast).
+    val lutMode = k <= AssignLutMaxCentroids
+    for (i <- 0 until iters) {
+      val assigned =
+        if (lutMode) assignClustersLut(base, collectedSorted(centroids))
+        else assignClustersBcast(base, centroids)
       centroids = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
@@ -673,10 +682,19 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .transform(Ckpt(_))
+      if (!lutMode || i == iters - 1)
+        centroids = Ckpt(centroids)
     }
     centroids
   }
+
+  /** Bounded collect of a ≤[[AssignLutMaxCentroids]]-row centroid
+    * frame in [[assignClustersLut]]'s (cid-sorted) input form. */
+  private def collectedSorted(centroids: DataFrame)
+      : Seq[(Int, Seq[Double])] =
+    centroids.select(col("cid"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
 
   /** Centroid-count gate for the plan-LITERAL projection assignment:
     * up to this many centroids the codebook collects driver-side and
@@ -838,8 +856,13 @@ object Similarity {
     var centroids = base.orderBy("vec_id").limit(k)
       .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
       .select(col("cid"), col("emb").as("centroid"))
-    for (_ <- 0 until iters) {
-      val assigned = assignClustersL2(base, centroids)
+    // same barrier structure as [[kmeansCentroids]] (see its note)
+    val lutMode = k <= AssignLutMaxCentroids
+    for (i <- 0 until iters) {
+      val assigned =
+        if (lutMode)
+          assignClustersL2Lut(base, collectedSorted(centroids))
+        else assignClustersL2Bcast(base, centroids)
       centroids = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
@@ -849,7 +872,8 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .transform(Ckpt(_))
+      if (!lutMode || i == iters - 1)
+        centroids = Ckpt(centroids)
     }
     centroids
   }
@@ -1036,7 +1060,14 @@ object Similarity {
             slice(col("emb"), si * subDim + 1, subDim)): _*))
         .as(Seq("sub", "centroid")))
       .select(col("sub"), col("cid"), col("centroid"))
-    for (_ <- 0 until iters) {
+    // barrier structure per [[kmeansCentroids]]'s round-15 note:
+    // [[pqAssign]] collects the codebook frame each iteration (the
+    // bounded m·kSub contract) and embeds it as plan literals, so
+    // lineage is flat without truncation — each update plan executes
+    // exactly once (at the next iteration's collect), and only the
+    // LAST update checkpoints, via Ckpt (reliable-mode routing), for
+    // its two consumers (the encode collect and the LUT broadcast).
+    for (i <- 0 until iters) {
       cents = pqAssign(subBase, cents)
         .select(col("sub"), col("cid"),
           posexplode(col("semb")).as(Seq("dim", "v")))
@@ -1047,7 +1078,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .localCheckpoint()
+      if (i == iters - 1) cents = Ckpt(cents)
     }
     cents
   }
@@ -2008,7 +2039,11 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .localCheckpoint()
+        // per-iteration truncation stays REQUIRED here (the
+        // broadcast-LUT sub-assign never collects, so the plan would
+        // chain geometrically) — routed through Ckpt so reliable mode
+        // covers this fit loop too (r14 verdict)
+        .transform(Ckpt(_))
     }
     val members = assignSubClusters(base, cents2, "label")
     val q = base.join(broadcast(queryIds), Seq("vec_id"))
@@ -2560,6 +2595,16 @@ object Similarity {
     val man = semDedupBase(manifest, dim)
     try {
       val nM = man.count()
+      // an EMPTY manifest would fit zero centroids and the gate's
+      // occupied-cell restriction would then drop every incoming
+      // vector — violating its 'one row per incoming vector'
+      // contract (r14 advice). An empty manifest can drop nothing,
+      // so there is nothing to fit: fail loudly at fit time (free —
+      // nM is already counted) instead of silently emitting an empty
+      // gate output per batch.
+      require(nM > 0, "semDedupFit: empty manifest — nothing to fit; " +
+        "an empty manifest cannot drop incoming vectors, ingest the " +
+        "first batch unfiltered instead")
       val (cent1, cents2, m1) = hierFit(man,
         hierGridK(nM, targetClusterSize), iters, fitSampleMod)
       val manGroups = assignSubClusters(m1, cents2, "cid")
@@ -2594,7 +2639,10 @@ object Similarity {
     * sub-cell to assign to and silently vanish from the output;
     * restricted, it re-assigns to its nearest occupied cell and is
     * judged there. The oracle mirrors the restriction (occ/c2o
-    * CTEs). */
+    * CTEs). `state` must carry ≥1 centroid — [[semDedupFit]], the
+    * one constructor, rejects an empty manifest at fit time (an
+    * entirely empty state would otherwise empty the output, not
+    * keep-all). */
   def semDedupGateBatch(state: SemDedupState, incoming: DataFrame,
       threshold: Double, dim: Int = 64): DataFrame = {
     def dot(x: Column, y: Column): Column =

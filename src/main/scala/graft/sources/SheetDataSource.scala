@@ -55,9 +55,13 @@ class SheetDataSource extends TableProvider with DataSourceRegister {
 
   // the inference fetch, kept for getTable (Spark calls both on the
   // same provider instance when the user gives no schema) so the scan
-  // reuses the snapshot instead of fetching a second time
-  private var inferredPayload: Array[Byte] = _
-  private var inferredKey: (String, Int) = _
+  // reuses the snapshot instead of fetching a second time. ONE
+  // @volatile immutable pair: key and payload are read/written
+  // atomically together, so a provider instance shared across
+  // concurrent loads can never pair one load's payload with another's
+  // key (two separate non-volatile fields could tear that way —
+  // r14 advice)
+  @volatile private var snap: ((String, Int), Array[Byte]) = _
 
   override def shortName(): String = "sheet"
 
@@ -67,8 +71,7 @@ class SheetDataSource extends TableProvider with DataSourceRegister {
     val key = (SheetDataSource.pathOf(options),
       SheetDataSource.timeoutOf(options))
     val bytes = SheetDataSource.fetchBytes(key._1, key._2)
-    inferredPayload = bytes
-    inferredKey = key
+    snap = (key, bytes)
     SheetDataSource.schemaOf(SheetDataSource.parse(bytes))
   }
 
@@ -81,8 +84,9 @@ class SheetDataSource extends TableProvider with DataSourceRegister {
     // reuse the inference snapshot when it came from the same source;
     // a user-supplied schema skips inferSchema, so fetch (once,
     // driver-side) here instead
+    val s = snap
     val payload =
-      if (inferredPayload != null && inferredKey == key) inferredPayload
+      if (s != null && s._1 == key) s._2
       else SheetDataSource.fetchBytes(key._1, key._2)
     new SheetTable(schema, key._1, payload)
   }

@@ -81,6 +81,30 @@ class CkptSpec extends SparkSpec {
       val rel = Similarity.kmeansCentroids(embs, k = 3, iters = 2)
         .orderBy("cid").collect().map(_.toSeq).toSeq
       assert(rel == local)
+      val nFiles = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(nFiles > 0, "reliable k-means fit wrote no checkpoint files")
+    }
+  }
+
+  test("PQ codebook fit is placement-invariant and reliable mode " +
+      "writes checkpoint files during the fit (r14 verdict #2)") {
+    val embs = (0L until 60L)
+      .map(i => (i, Seq.tabulate(8)(d => ((i * 13 + d * 3) % 17).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qids = Seq(0L, 7L).toDF("vec_id")
+    val local = Similarity.pqTopK(embs, qids, k = 3, m = 4, kSub = 4,
+        iters = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_pq")
+    withMode("reliable", dir.toString) {
+      val rel = Similarity.pqTopK(embs, qids, k = 3, m = 4, kSub = 4,
+          iters = 2, dim = 8)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(rel == local)
+      val nFiles = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(nFiles > 0, "reliable PQ fit wrote no checkpoint files")
     }
   }
 }
