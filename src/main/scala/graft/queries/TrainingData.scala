@@ -2068,13 +2068,13 @@ object TrainingData {
     val (_, c) = graft.ext.Pca.covMeans(e, 64)
     val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
     opqRotationUsed.put(d, rot)
-    // sever the 64×64-literal projection from the plan: without the
-    // checkpoint the ~4k-node rotation expression rides through every
-    // downstream Catalyst transform of the PQ chain (measured 17.9 →
-    // 11.7s warm at sf0.1; the residue is the one-time codegen of the
-    // wide projection itself). The materialization is corpus-sized
-    // but so is pqTopK's own base persist — same cost class, once.
-    val rotated = graft.ext.Pca.applyRotation(e, rot).localCheckpoint()
+    // r15: the rotation is ONE mat_vec_lit kernel node (MatVecLit),
+    // so the checkpoint that severed the old 4096-literal tree from
+    // the PQ chain's Catalyst transforms is gone — the lazy rotated
+    // frame feeds pqTopK, whose internal base persist is the single
+    // corpus materialization (the checkpoint was a SECOND corpus-
+    // sized copy plus an extra eager pass)
+    val rotated = graft.ext.Pca.applyRotation(e, rot)
     Similarity.pqTopK(rotated,
         Similarity.sampleQueryIds(
           e.filter(col("embedding").isNotNull), n = 16),
@@ -2535,10 +2535,10 @@ object TrainingData {
     val (_, c) = graft.ext.Pca.covMeans(e, 64)
     val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
     opqResRotationUsed.put(d, rot)
-    // checkpoint severs the 4k-literal rotation subtree from the PQ
-    // chain's Catalyst transforms (the sAnnPqOpq measurement)
+    // lazy rotated frame — one mat_vec_lit node; the residual stack's
+    // own base persist is the single materialization (see sAnnPqOpq)
     val rotated = graft.ext.Pca.applyRotation(e, rot,
-      keep = Seq("vec_id", "label")).localCheckpoint()
+      keep = Seq("vec_id", "label"))
     Similarity.ivfTopKPqResidual(rotated,
         Similarity.sampleQueryIds(
           e.filter(col("embedding").isNotNull), n = 16),
@@ -2570,8 +2570,9 @@ object TrainingData {
     val (_, c) = graft.ext.Pca.covMeans(e, 64)
     val rot = graft.ext.Pca.opqRotation(c, 64, m = PqM)
     opqResSampledRotationUsed.put(d, rot)
+    // lazy — see sAnnPqOpq's r15 note
     val rotated = graft.ext.Pca.applyRotation(e, rot,
-      keep = Seq("vec_id", "label")).localCheckpoint()
+      keep = Seq("vec_id", "label"))
     Similarity.ivfTopKPqResidual(rotated,
         Similarity.sampleQueryIds(
           e.filter(col("embedding").isNotNull), n = 16),
