@@ -32,12 +32,23 @@ object Bfs {
     * deterministic, SQL-mirrorable source choice) to every reachable
     * node. Returns (node, dist); unreachable nodes are absent by
     * construction. `maxIter` bounds the loop far above any realistic
-    * diameter. */
+    * diameter.
+    *
+    * `symIsDistinct` (r15): a caller that can PROVE the symmetrized
+    * union carries no duplicates — distinct directed pairs over
+    * disjoint src/dst id spaces, e.g. the catalog's even/odd
+    * bipartite encoding (src always even, dst always odd, so a pair
+    * and its reverse can never collide and each side is distinct by
+    * construction) — may skip the symmetrize's dedup, which is a
+    * corpus-sized exchange (2·|E| rows) that such inputs pay for
+    * nothing. Default keeps the dedup; results are identical when
+    * the precondition holds (GraphOpsSpec pins it on the bipartite
+    * fixture). */
   def distances(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      maxIter: Int = 20, symIsDistinct: Boolean = false): DataFrame = {
+    val symRaw = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
+    val sym = (if (symIsDistinct) symRaw else symRaw.distinct())
       .localCheckpoint()
     // empty edge set: min(a) would aggregate to one (NULL, 0) row —
     // a spurious null-node label — so short-circuit to an empty frame
@@ -128,7 +139,8 @@ object Bfs {
     * machine do not accumulate corpus-sized layouts. */
   def distancesIndexed(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20, nBuckets: Int = 32): DataFrame =
-    distancesIndexedImpl(edges, src, dst, maxIter, None, nBuckets)
+    distancesIndexedImpl(edges, src, dst, maxIter, None, nBuckets,
+      symIsDistinct = false)
 
   /** Directed-edge rows per bucket the auto derivation targets: ~4M
     * 16-byte (a, b) pairs ≈ the parquet file-size class of the other
@@ -162,12 +174,13 @@ object Bfs {
     * execution of the upstream edge pipeline is the amortized build's
     * price. */
   def distancesIndexedAuto(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 20): DataFrame =
-    distancesIndexedImpl(edges, src, dst, maxIter, Some(autoBuckets), 0)
+      maxIter: Int = 20, symIsDistinct: Boolean = false): DataFrame =
+    distancesIndexedImpl(edges, src, dst, maxIter, Some(autoBuckets), 0,
+      symIsDistinct)
 
   private def distancesIndexedImpl(edges0: DataFrame, src: String,
       dst: String, maxIter: Int, bucketsOf: Option[Long => Int],
-      fixedBuckets: Int): DataFrame = {
+      fixedBuckets: Int, symIsDistinct: Boolean): DataFrame = {
     val spark = edges0.sparkSession
     // Auto path (round 15): SER-persist the raw edge frame for the
     // build's duration, so the upstream pipeline (often a
@@ -205,7 +218,7 @@ object Bfs {
           System.err.println(
             s"[bfs] sym-edge bound $bound < $BfsEdgesPerBucket: " +
               "in-memory frontier loop (persisted layout skipped)")
-          return distances(edges, src, dst, maxIter)
+          return distances(edges, src, dst, maxIter, symIsDistinct)
         }
         val b = f(bound)
         // probe-visible record of the derivation (the `_auto` rule's
@@ -220,9 +233,9 @@ object Bfs {
       .createTempDirectory(s"graft_bfs_adj_$token").toString
     adjDirs.add(dir)
     val tbl = s"graft_bfs_adj_$token"
-    val symRaw = edges.select(col(src).as("a"), col(dst).as("b"))
+    val symRaw0 = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
+    val symRaw = if (symIsDistinct) symRaw0 else symRaw0.distinct()
     symRaw
       .repartition(nBuckets, col("a")) // one file per bucket
       .write.bucketBy(nBuckets, "a").sortBy("a")

@@ -463,8 +463,14 @@ object AnalyticsExt {
     // auto-derived bucket count (floored at the proven 32, so this
     // entry's layout is unchanged at bench SFs; a 1000× graph gets
     // file-sized buckets) — the layout is physical only, results are
-    // bucket-count-invariant
-    graft.ext.Bfs.distancesIndexedAuto(e0, "src", "dst")
+    // bucket-count-invariant. symIsDistinct: e0 is DISTINCT directed
+    // pairs with src always EVEN (custkey·2) and dst always ODD
+    // (suppkey·2+1), so the symmetrized union cannot carry a
+    // duplicate — each side is distinct and a pair can never equal a
+    // reversed pair; the corpus-sized dedup exchange (2·|E| rows at
+    // every scale) is skipped (r15, results identical).
+    graft.ext.Bfs.distancesIndexedAuto(e0, "src", "dst",
+      symIsDistinct = true)
       .select(
         when(col("node") % 2 === 0, lit("cust"))
           .otherwise(lit("supp")).as("kind"),

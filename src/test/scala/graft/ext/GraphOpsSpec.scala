@@ -95,6 +95,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == want, "auto bucket count changed BFS results")
   }
 
+  test("BFS symIsDistinct: identical distances on a bipartite " +
+      "even/odd-encoded graph (the precondition's catalog shape)") {
+    // distinct directed pairs, src always even, dst always odd — the
+    // g_bfs encoding where the symmetrized union provably carries no
+    // duplicates and the dedup exchange may be skipped
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong * 2,
+        rnd.nextInt(30).toLong * 2 + 1)).distinct
+      .toDF("src", "dst")
+    val want = Bfs.distances(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val got = Bfs.distances(edges, "src", "dst", symIsDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "symIsDistinct changed BFS results")
+    val gotAuto = Bfs.distancesIndexedAuto(edges, "src", "dst",
+        symIsDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    assert(gotAuto == want, "symIsDistinct auto path drifted")
+  }
+
   test("components match brute-force closure on a random graph") {
     val rnd = new scala.util.Random(4242)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong,
