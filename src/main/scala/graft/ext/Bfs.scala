@@ -48,7 +48,15 @@ object Bfs {
       maxIter: Int = 20, symIsDistinct: Boolean = false): DataFrame = {
     val symRaw = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-    val sym = (if (symIsDistinct) symRaw else symRaw.distinct())
+    // the dedup-free branch coalesces the union (narrow — no
+    // exchange) back to the session parallelism: the union doubles
+    // the parent partition count, and every frontier round would
+    // otherwise pay the doubled stage width (measured +0.6 s at
+    // sf0.1 without the coalesce)
+    val nParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
+    val sym = (if (symIsDistinct) symRaw.coalesce(nParts)
+      else symRaw.distinct())
       .localCheckpoint()
     // empty edge set: min(a) would aggregate to one (NULL, 0) row —
     // a spurious null-node label — so short-circuit to an empty frame
