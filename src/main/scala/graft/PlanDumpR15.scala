@@ -88,9 +88,11 @@ object PlanDumpR15 {
           .distinct()
           .join(frontier.select(col("node")), Seq("node"), "left_anti")
       } else {
+        // mirrors the shipped path: dedup-free symmetrize (the g_bfs
+        // even/odd proof) coalesced to session parallelism
         val sym = e0.select(col("src").as("a"), col("dst").as("b"))
           .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
-          .distinct().localCheckpoint()
+          .coalesce(32).localCheckpoint()
         val frontier = graft.ext.Ckpt(sym.agg(min(col("a")).as("node"))
           .withColumn("dist", lit(0L)).filter(col("node").isNotNull))
         frontier.join(sym, frontier("node") === sym("a"))
