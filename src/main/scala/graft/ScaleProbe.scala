@@ -174,6 +174,8 @@ object ScaleProbe {
         probeGraphCross(spark, reps); spark.stop(); return
       case Some("prshuffle") =>
         probePrShuffleBytes(spark, scale); spark.stop(); return
+      case Some("prlocality") =>
+        probePrLocality(spark, scale); spark.stop(); return
       case _ => ()
     }
     if (scale != 10) { probeDeep(spark, scale, reps); spark.stop(); return }
@@ -806,6 +808,111 @@ object ScaleProbe {
           else "one-time(layout/init)"
         println(f"[probe]   stage $id%4d ${b / 1e9}%8.3f GB " +
           f"${r / 1e6}%8.1fM rows  ${b * 100.0 / total}%5.1f%%  $kind")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** PageRank shuffle-regime LAYOUT-LOCALITY probe (`ScaleProbe
+    * <nMillions> <nMillions> prlocality` — the r14-carried question,
+    * r16 verdict item 5): the one per-iteration exchange left in the
+    * shuffle regime is the dst partial-sum aggregate, whose exchanged
+    * row count is Σ_p |distinct dst in partition p| — bounded by the
+    * Pregel message bound, and for a HASH-partitioned layout ≈
+    * nParts · n·(1 − e^(−edges/(nParts·n))), i.e. several× node-sized.
+    * The locality hypothesis: clustering the layout's edges by dst
+    * WITHIN each src partition (`sortWithinPartitions("dst")`) might
+    * shrink or speed that exchange. The analysis says NO for row
+    * count — the partial HashAggregate's output is the per-partition
+    * distinct-dst set, which is order-INdependent — so any win could
+    * only come from aggregation-hash-map locality; this probe
+    * measures both variants' per-stage shuffle rows/bytes and wall
+    * time so the answer is a number, not an argument. (A dst-
+    * partitioned layout is NOT a variant: the rank join keys on src,
+    * so it would re-exchange the corpus-sized layout every iteration
+    * — the exact shape the layout rewrite removed. Genuinely
+    * shrinking the message bound needs edge-cut-minimizing graph
+    * partitioning, which a hash-keyed corpus graph does not admit
+    * without a partitioner fit — out of the engine's scope, recorded
+    * in BASELINE_APPENDIX.) */
+  def probePrLocality(spark: SparkSession, nMillions: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val n = math.max(1, nMillions) * 1000000L
+    val hashEdges = spark.range(n * 16).select(
+      pmod(xxhash64(col("id")), lit(n)).as("src"),
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val eRaw = hashEdges.unionByName(ring).localCheckpoint()
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val stages = new java.util.concurrent
+      .ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler
+            .SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics.shuffleWriteMetrics
+        if (m.bytesWritten > 0) stages.add(
+          (ev.stageInfo.stageId, m.recordsWritten, m.bytesWritten))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the inline shuffle-regime replica, layout optionally dst-sorted
+    // (everything else is PageRank.pagerank's shuffle branch verbatim)
+    def inlinePr(dstSorted: Boolean): DataFrame = {
+      val e0 = eRaw.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      val deg = graft.ext.Ckpt.lazily(
+        e0.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      val nNodes = deg.count()
+      val lay0 = e0.join(deg, "src").repartition(nParts, col("src"))
+      val e = (if (dstSorted) lay0.sortWithinPartitions("dst") else lay0)
+        .persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK_SER)
+      e.count()
+      val nodes = deg.select(col("src").as("node"))
+      val initPico = 1000000000000L / nNodes
+      val basePico = 150000000000L / nNodes
+      var pr = graft.ext.Ckpt(
+        nodes.select(col("node"), lit(initPico).as("pr_pico")))
+      for (_ <- 1 to 5) {
+        val ranks = pr.select(col("node").as("src"), col("pr_pico"))
+        val joined = e.join(
+          ranks.repartition(nParts, col("src")).hint("shuffle_hash"),
+          "src")
+        val contrib = joined.select(col("dst").as("node"),
+          expr("pr_pico div deg").as("c"))
+        pr = graft.ext.Ckpt(nodes
+          .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("s")),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(basePico) +
+              expr("(85 * coalesce(s, 0L)) div 100")).as("pr_pico")))
+      }
+      e.unpersist()
+      pr
+    }
+    try {
+      for (dstSorted <- Seq(false, true)) {
+        stages.clear()
+        val tag = if (dstSorted) "src-hash+dst-sorted" else "src-hash"
+        val t0 = System.nanoTime()
+        inlinePr(dstSorted)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        import scala.jdk.CollectionConverters._
+        val rows = stages.asScala.toSeq.sortBy(_._1)
+        val freq = rows.groupBy(_._2).view.mapValues(_.size).toMap
+        val perIter = rows.filter(r => r._2 > n * 6 / 5 && freq(r._2) >= 3)
+        println(f"[probe] prlocality n=$n $tag%-20s wall $wall%7.2fs  " +
+          f"dst-partial-sum stages: ${perIter.size} × " +
+          f"${perIter.headOption.map(_._2 / 1e6).getOrElse(0.0)}%.1fM rows, " +
+          f"${perIter.map(_._3).sum / 1e9}%.3f GB total")
+        rows.foreach { case (id, r, b) =>
+          println(f"[probe]   stage $id%4d ${b / 1e9}%8.3f GB " +
+            f"${r / 1e6}%8.1fM rows")
+        }
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

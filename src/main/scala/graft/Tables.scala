@@ -10,8 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * simply fans out to more input partitions.
   */
 object Tables {
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Per-path SCHEMA memo (r16): a bare `read.parquet(path)` launches
+  // a footer-inference job every call, and the bench constructs each
+  // entry's tables fresh per rep — one-to-three 1-task driver jobs
+  // per entry that carry zero information after the first read (the
+  // testdata is immutable for the process lifetime). Supplying the
+  // once-inferred schema skips exactly that job; scan behavior
+  // (pruning, pushdown, values) is unchanged — this is the metadata a
+  // metastore would hold. Keyed by full path, so mixed-SF sessions
+  // (the test suites) never cross.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sc = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sc).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")

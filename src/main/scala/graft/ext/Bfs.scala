@@ -55,9 +55,28 @@ object Bfs {
     // sf0.1 without the coalesce)
     val nParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
-    val sym = (if (symIsDistinct) symRaw.coalesce(nParts)
-      else symRaw.distinct())
-      .localCheckpoint()
+    val sym = (if (symIsDistinct) {
+      val c = symRaw.coalesce(nParts)
+      // Debug guard (r16): symIsDistinct is CALLER-ASSERTED — a wrong
+      // future opt-in would silently emit duplicate sym edges (wrong
+      // degrees downstream). `graft.debug.assertions=true` re-checks
+      // the claim with a count pair; never on by default, since the
+      // check re-adds exactly the exchange the flag exists to skip.
+      // New opt-ins need a written proof at the call site plus a spec
+      // case (the g_bfs even/odd encoding is the template).
+      if (edges.sparkSession.conf
+          .get("graft.debug.assertions", "false") == "true") {
+        val n = c.count()
+        val nd = c.distinct().count()
+        require(n == nd, "symIsDistinct asserted but the symmetrized " +
+          s"union carries duplicates ($n rows, $nd distinct)")
+      }
+      c
+    } else symRaw.distinct())
+      // r16 barrier fusion: sym's truncation is marked lazily — the
+      // frontier-init materialization below is a FULL aggregate over
+      // it, so one job builds the sym blocks AND the source row
+      .transform(graft.ext.Ckpt.lazily(_))
     // empty edge set: min(a) would aggregate to one (NULL, 0) row —
     // a spurious null-node label — so short-circuit to an empty frame
     // Round-15 barrier cut: labels accumulate as a LAZY union of the
@@ -66,19 +85,25 @@ object Bfs {
     // RDD scan, so the plan grows one shallow leaf per round (K ≈
     // diameter), and one materialization job per round disappears
     // (same rows, BfsSpec/GraphOpsSpec unchanged).
-    var frontier = Ckpt(sym.agg(min(col("a")).as("node"))
+    // The init's own truncation + emptiness probe fuse the same way
+    // (lazily + count — the eager Ckpt + isEmpty pair was two jobs).
+    var frontier = Ckpt.lazily(sym.agg(min(col("a")).as("node"))
       .withColumn("dist", lit(0L))
       .filter(col("node").isNotNull))
     var labels = frontier
     var iter = 0
-    var done = frontier.isEmpty
+    var done = frontier.count() == 0L
     while (!done && iter < maxIter) {
-      val next = Ckpt(frontier
+      // Round-16 barrier fusion: the round's truncation is marked
+      // LAZILY and the emptiness probe is a full count(), so ONE job
+      // per round materializes the frontier blocks AND answers the
+      // loop condition (the eager Ckpt + isEmpty pair was two).
+      val next = Ckpt.lazily(frontier
         .join(sym, frontier("node") === sym("a"))
         .select(col("b").as("node"), (col("dist") + 1).as("dist"))
         .distinct()
         .join(labels.select(col("node")), Seq("node"), "left_anti"))
-      if (next.isEmpty) done = true
+      if (next.count() == 0L) done = true
       else {
         labels = labels.unionByName(next)
         frontier = next
@@ -253,19 +278,26 @@ object Bfs {
     // labels as a lazy union of checkpointed frontiers — see
     // [[distances]]; every member is checkpoint-backed, so the frame
     // stays computable after the adjacency table is reclaimed below
-    var frontier = Ckpt(sym.agg(min(col("a")).as("node"))
+    // init truncation + emptiness probe fused (the [[distances]]
+    // treatment): lazily + count is one job where Ckpt + isEmpty
+    // was two
+    var frontier = Ckpt.lazily(sym.agg(min(col("a")).as("node"))
       .withColumn("dist", lit(0L))
       .filter(col("node").isNotNull))
     var labels = frontier
     var iter = 0
-    var done = frontier.isEmpty
+    var done = frontier.count() == 0L
     while (!done && iter < maxIter) {
-      val next = Ckpt(frontier
+      // Round-16 barrier fusion: the round's truncation is marked
+      // LAZILY and the emptiness probe is a full count(), so ONE job
+      // per round materializes the frontier blocks AND answers the
+      // loop condition (the eager Ckpt + isEmpty pair was two).
+      val next = Ckpt.lazily(frontier
         .join(sym, frontier("node") === sym("a"))
         .select(col("b").as("node"), (col("dist") + 1).as("dist"))
         .distinct()
         .join(labels.select(col("node")), Seq("node"), "left_anti"))
-      if (next.isEmpty) done = true
+      if (next.count() == 0L) done = true
       else {
         labels = labels.unionByName(next)
         frontier = next

@@ -55,14 +55,27 @@ object Bpe {
         "  "),
       lit("  " + EndMark + " "))
 
-  /** The word-type table: one row per distinct non-empty whitespace
-    * token with its corpus frequency and initial symbol string. */
-  def wordTypes(documents: DataFrame): DataFrame =
+  /** The (w, cnt) corpus word-count table — the ONE corpus-sized
+    * aggregate every tokenizer family's fit starts from (BPE merge
+    * stats, the WordPiece frequency vocab, the Unigram type table).
+    * Exposed (round 16) so a composed entry that fits several
+    * tokenizers on the SAME corpus (`d_tokenizer_eval`) can compute
+    * and persist it once and hand it to the `...FromCounts` fit forms
+    * (guide §5: cache exactly what ≥2 consumers re-read). */
+  def wordCounts(documents: DataFrame): DataFrame =
     documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), symInit(col("w")).as("sym"))
+
+  /** The word-type table: one row per distinct non-empty whitespace
+    * token with its corpus frequency and initial symbol string. */
+  def wordTypes(documents: DataFrame): DataFrame =
+    wordTypesFromCounts(wordCounts(documents))
+
+  /** [[wordTypes]] over a caller-built [[wordCounts]] frame. */
+  private def wordTypesFromCounts(wc: DataFrame): DataFrame =
+    wc.select(col("cnt"), symInit(col("w")).as("sym"))
 
   /** Adjacent symbol pairs of the current working table, weighted by
     * word frequency. `size >= 2` guards Spark's inclusive `sequence`
@@ -100,15 +113,29 @@ object Bpe {
     * byte order in both — see [[utf8Compare]]). */
   def trainMerges(documents: DataFrame, rounds: Int,
       localTypeLimit: Long = LocalTypeLimit): Seq[Merge] = {
-    val w0 = wordTypes(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    if (w0.count() <= localTypeLimit) {
+    val wc = wordCounts(documents)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = trainMergesFromCounts(wc, rounds, localTypeLimit)
+    wc.unpersist()
+    out
+  }
+
+  /** [[trainMerges]] over a caller-built [[wordCounts]] frame (the
+    * composed-entry form — the caller owns `wc`'s persist lifecycle;
+    * both type-table passes below read through it, and the fit
+    * finishes eagerly, so the caller may release `wc` as soon as this
+    * returns). */
+  def trainMergesFromCounts(wc: DataFrame, rounds: Int,
+      localTypeLimit: Long = LocalTypeLimit): Seq[Merge] = {
+    val w0 = wordTypesFromCounts(wc)
+    if (wc.count() <= localTypeLimit) {
       val types = w0
         .select(col("cnt"), split(trim(col("sym")), "  ").as("syms"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
-      w0.unpersist()
       trainLocal(types, rounds)
-    } else trainDistributed(w0, rounds)
+    } else trainDistributed(
+      w0.persist(StorageLevel.MEMORY_AND_DISK), rounds)
   }
 
   /** The distributed merge loop (vocabularies past the driver
@@ -320,8 +347,20 @@ object Bpe {
     * projection — tokenizing is a map-only pass, no shuffle beyond
     * the per-doc aggregate's none (all HOFs are per-row). For
     * production merge counts use [[tokenStatsFast]]. */
-  def tokenStats(documents: DataFrame, rounds: Int): DataFrame = {
-    val merges = trainMerges(documents, rounds)
+  def tokenStats(documents: DataFrame, rounds: Int): DataFrame =
+    tokenStatsFromCounts(documents, None, rounds)
+
+  /** [[tokenStats]] with the fit fed by a caller-built (persisted)
+    * [[wordCounts]] frame when given — the `d_tokenizer_eval`
+    * composition. The apply side never touches `wc` (merges ride the
+    * projection as literals), so the caller may release it as soon as
+    * every leg's fit has run. */
+  def tokenStatsFromCounts(documents: DataFrame, wc: Option[DataFrame],
+      rounds: Int): DataFrame = {
+    val merges = wc match {
+      case Some(c) => trainMergesFromCounts(c, rounds)
+      case None => trainMerges(documents, rounds)
+    }
     val words = filter(split(col("text"), " "),
       t => length(t) > 0)
     val nBpe = aggregate(words, lit(0L), (acc, t) => acc +

@@ -72,4 +72,24 @@ object Ckpt {
       df.checkpoint()
     } else df.localCheckpoint()
   }
+
+  /** LAZY truncation for loop state whose first consumer is a FULL
+    * driver-side aggregate (a convergence `count()` / change count /
+    * stable-signature probe — one that computes EVERY partition): in
+    * local mode the checkpoint is only MARKED, so the consumer's one
+    * job both materializes the blocks and returns the scalar — the
+    * eager form paid a materialization job AND a block-read job per
+    * round (round 16; the iterative loops' per-round job floor was
+    * the r15 verdict's #1 remaining cost). The caller MUST run such
+    * a full-partition action before any other consumer; a
+    * partial-partition first action (limit/isEmpty) would leave the
+    * tail partitions to a separate backfill job, re-paying what this
+    * exists to remove. Reliable mode stays EAGER — a lazy reliable
+    * checkpoint re-executes the plan for the write, which is strictly
+    * worse, and CkptSpec pins the durable artifacts. */
+  def lazily(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    if (ss.conf.get(ModeKey, "local") == "reliable") apply(df)
+    else df.localCheckpoint(eager = false)
+  }
 }

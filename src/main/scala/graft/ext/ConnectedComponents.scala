@@ -39,10 +39,13 @@ object ConnectedComponents {
     // materialize the working edge set once — without this the
     // upstream pipeline that produced the edges (e.g. the whole
     // shingle+Jaccard computation) would re-execute every round
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
-      .localCheckpoint()
+    // r16 barrier fusion: the working-set count below sizes the
+    // per-round partitioning AND materializes the lazily-marked
+    // checkpoint in one job (eager localCheckpoint + count was two)
+    val sym = Ckpt.lazily(
+      edges.select(col(src).as("a"), col(dst).as("b"))
+        .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+        .distinct())
     val spark = edges.sparkSession
     val nEdges = sym.count()
     val parts = math.max(1L, math.min(
@@ -78,7 +81,11 @@ object ConnectedComponents {
         // join otherwise pays full scheduling overhead on
         // mostly-empty session-default partitions
         .repartition(parts, col("id"))
-        .transform(Ckpt(_)) // truncate the growing lineage per round
+        // r16 barrier fusion (the Bfs.distances move): the truncation
+        // is marked LAZILY so the change-count below — a full-
+        // partition aggregate — materializes the round's blocks in
+        // the SAME job (eager Ckpt + count was two jobs per round)
+        .transform(Ckpt.lazily(_))
       val changes = next
         .filter(col("comp") =!= col("old_comp")).count()
       labels = next.select(col("id"), col("comp"))
@@ -121,7 +128,10 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b"))
         .distinct()
         .repartition(parts, col("a"))
-        .transform(Ckpt(_))
+        // r16 barrier fusion: the stable-signature aggregate below is
+        // a full-partition action — mark the truncation lazily so one
+        // job materializes the round AND returns the signature
+        .transform(Ckpt.lazily(_))
       // convergence: the edge set is stable (count + an
       // order-independent xor pair signature — no overflow under ANSI)
       val sig = small.agg(count(lit(1)),

@@ -79,6 +79,18 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** The (doc_id, sh) shingle frame every near-dup generator derives
+    * from its doc frame — exposed (round 16) so a COMPOSED entry that
+    * runs two generators over the same corpus (`d_dedup_recall`) can
+    * tokenize+shingle ONCE, persist, and hand the frame to the
+    * `...OnShingles` forms below instead of paying the pass per
+    * generator (guide §5: cache exactly what ≥2 consumers re-read). */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   /** Near-duplicate pairs by n-gram Jaccard with min-shingle blocking:
     * two docs can only be compared if they share their *minimum*
     * shingle — one blocking key per doc, so candidate generation is a
@@ -97,16 +109,31 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxBlockSize: Int = 1000,
       rescueBands: Int = 32, rescueRowsPerBand: Int = 4): DataFrame = {
-    require(maxBlockSize >= 2, "a block of <2 docs yields no pairs")
     // the shingle frame feeds four plan subtrees (both sides of the
     // block join + both verification reattaches); persist so the
     // shingle construction runs once, not four times. MEMORY_AND_DISK:
     // at cluster scale the frame is partition-local and spillable; the
     // ContextCleaner frees the blocks once the plan is unreferenced.
-    val sh = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleFrame(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the generator's output localCheckpoints before return, so the
+    // cache release here can be immediate (nothing downstream re-reads
+    // the shingle blocks)
+    val out = jaccardPairsOnShingles(sh, threshold, maxBlockSize,
+      rescueBands, rescueRowsPerBand)
+    sh.unpersist()
+    out
+  }
+
+  /** [[jaccardPairs]] over a caller-built [[shingleFrame]] — the
+    * composed-entry form. The caller owns `sh`'s persist lifecycle
+    * (it is read by four plan subtrees here, plus whatever else the
+    * caller composes); the returned pair set is localCheckpointed, so
+    * the caller may unpersist `sh` as soon as this returns. */
+  def jaccardPairsOnShingles(sh: DataFrame, threshold: Double,
+      maxBlockSize: Int = 1000, rescueBands: Int = 32,
+      rescueRowsPerBand: Int = 4): DataFrame = {
+    require(maxBlockSize >= 2, "a block of <2 docs yields no pairs")
     // shingle sets are sorted, so element 0 is the min shingle
     val slim = sh.select(col("doc_id"), col("sh").getItem(0).as("block"))
     // Hot-block guard: a corpus-common min shingle (boilerplate header,
@@ -145,7 +172,11 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // Rescue path for over-cap blocks. The hot-doc subset re-enters
-    // through minhashLshPairs (its own persist/release cycle); at most
+    // through MinHash banding OVER THE SAME SHINGLE FRAME (r16: the
+    // rescue used to re-tokenize+re-shingle the hot docs from text;
+    // the per-doc shingle set of a filtered doc set IS the filtered
+    // shingle frame, so the semi-join below reads the existing cache
+    // instead — bit-identical pairs, one shingle pass fewer). At most
     // one of the two paths can emit a given pair — a pair sharing a
     // min shingle has both docs in the same block, which is either
     // wholly cold or wholly hot — so a plain union suffices.
@@ -159,14 +190,13 @@ object Dedup {
           s"${hotStats.getLong(1)} docs in ${hotStats.getLong(0)} " +
           s"block(s) over maxBlockSize=$maxBlockSize routed to " +
           s"MinHash rescue ($rescueBands×$rescueRowsPerBand)")
-        val hotDocs = docs.join(hotIds,
-          docs(idCol) === hotIds("doc_id"), "left_semi")
-        pairs.unionByName(minhashLshPairs(hotDocs, idCol, textCol, n,
+        val shHot = sh.join(hotIds, Seq("doc_id"), "left_semi")
+        pairs.unionByName(minhashLshPairsOnShingles(shHot,
           rescueBands, rescueRowsPerBand, threshold))
       }
-    // materialize the (small) passing pair set, then release the
-    // shingle cache immediately — relying on GC + ContextCleaner leaks
-    // the blocks for as long as the caller holds the returned frame.
+    // materialize the (small) passing pair set — relying on GC +
+    // ContextCleaner would leak the caller's shingle blocks for as
+    // long as the caller holds the returned frame.
     // Tradeoff (deliberate): localCheckpoint blocks have no lineage,
     // so losing an executor after return makes the frame unreadable;
     // on a preemptible cluster, set a checkpoint dir and swap in
@@ -175,9 +205,7 @@ object Dedup {
     // The hot-stats probe above is the one extra action; it reads the
     // persisted shingle frame, so the guard costs a short agg job, not
     // a second shingle build.
-    val out = all.localCheckpoint()
-    sh.unpersist()
-    out
+    all.localCheckpoint()
   }
 
   /** EXACT threshold-Jaccard set-similarity self-join via PREFIX
@@ -422,10 +450,21 @@ object Dedup {
       : DataFrame = {
     // persisted for the same reason as in jaccardPairs: signature
     // computation + two verification reattaches share this frame
-    val sh = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleFrame(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = minhashLshPairsOnShingles(sh, bands, rowsPerBand,
+      threshold)
+    sh.unpersist()
+    out
+  }
+
+  /** [[minhashLshPairs]] over a caller-built [[shingleFrame]] — the
+    * composed-entry form ([[jaccardPairsOnShingles]]'s contract: the
+    * caller owns `sh`'s persist lifecycle; the returned pair set is
+    * localCheckpointed, so `sh` may be released as soon as this
+    * returns). */
+  def minhashLshPairsOnShingles(sh: DataFrame, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
     val banded = bandKeys(sh, bands, rowsPerBand)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
@@ -448,10 +487,8 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // same eager-materialize + release pattern as jaccardPairs
-    val out = pairs.localCheckpoint()
-    sh.unpersist()
-    out
+    // same eager-materialize pattern as jaccardPairsOnShingles
+    pairs.localCheckpoint()
   }
 
   /** Band-key frame (doc_id, band, band_key) over a shingle frame

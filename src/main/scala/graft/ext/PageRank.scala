@@ -107,10 +107,12 @@ object PageRank {
     // e0.unpersist after the layout materializes stays)
     var e: DataFrame = null
     try {
-    val deg = Ckpt(e0.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    // node count on the driver: picks the regime. deg is checkpointed
-    // node-sized — the count is one cheap job over cached blocks (and
-    // doubles as the materialization that populates e0's cache)
+    // r16 barrier fusion: deg's truncation is marked lazily, so the
+    // regime-picking count below materializes its blocks (and
+    // populates e0's cache) in ONE job — the eager Ckpt + count pair
+    // was two
+    val deg = Ckpt.lazily(
+      e0.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nNodes = deg.count()
     val bcast = nNodes <= broadcastMaxNodes
     // loop-invariant LAYOUT, built once: src degree folded into the
@@ -151,9 +153,19 @@ object PageRank {
     // are checkpoint/cache-backed, nothing downstream rereads e0)
     e0.unpersist()
     val nodes = deg.select(col("src").as("node"))
-    val nRow = deg.agg(count(lit(1)).as("n"))
-    var pr = Ckpt(nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), expr("1000000000000L div n").as("pr_pico")))
+    // r16: the node count is ALREADY on the driver (nNodes picked the
+    // regime), so the 1/n and 0.15/n terms ride as literals — the old
+    // crossJoin(broadcast(nRow)) re-executed a 1-row count broadcast
+    // in the init and in EVERY iteration (one broadcast job each).
+    // Long `/` is truncated division on the positive operands here —
+    // exactly Spark's `div` on the same integers, so ranks are
+    // bit-identical (oracle unchanged; it derives n itself). The
+    // nNodes == 0 guard only dodges the driver-side /0 — the frame is
+    // empty then, so the value never reaches a row.
+    val initPico = if (nNodes == 0) 0L else 1000000000000L / nNodes
+    val basePico = if (nNodes == 0) 0L else 150000000000L / nNodes
+    var pr = Ckpt(nodes
+      .select(col("node"), lit(initPico).as("pr_pico")))
       for (_ <- 1 to iters) {
         val ranks = pr.select(col("node").as("src"), col("pr_pico"))
         // the regime's one structural difference: how the node-sized
@@ -175,10 +187,9 @@ object PageRank {
         pr = Ckpt(nodes
           .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("s")),
             Seq("node"), "left")
-          .crossJoin(broadcast(nRow))
           .select(col("node"),
-            expr("(150000000000L div n) + ((85 * coalesce(s, 0L)) div 100)")
-              .as("pr_pico")))
+            (lit(basePico) +
+              expr("(85 * coalesce(s, 0L)) div 100")).as("pr_pico")))
       }
     pr
     } finally {

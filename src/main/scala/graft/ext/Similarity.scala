@@ -663,12 +663,16 @@ object Similarity {
     // and embeds it as literals, so lineage is flat by construction —
     // per-iteration truncation was a redundant materialization job
     // (the collect itself executes each update plan exactly once).
-    // Only the LAST update checkpoints (one frame, many consumers).
     // Past the gate (k ∝ N shapes) the broadcast-row assignment keeps
     // the plan chained, so every iteration still truncates via Ckpt.
     // Either path executes each Lloyd update exactly once; results
     // are bit-identical (AssignFormSpec pins Lut ≡ Bcast).
+    // Final state (round 16): in LUT mode the fitted frame returns as
+    // a LocalRelation ([[asLocalRelation]]) instead of a checkpoint —
+    // consumers collect/broadcast it job-free; reliable mode keeps
+    // Ckpt (durable-placement opt-in, CkptSpec).
     val lutMode = k <= AssignLutMaxCentroids
+    val localFinish = lutMode && !reliableMode(base)
     for (i <- 0 until iters) {
       val assigned =
         if (lutMode) assignClustersLut(base, collectedSorted(centroids))
@@ -682,8 +686,11 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-      if (!lutMode || i == iters - 1)
-        centroids = Ckpt(centroids)
+      if (i == iters - 1)
+        centroids =
+          if (localFinish) asLocalRelation(centroids)
+          else Ckpt(centroids)
+      else if (!lutMode) centroids = Ckpt(centroids)
     }
     centroids
   }
@@ -695,6 +702,32 @@ object Similarity {
     centroids.select(col("cid"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
+
+  /** True when the session has opted into durable loop-state
+    * placement ([[Ckpt.ModeKey]] = reliable) — the LUT-mode local
+    * finishes below then keep routing through [[Ckpt]] so the opt-in
+    * still produces its recoverable files. */
+  private def reliableMode(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(Ckpt.ModeKey, "local") == "reliable"
+
+  /** FINAL-STATE placement for a LUT-gated fit frame (round 16): the
+    * bounded rows collect once and re-enter as a LocalRelation —
+    * exactly the rows a [[Ckpt]] would have materialized, but every
+    * downstream consumer that COLLECTS or BROADCASTS the frame
+    * ([[pqAssign]]'s bounded collect, [[assignClusters]]' probe, the
+    * ADC-LUT / probe broadcasts) now reads local rows instead of
+    * launching a block-scan job (`LocalTableScanExec.executeCollect`
+    * is job-free). Data rides as relation ROWS, never as expression
+    * literals, so the plan-size pathology documented at
+    * [[assignSubClusters]] cannot arise; values are the collected
+    * doubles unchanged, so results are bit-identical (the same
+    * argument as the LUT-mode assignment forms). Only call under a
+    * static row bound (the LUT gate) and never in reliable mode. */
+  private def asLocalRelation(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 
   /** Centroid-count gate for the plan-LITERAL projection assignment:
     * up to this many centroids the codebook collects driver-side and
@@ -856,8 +889,10 @@ object Similarity {
     var centroids = base.orderBy("vec_id").limit(k)
       .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
       .select(col("cid"), col("emb").as("centroid"))
-    // same barrier structure as [[kmeansCentroids]] (see its note)
+    // same barrier + final-state structure as [[kmeansCentroids]]
+    // (see its note)
     val lutMode = k <= AssignLutMaxCentroids
+    val localFinish = lutMode && !reliableMode(base)
     for (i <- 0 until iters) {
       val assigned =
         if (lutMode)
@@ -872,8 +907,11 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-      if (!lutMode || i == iters - 1)
-        centroids = Ckpt(centroids)
+      if (i == iters - 1)
+        centroids =
+          if (localFinish) asLocalRelation(centroids)
+          else Ckpt(centroids)
+      else if (!lutMode) centroids = Ckpt(centroids)
     }
     centroids
   }
@@ -1064,9 +1102,14 @@ object Similarity {
     // [[pqAssign]] collects the codebook frame each iteration (the
     // bounded m·kSub contract) and embeds it as plan literals, so
     // lineage is flat without truncation — each update plan executes
-    // exactly once (at the next iteration's collect), and only the
-    // LAST update checkpoints, via Ckpt (reliable-mode routing), for
-    // its two consumers (the encode collect and the LUT broadcast).
+    // exactly once (at the next iteration's collect). Final state
+    // (round 16): the fitted codebook returns as a LocalRelation
+    // ([[asLocalRelation]] — the same bounded m·kSub rows) so its two
+    // consumers (the encode's [[pqAssign]] collect and the ADC-LUT
+    // broadcast) read local rows job-free; reliable mode keeps Ckpt
+    // (durable-placement opt-in, CkptSpec).
+    val localFinish = m.toLong * kSub <= AssignLutMaxCentroids &&
+      !reliableMode(base)
     for (i <- 0 until iters) {
       cents = pqAssign(subBase, cents)
         .select(col("sub"), col("cid"),
@@ -1078,7 +1121,10 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-      if (i == iters - 1) cents = Ckpt(cents)
+      if (i == iters - 1)
+        cents =
+          if (localFinish) asLocalRelation(cents)
+          else Ckpt(cents)
     }
     cents
   }
@@ -1399,16 +1445,22 @@ object Similarity {
     * [[graft.ext.Retrieval.buildPhraseIndex]], closing the persisted-
     * layout family (phrase postings, BFS adjacency, MV store, z-order
     * all have one; the coded ANN index is what a 100 TB deployment
-    * actually keeps between corpus snapshots). Three artifacts:
+    * actually keeps between corpus snapshots). Two artifacts
+    * (layout v2, round 16 — the v1 layout wrote coarse and codebooks
+    * as separate dirs, paying a parquet commit cycle each for two
+    * vocab-sized tables every build):
     *
-    *  - `$dir/codes`   — (vec_id, sub, cid) PARTITIONED BY label: m
+    *  - `$dir/codes` — (vec_id, sub, cid) PARTITIONED BY label: m
     *    small codes per vector, laid out so a probe's label set is a
     *    planning-time partition filter (the phrase-index bucket rule
     *    with the coarse quantizer's own key — probes are label
     *    lookups, there is no range to cluster);
-    *  - `$dir/coarse`  — the per-label exact decimal-mean centroids
-    *    (O(labels) rows);
-    *  - `$dir/codebooks` — all m fitted sub-codebooks (m·kSub rows).
+    *  - `$dir/meta` — the two vocab-sized fit tables packed into ONE
+    *    kind-discriminated file: `coarse` rows carry the per-label
+    *    exact decimal-mean centroids (O(labels)), `codebooks` rows
+    *    all m fitted sub-codebooks (m·kSub). One commit cycle, one
+    *    read per serve ([[pqIndexProbe]] / [[appendToPqIndex]]
+    *    collect it once driver-side — it is bounded by contract).
     *
     * Fit/encode are EXACTLY [[ivfTopKPq]]'s (shared helpers), with
     * the production `fitSampleMod` lever; parquet round-trips doubles
@@ -1426,8 +1478,6 @@ object Similarity {
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labelCentroids(base).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/coarse")
     // the ivfTopKPq storage rule: SER-persist the subspace frame only
     // when the full fit makes it multi-pass (it then also serves the
     // encode); a sampled fit leaves the corpus explode single-use
@@ -1442,8 +1492,19 @@ object Similarity {
         (base, sb, Some(sb))
       }
     val cents = pqFitCodebooks(fitBase, fitSub, m, subDim, kSub, iters)
-    cents.coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    // coarse + codebooks ride one union into one commit cycle; label
+    // is normalized to LONG at write time (the probe normalized the
+    // partition-dir type the same way in v1, so joins stay exact)
+    labelCentroids(base)
+      .select(lit("coarse").as("kind"),
+        col("label").cast("long").as("label"),
+        lit(null).cast("int").as("sub"), lit(null).cast("int").as("cid"),
+        col("centroid"))
+      .unionByName(cents.select(lit("codebooks").as("kind"),
+        lit(null).cast("long").as("label"), col("sub"), col("cid"),
+        col("centroid")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
     pqAssign(persisted.getOrElse(subBase), cents)
       .select(col("vec_id"), col("sub"), col("cid"))
       .join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -1452,6 +1513,41 @@ object Similarity {
       .parquet(s"$dir/codes")
     persisted.foreach(_.unpersist())
     base.unpersist(): Unit
+  }
+
+  /** ONE read of a [[buildPqIndex]] layout's `meta` artifact,
+    * collected driver-side (bounded: O(labels) + m·kSub rows by the
+    * layout contract) and split back into its two tables as
+    * LocalRelations — every downstream broadcast/collect of either
+    * table is then job-free. Returns (coarse (label, centroid),
+    * codebooks (sub, cid, centroid), m). */
+  private def readPqIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, Int) = {
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(s"$dir/meta")
+    val rows = df.collect()
+    val iKind = df.schema.fieldIndex("kind")
+    val iLabel = df.schema.fieldIndex("label")
+    val iSub = df.schema.fieldIndex("sub")
+    val iCid = df.schema.fieldIndex("cid")
+    val iCent = df.schema.fieldIndex("centroid")
+    val centType = df.schema("centroid").dataType
+    val coarse = spark.createDataFrame(
+      java.util.Arrays.asList(rows.filter(_.getString(iKind) == "coarse")
+        .map(r => org.apache.spark.sql.Row(r.getLong(iLabel),
+          r.get(iCent))): _*),
+      StructType(Seq(StructField("label", LongType),
+        StructField("centroid", centType))))
+    val cbRows = rows.filter(_.getString(iKind) == "codebooks")
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(cbRows
+        .map(r => org.apache.spark.sql.Row(r.getInt(iSub),
+          r.getInt(iCid), r.get(iCent))): _*),
+      StructType(Seq(StructField("sub", IntegerType),
+        StructField("cid", IntegerType),
+        StructField("centroid", centType))))
+    val m = cbRows.map(_.getInt(iSub)).max + 1
+    (coarse, cents, m)
   }
 
   /** Append a batch to a [[buildPqIndex]] layout WITHOUT refit — the
@@ -1471,8 +1567,10 @@ object Similarity {
     * append, and split-appends compose to the one-shot append. */
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, dim: Int = 64): Unit = {
-    val cents = spark.read.parquet(s"$dir/codebooks")
-    val m = cents.agg(max(col("sub"))).head().getInt(0) + 1
+    // one meta read serves m, the known-label check AND the frozen
+    // codebooks (v1 read the codebooks artifact twice and coarse once
+    // — three read jobs for two bounded tables)
+    val (coarse, cents, m) = readPqIndexMeta(spark, dir)
     val subDim = dim / m
     val base = batch.select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("emb"))
@@ -1480,9 +1578,7 @@ object Similarity {
     // a label the stored coarse centroids don't know would land in a
     // partition NO probe ever selects — silently unreachable rows.
     // New labels are the refit trigger, not an append; fail loudly.
-    val known = spark.read.parquet(s"$dir/coarse")
-      .select(col("label").cast("long")).collect()
-      .map(_.getLong(0)).toSet
+    val known = coarse.collect().map(_.getLong(0)).toSet
     val novel = base.select(col("label").cast("long")).distinct()
       .collect().map(_.getLong(0)).filterNot(known)
     require(novel.isEmpty,
@@ -1512,11 +1608,10 @@ object Similarity {
   def pqIndexProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String, embeddings: DataFrame, queryIds: DataFrame, k: Int,
       nprobe: Int, dim: Int = 64): DataFrame = {
-    val m = spark.read.parquet(s"$dir/codebooks")
-      .agg(max(col("sub"))).head().getInt(0) + 1
+    // one meta read serves m and both fit tables (v1 launched three
+    // parquet read jobs); the LocalRelations broadcast job-free below
+    val (cent, cents, m) = readPqIndexMeta(spark, dir)
     val subDim = dim / m
-    val cent = spark.read.parquet(s"$dir/coarse")
-    val cents = spark.read.parquet(s"$dir/codebooks")
     val q = embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("emb"))
       .filter(col("emb").isNotNull)
@@ -1525,7 +1620,8 @@ object Similarity {
     // label normalized to LONG inside the probe: the source schema
     // may carry int labels and the partition directory re-infers its
     // own numeric type — one explicit width everywhere keeps the
-    // joins exact regardless
+    // joins exact regardless (meta stores label as long already; the
+    // cast below is then a no-op)
     val probes = q.crossJoin(broadcast(cent))
       .select(col("query_id"), col("label").cast("long").as("label"),
         round(cosine(col("q_emb"), col("centroid")), 6).as("c_sim"))
@@ -2087,19 +2183,57 @@ object Similarity {
     * SemDeDup ([[semDedupHier]]). */
   private def assignSubClusters(base: DataFrame,
       cents2: DataFrame, key: String): DataFrame = {
-    val lut = broadcast(cents2
-      .groupBy(col(key))
-      .agg(array_sort(collect_list(struct(col("scid"), col("centroid"))))
-        .as("_sl"))
-      .select(col(key),
-        transform(col("_sl"), e => e("centroid")).as("_cents"),
-        transform(col("_sl"), e => e("scid")).as("_scids")))
+    // r16: when the sub-codebook is ALREADY a LocalRelation (the
+    // LUT-gated loop state / final fit frame — [[asLocalRelation]]),
+    // group+sort it on the DRIVER instead of through the aggregate:
+    // the broadcast then builds from a LocalRelation (job-free
+    // executeCollect) where the aggregate form submitted one
+    // 32-slice LocalTableScan stage job per consumer. Identical
+    // rows: the SQL form's array_sort(collect_list(struct(scid,
+    // centroid))) is a lexicographic struct sort whose FIRST field
+    // (scid) is unique within a key, so sorting by scid alone
+    // realizes the same order (SimilaritySpec pins the two forms).
+    val lut = cents2.queryExecution.logical match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        subClusterLutLocal(cents2, key)
+      case _ =>
+        cents2
+          .groupBy(col(key))
+          .agg(array_sort(collect_list(
+            struct(col("scid"), col("centroid")))).as("_sl"))
+          .select(col(key),
+            transform(col("_sl"), e => e("centroid")).as("_cents"),
+            transform(col("_sl"), e => e("scid")).as("_scids"))
+    }
     val cands = zip_with(col("_cents"), col("_scids"),
       (c, id) => struct(round(cosine(col("emb"), c), 6).as("a_sim"),
         (-id).as("neg_scid"), id.as("scid")))
-    base.join(lut, Seq(key))
+    base.join(broadcast(lut), Seq(key))
       .select(col("vec_id"), col(key), col("emb"),
         array_max(cands).getField("scid").as("scid"))
+  }
+
+  /** Driver-side construction of the (key, _cents, _scids) LUT frame
+    * from a LOCAL sub-codebook frame — see [[assignSubClusters]]. */
+  private def subClusterLutLocal(cents2: DataFrame, key: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = cents2.schema
+    val iKey = schema.fieldIndex(key)
+    val iScid = schema.fieldIndex("scid")
+    val iCent = schema.fieldIndex("centroid")
+    val rows = cents2.collect() // job-free: LocalTableScan
+    val grouped = rows.groupBy(_.get(iKey)).toSeq.map { case (k, rs) =>
+      val sorted = rs.sortBy(_.getInt(iScid))
+      org.apache.spark.sql.Row(k,
+        sorted.map(_.getSeq[Double](iCent)).toSeq,
+        sorted.map(_.getInt(iScid)).toSeq)
+    }
+    cents2.sparkSession.createDataFrame(
+      java.util.Arrays.asList(grouped: _*),
+      StructType(Seq(schema(key),
+        StructField("_cents", ArrayType(ArrayType(DoubleType))),
+        StructField("_scids", ArrayType(IntegerType)))))
   }
 
   /** The selectivity-derived nprobe rule shared by the filtered
@@ -2512,9 +2646,27 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("cid"), (col("rn") - 1).cast("int").as("scid"),
         col("emb").as("centroid"))
+    // Level-2 loop state (round 16): the grid is k×k cells, so within
+    // the LUT gate (k² ≤ AssignLutMaxCentroids — every catalog tier;
+    // k² ≈ n/target crosses it only at corpus scale) each update
+    // collects ONCE into a LocalRelation instead of checkpointing —
+    // flat lineage without the per-iteration truncation job, and the
+    // returned state broadcasts/filters job-free in the gate batches.
+    // Past the gate (or in reliable mode) the Ckpt form is unchanged.
+    // r13's rejected alternative embedded the grid as a MAP LITERAL
+    // (~10× slower cold — Janino re-entry per assign, see
+    // [[assignSubClusters]]); a LocalRelation carries the rows as
+    // data, not expression nodes, so that pathology cannot arise.
+    val localLoop = k.toLong * k <= AssignLutMaxCentroids &&
+      !reliableMode(m1fit)
+    // the seed localizes too, so iteration 1's assign already takes
+    // the driver-built-LUT branch of [[assignSubClusters]] (the seed
+    // window executes exactly once either way — here as the collect
+    // instead of inlined under iteration 1's broadcast aggregate)
+    if (localLoop) cents2 = asLocalRelation(cents2)
     for (_ <- 0 until iters) {
       val assigned = assignSubClusters(m1fit, cents2, "cid")
-      cents2 = assigned
+      val updated = assigned
         .select(col("cid"), col("scid"),
           posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("scid"), col("dim"))
@@ -2524,7 +2676,8 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x("cv")).as("centroid"))
-        .transform(Ckpt(_))
+      cents2 =
+        if (localLoop) asLocalRelation(updated) else Ckpt(updated)
     }
     (cent1, cents2, m1)
   }

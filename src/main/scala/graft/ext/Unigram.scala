@@ -71,6 +71,14 @@ object Unigram {
       .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
+  /** [[wordTypes]] over a caller-built [[Bpe.wordCounts]] frame — the
+    * length cap is a predicate on the GROUP KEY, so filtering the
+    * aggregated counts is exactly the pre-aggregation filter (same
+    * rows, same counts). */
+  private def wordTypesFromCounts(wc: DataFrame,
+      maxWordLen: Int): DataFrame =
+    wc.filter(length(col("w")) <= maxWordLen)
+
   /** Seed vocabulary counts: (piece, pcnt) — all single chars + top
     * `vocabSize − #chars` multi-char substrings by occurrence count.
     * Both legs are TakeOrdered/limit over an aggregate, vocab-sized
@@ -204,13 +212,33 @@ object Unigram {
     * excluded from piece stats (the fit never saw them). */
   def tokenStats(documents: DataFrame, vocabSize: Int = 256,
       maxPieceLen: Int = 8, maxWordLen: Int = 16, emIters: Int = 1)
-      : DataFrame = {
+      : DataFrame =
+    tokenStatsFromCounts(documents, None, vocabSize, maxPieceLen,
+      maxWordLen, emIters)
+
+  /** [[tokenStats]] with the fit fed by a caller-built (persisted)
+    * [[Bpe.wordCounts]] frame when given — the `d_tokenizer_eval`
+    * composition. Every fit pass (seed + each EM segmentation) reads
+    * the type table through the caller's cache plus a cheap key
+    * filter, so no second persist is taken; the apply side never
+    * touches `wc` (scores ride the task closure), so the caller may
+    * release it as soon as every leg's fit has run. */
+  def tokenStatsFromCounts(documents: DataFrame, wc: Option[DataFrame],
+      vocabSize: Int = 256, maxPieceLen: Int = 8, maxWordLen: Int = 16,
+      emIters: Int = 1): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val types = wordTypes(documents, maxWordLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scores = fitScores(types, vocabSize, maxPieceLen, emIters)
-    types.unpersist()
+    val scores = wc match {
+      case Some(c) =>
+        fitScores(wordTypesFromCounts(c, maxWordLen), vocabSize,
+          maxPieceLen, emIters)
+      case None =>
+        val types = wordTypes(documents, maxWordLen)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val s = fitScores(types, vocabSize, maxPieceLen, emIters)
+        types.unpersist()
+        s
+    }
     val mp = maxPieceLen; val maxW = maxWordLen
     documents.select(col("doc_id"), col("text"))
       .as[(Long, String)]

@@ -48,11 +48,13 @@ object Wordpiece {
     * ranked by (total desc, piece asc). */
   def vocab(documents: DataFrame, vocabSize: Int,
       maxPieceLen: Int): DataFrame =
-    documents
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
+    vocabFromCounts(Bpe.wordCounts(documents), vocabSize, maxPieceLen)
+
+  /** [[vocab]] over a caller-built [[Bpe.wordCounts]] frame — the
+    * shared-fit form `d_tokenizer_eval` composes. */
+  def vocabFromCounts(wc: DataFrame, vocabSize: Int,
+      maxPieceLen: Int): DataFrame =
+    wc.select(col("cnt"),
         explode(subPieces(col("w"), maxPieceLen)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("total"))
       .orderBy(desc("total"), asc("piece"))
@@ -82,11 +84,23 @@ object Wordpiece {
     * frequency vocab: whitespace word count and greedy piece count.
     * Output (doc_id, n_words, n_pieces), one row per doc. */
   def tokenStats(documents: DataFrame, vocabSize: Int = 512,
-      maxPieceLen: Int = 8): DataFrame = {
+      maxPieceLen: Int = 8): DataFrame =
+    tokenStatsFromCounts(documents, None, vocabSize, maxPieceLen)
+
+  /** [[tokenStats]] with the vocab fit fed by a caller-built
+    * (persisted) [[Bpe.wordCounts]] frame when given — the
+    * `d_tokenizer_eval` composition. The apply side never touches
+    * `wc` (the vocab rides the task closure), so the caller may
+    * release it as soon as every leg's fit has run. */
+  def tokenStatsFromCounts(documents: DataFrame, wc: Option[DataFrame],
+      vocabSize: Int = 512, maxPieceLen: Int = 8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val v = vocab(documents, vocabSize, maxPieceLen)
-      .select(col("piece")).as[String].collect().toSet
+    val vsrc = wc match {
+      case Some(c) => vocabFromCounts(c, vocabSize, maxPieceLen)
+      case None => vocab(documents, vocabSize, maxPieceLen)
+    }
+    val v = vsrc.select(col("piece")).as[String].collect().toSet
     val maxL = maxPieceLen
     documents.select(col("doc_id"), col("text"))
       .as[(Long, String)]

@@ -366,11 +366,18 @@ object TrainingData {
     * carry at 100×. */
   def dDedupRecall(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val ex = Dedup.jaccardPairs(dd, "doc_id", "text",
-      n = 3, threshold = 0.2).select(col("doc_a"), col("doc_b"))
-    val mh = Dedup.minhashLshPairs(dd, "doc_id", "text",
-      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+    // both generators consume the SAME corpus at the SAME shingle
+    // width — tokenize+shingle once (r16; guide §5: cache exactly
+    // what ≥2 consumers re-read). Each generator localCheckpoints its
+    // pair set, so the shared cache releases as soon as both return.
+    val sh = Dedup.shingleFrame(dd, "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = Dedup.jaccardPairsOnShingles(sh, threshold = 0.2)
       .select(col("doc_a"), col("doc_b"))
+    val mh = Dedup.minhashLshPairsOnShingles(sh,
+        bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    sh.unpersist()
     val exC = ex.agg(count(lit(1)).as("n_exact"))
     val mhC = mh.agg(count(lit(1)).as("n_lsh"))
     val bothC = ex.join(mh, Seq("doc_a", "doc_b"))
@@ -5640,14 +5647,27 @@ object TrainingData {
           col("n_docs"), col("n_words"), col("n_pieces"),
           round(col("n_pieces").cast("double") / col("n_words"), 6)
             .as("fertility"))
-    leg("bpe", graft.ext.Bpe.tokenStats(dd, BpeRounds), col("n_bpe"))
-      .unionByName(
-        leg("greedy", graft.ext.Wordpiece.tokenStats(dd),
-          col("n_pieces")))
-      .unionByName(
-        leg("unigram", graft.ext.Unigram.tokenStats(dd),
-          col("n_pieces")))
-      .orderBy("tokenizer", "source")
+    // all three fits start from the SAME (w, cnt) corpus word-count
+    // aggregate (the legs share the word-counting rule by contract —
+    // TokenizerSpec asserts it); compute it once and feed the
+    // `...FromCounts` fit forms (r16; guide §5). The fits all finish
+    // eagerly inside the leg constructors (merge collect / vocab
+    // collect / EM collects) and the apply passes never touch the
+    // frame, so it releases right here.
+    val wc = graft.ext.Bpe.wordCounts(dd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out =
+      leg("bpe", graft.ext.Bpe.tokenStatsFromCounts(dd, Some(wc),
+          BpeRounds), col("n_bpe"))
+        .unionByName(
+          leg("greedy", graft.ext.Wordpiece.tokenStatsFromCounts(dd,
+            Some(wc)), col("n_pieces")))
+        .unionByName(
+          leg("unigram", graft.ext.Unigram.tokenStatsFromCounts(dd,
+            Some(wc)), col("n_pieces")))
+        .orderBy("tokenizer", "source")
+    wc.unpersist()
+    out
   }
 
   private def dTokenizerEvalSql: String = {

@@ -87,6 +87,31 @@ class CkptSpec extends SparkSpec {
     }
   }
 
+  test("hier semdedup gate is placement-invariant: reliable mode " +
+      "(Ckpt loop state + SQL-aggregate LUT) equals default mode " +
+      "(LocalRelation loop state + driver-built LUT) — pins the " +
+      "round-16 local-finish forms against the checkpointed forms") {
+    val embs = (0L until 80L)
+      .map(i => (i, Seq.tabulate(8)(d =>
+        (((i % 7) * 11 + d * 3) % 17).toFloat)))
+      .toDF("vec_id", "embedding")
+    val man = embs.filter($"vec_id" % 5 =!= 0)
+    val inc = embs.filter($"vec_id" % 5 === 0)
+    def run(): Seq[Seq[Any]] =
+      Similarity.semDedupIncremental(man, inc,
+          targetClusterSize = 8L, iters = 2, threshold = 0.8, dim = 8)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_hier")
+    withMode("reliable", dir.toString) {
+      assert(run() == local,
+        "hier gate results drifted between placements")
+      val nFiles = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(nFiles > 0, "reliable hier fit wrote no checkpoint files")
+    }
+  }
+
   test("PQ codebook fit is placement-invariant and reliable mode " +
       "writes checkpoint files during the fit (r14 verdict #2)") {
     val embs = (0L until 60L)
